@@ -1,0 +1,58 @@
+"""schema_validata_spark — a from-scratch, PySpark-native schema +
+constraint validation engine with the capabilities of
+GeoCodable/schema_validata (reference at /root/reference, read-only).
+
+NOT a port: the reference is a driver-side pandas library
+(src/schema_validata.py, one 4,223-line module). This engine expresses
+every rule as pyspark.sql Column expressions / DataFrame aggregates so
+Catalyst + Tungsten execute it distributed, single-pass, and codegen'd.
+
+Layout
+------
+functions/  null semantics, type lattice, casting matrix, scalar helpers
+sources/    spec loaders (JSON/dict/CSV/xlsx), corpus readers, sinks
+operators/  stats aggregate, verdicts, violation extractors, duplicates,
+            referential + SQL integrity, drift, dedup, similarity, text
+plans/      validate_dataset pipeline, checkpoint/resume manifests
+streaming/  Structured Streaming validation (foreachBatch)
+"""
+
+from schema_validata_spark.functions.nulls import is_na, NA_VALUES, NA_PATTERNS
+from schema_validata_spark.functions.types import (
+    CANONICAL_TYPES,
+    ALLOWED_CASTING,
+    type_is_compatible,
+)
+from schema_validata_spark.sources.spec import (
+    ColumnSpec,
+    TableSpec,
+    RuleSet,
+    load_spec_json,
+    load_spec_dict,
+)
+from schema_validata_spark.operators.stats import column_stats, per_partition_stats
+from schema_validata_spark.operators.verdicts import evaluate_verdicts, verdicts_to_df
+from schema_validata_spark.operators.violations import extract_violations
+from schema_validata_spark.plans.validate import validate_dataset
+
+__all__ = [
+    "is_na",
+    "NA_VALUES",
+    "NA_PATTERNS",
+    "CANONICAL_TYPES",
+    "ALLOWED_CASTING",
+    "type_is_compatible",
+    "ColumnSpec",
+    "TableSpec",
+    "RuleSet",
+    "load_spec_json",
+    "load_spec_dict",
+    "column_stats",
+    "per_partition_stats",
+    "evaluate_verdicts",
+    "verdicts_to_df",
+    "extract_violations",
+    "validate_dataset",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,105 @@
+"""Rich null semantics, reproduced as a single pure-Column predicate.
+
+Reference parity: schema_validata treats 29 literal values plus 4 regex
+patterns as null (reference src/schema_validata.py:200–248,
+``COMMON_NA_VALUES`` + ``NA_VALUES_v1_5`` + ``NA_PATTERNS``), with
+case-insensitive string matching and whitespace-only strings null
+(``check_na_value``, src/schema_validata.py:1639–1693).
+
+This module compiles that semantics to ONE reusable
+:class:`pyspark.sql.Column` expression — no per-row Python, fully inside
+whole-stage codegen, so the predicate costs a few string ops per value at
+100 TB scale and is pushed into the scan where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Literal NA representations (reference src/schema_validata.py:200–239).
+# None / np.nan are covered by Column.isNull(); strings below are matched
+# case-insensitively after trim, mirroring check_na_value's
+# value.lower() in lowercase_na_values.
+NA_VALUES: tuple[str, ...] = (
+    "",
+    "n/a",
+    "na",
+    "null",
+    "none",
+    "nan",
+    "-nan",
+    "#n/a",
+    "#na",
+    "<na>",
+    "#ref!",
+    "#value!",
+    "#div/0!",
+    "missing",
+    # pandas >= 1.5 extras (reference :228–239)
+    "#n/a n/a",
+    "-1.#ind",
+    "-1.#qnan",
+    "1.#ind",
+    "1.#qnan",
+)
+
+# Regex null patterns (reference src/schema_validata.py:243–248), matched
+# case-insensitively with re.search semantics. Java regex dialect: (?i)
+# inline flag replaces re.IGNORECASE; rlike is a search (unanchored), the
+# same as the reference's p.search, and the patterns carry their own ^...$.
+NA_PATTERNS: tuple[str, ...] = (
+    r"^\s*NOT\s{0,1}(?:\s|_|-|/|\\){1}\s{0,1}AVAILABLE\s*$",
+    r"^\s*N\s{0,1}(?:\s|_|-|/|\\){1}\s{0,1}A\s*$",
+    r"^\s*(?:\s|_|-|/|\\){1}\s*$",
+    r"^\s+$",
+)
+
+# One combined, pre-joined alternation so the executor compiles a single
+# Pattern per task instead of four.
+_NA_COMBINED_RX = "(?i)" + "|".join(f"(?:{p})" for p in NA_PATTERNS)
+
+# Frozen lowercase literal set for isin — broadcast as a literal IN-list,
+# constant-folded by Catalyst.
+_NA_LOWER = tuple(sorted({v for v in NA_VALUES if v}))
+
+
+def is_na(col: Column | str) -> Column:
+    """Boolean Column: value is null under reference NA semantics.
+
+    Mirrors ``check_na_value`` (reference src/schema_validata.py:1639–1693):
+
+    1. SQL NULL (pd.isna / None)
+    2. whitespace-only or empty string after strip
+    3. lowercase match against the literal NA set
+    4. regex match against NA_PATTERNS (case-insensitive, search)
+
+    Works on any column type: non-strings are cast to string for the
+    literal/pattern checks, which only ever match string-typed NA
+    representations (numbers never look like ``'N/A'``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return (
+        c.isNull()
+        | (F.trim(s) == F.lit(""))
+        | F.lower(F.trim(s)).isin(*_NA_LOWER)
+        | s.rlike(_NA_COMBINED_RX)
+    )
+
+
+def not_na(col: Column | str) -> Column:
+    """Negation of :func:`is_na`."""
+    return ~is_na(col)
+
+
+def nullify(col: Column | str) -> Column:
+    """Map every NA representation to SQL NULL, else keep the value.
+
+    Equivalent of the reference's read-time NA masking (the
+    ``na_values=`` argument to ``read_spreadsheets``,
+    src/schema_validata.py:906–993): downstream numeric/datetime casts
+    then treat all NA spellings uniformly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(is_na(c), F.lit(None)).otherwise(c)

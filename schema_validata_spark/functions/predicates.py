@@ -1,0 +1,97 @@
+"""Rule predicates as reusable Column builders.
+
+One source of truth for "which rows violate rule R on column C", shared
+by the aggregate verdict pass (operators/verdicts.py counts them) and the
+row-level extraction pass (operators/violations.py filters them) so the
+two stages can never disagree.
+
+Reference parity, per rule (file:line = /root/reference/src/schema_validata.py):
+
+* allow_null      — ``value_errors_nulls`` :2666–2700
+* length          — ``value_errors_length`` :2824–2870 (len(str(v).strip()))
+* range_min/max   — ``value_errors_out_of_range`` :2874–2931
+                    (pd.to_numeric(errors='coerce') ≙ try_cast double)
+* regex_pattern   — ``value_errors_regex_mismatches`` :2935–2977
+                    (pandas str.match = start-anchored → wrap ^(?:p))
+* allowed_value_list — ``value_errors_unallowed`` :2753–2821 with the
+                    string-strip compare plus typed-cast fallback
+                    (``is_allowed`` :2781–2799, :2405–2431)
+
+All pure Column expressions → whole-stage codegen, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.sources.spec import ColumnSpec
+
+
+def anchored(pattern: str) -> str:
+    """Start-anchor a pattern: pandas ``str.match`` semantics under Java
+    ``rlike`` (which is an unanchored search)."""
+    return f"^(?:{pattern})"
+
+
+def _s(col: str) -> Column:
+    return F.trim(F.col(col).cast("string"))
+
+
+def _num(col: str) -> Column:
+    return F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+
+
+def null_violation(col: str) -> Column:
+    return is_na(F.col(col))
+
+
+def length_violation(col: str, max_length: int) -> Column:
+    return ~is_na(F.col(col)) & (F.length(_s(col)) > F.lit(int(max_length)))
+
+
+def range_min_violation(col: str, range_min: float) -> Column:
+    return _num(col) < F.lit(float(range_min))
+
+
+def range_max_violation(col: str, range_max: float) -> Column:
+    return _num(col) > F.lit(float(range_max))
+
+
+def regex_violation(col: str, pattern: str) -> Column:
+    return ~is_na(F.col(col)) & ~_s(col).rlike(anchored(pattern))
+
+
+def unallowed_violation(col: str, allowed: list) -> Column:
+    """Not in the allowed list — string compare after strip, then numeric
+    typed-cast fallback for non-string allowed values."""
+    allowed_str = [str(a).strip() for a in allowed]
+    bad = ~is_na(F.col(col)) & ~_s(col).isin(*allowed_str)
+    num_allowed = [
+        float(a) for a in allowed
+        if isinstance(a, (int, float)) and not isinstance(a, bool)
+    ]
+    if num_allowed:
+        bad = bad & ~F.coalesce(_num(col).isin(*num_allowed), F.lit(False))
+    return bad
+
+
+def violation_predicate(cs: ColumnSpec, rule_id: str) -> Column | None:
+    """Predicate for (column spec, rule) or None when the rule has no
+    row-level shape (data_type is aggregate-only; unique_value needs the
+    two-phase duplicates operator, not a per-row predicate)."""
+    c = cs.field_name
+    if rule_id == "allow_null":
+        return null_violation(c)
+    if rule_id == "length" and cs.length is not None:
+        return length_violation(c, cs.length)
+    if rule_id == "range_min" and cs.range_min is not None:
+        return range_min_violation(c, cs.range_min)
+    if rule_id == "range_max" and cs.range_max is not None:
+        return range_max_violation(c, cs.range_max)
+    if rule_id == "regex_pattern" and cs.regex_pattern:
+        return regex_violation(c, cs.regex_pattern)
+    if rule_id == "allowed_value_list" and cs.allowed_value_list is not None:
+        return unallowed_violation(c, cs.allowed_value_list)
+    return None

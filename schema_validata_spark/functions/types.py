@@ -1,0 +1,231 @@
+"""Canonical 7-type lattice, casting matrix, and vote-based inference.
+
+Reference parity:
+
+* canonical types produced by ``infer_data_types``
+  (reference src/schema_validata.py:1554–1634):
+  ``Null-Unknown, Boolean, Integer, Float, Datetime, String, Other``.
+* widening/casting matrix ``allowed_casting``
+  (reference src/schema_validata.py:2212–2220).
+* leading-zero override (``identify_leading_zeros`` :1261–1284),
+  int64-overflow fallback to String (``check_all_int`` :1318–1324),
+  datetime strict-format full-parse rule + 0.98 fuzzy threshold for
+  name-suggestive columns (``infer_datetime_column`` :806–862),
+  Excel serial-date rule for numeric date-named columns (:806–824),
+  numeric-symbol strip conversion (``conditional_numeric_conversion``
+  :657–715).
+
+Engine design (NOT the reference's): instead of pandas ``.astype`` probe
+reads, the engine computes **vote counters** (counts of values matching
+each type's predicate) inside the single-pass stats aggregate
+(operators/stats.py) — pure Column expressions, mergeable across
+partitions by summation, so inference is exact, distributed, and costs
+one scan. :func:`resolve_canonical_type` then applies the reference's
+precedence rules to the merged counters on the driver.
+
+Documented divergences from the reference (both intentional):
+
+* a string column whose non-null values are all ``true``/``false``
+  (case-insensitive) resolves to Boolean; the reference only yields
+  Boolean for columns that are already bool-typed (e.g. xlsx cells).
+* leading-zero preservation takes precedence over the numeric-symbol
+  strip conversion; the reference's ``conditional_numeric_conversion``
+  (:657–715) would silently convert '02134' → 2134 after inference
+  chose String, destroying the very zeros :1489–1491 preserved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+CANONICAL_TYPES = (
+    "Null-Unknown",
+    "Boolean",
+    "Integer",
+    "Float",
+    "Datetime",
+    "String",
+    "Other",
+)
+
+# reference src/schema_validata.py:2212–2220 — observed type (key) passes
+# when the expected type is the same or appears in the value list.
+ALLOWED_CASTING: dict[str, list[str]] = {
+    "String": ["String"],
+    "Float": ["Float", "String"],
+    "Boolean": ["Boolean", "String"],
+    "Datetime": ["Datetime", "String"],
+    "Integer": ["Integer", "Float", "String"],
+    "Other": ["String"],
+    "Null-Unknown": ["Integer", "Float", "String", "Boolean", "Datetime"],
+}
+
+# reference src/schema_validata.py:129–132
+DATE_COL_KEYWORDS = (
+    "date",
+    "time",
+    "datetime",
+    "timestamp",
+    "dob",
+    "dt",
+    "created",
+    "modified",
+    "updated",
+    "birthday",
+    "event_time",
+)
+
+# Value-level predicates (Java regex dialect, used inside rlike).
+INT_RX = r"^[+-]?\d+$"
+FLOAT_RX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+BOOL_VALUES = ("true", "false")
+# reference NUMERIC_SYMBOLS src/schema_validata.py:252–256
+NUMERIC_SYMBOLS = "$€£¥₹₽%‰,"
+
+# Datetime strict formats: Spark Java DateTimeFormatter translations of
+# the reference's strptime cascade (COMMON_DATETIMES, src/schema_validata
+# .py:147–197). Order = reference order (specificity first). Spark has no
+# %-m/%-d distinction — single-letter patterns accept 1–2 digits, so each
+# strptime pair collapses to one Java pattern.
+DATETIME_FORMATS = (
+    "yyyy-MM-dd'T'HH:mm:ssXX",      # %Y-%m-%dT%H:%M:%S%z
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",     # %Y-%m-%dT%H:%M:%SZ
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",   # %Y-%m-%d %H:%M:%S.%f
+    "yyyy-MM-dd HH:mm:ss",          # %Y-%m-%d %H:%M:%S
+    "M/d/yyyy H:m:s",               # %m/%d/%Y %H:%M:%S and %-m/%-d variants
+    "MMMM d, yyyy H:m:s",           # %B %d, %Y %H:%M:%S
+    "M/d/yy H:m:s",                 # %m/%d/%y %H:%M:%S
+    "yyyy-MM-dd",                   # %Y-%m-%d
+    "M/d/yyyy",                     # %m/%d/%Y family
+    "MMM-d-yyyy",                   # %b-%d-%Y
+    "MMMM d, yyyy",                 # %B %d, %Y
+    "d-M-yyyy",                     # %d-%m-%Y
+    "M/d/yy",                       # %m/%d/%y family
+    "yy-MM-dd",                     # %y-%m-%d
+    "yyyy-MM",                      # %Y-%m
+    "M/yyyy",                       # %-m/%Y
+    "MMMM yyyy",                    # %B %Y
+    "MMM yyyy",                     # %b %Y
+)
+
+# reference thresholds: infer_datetime_column :819/:856 (0.98 fuzzy /
+# serial), infer_data_types :1609 (0.7 overall datetime ratio).
+DATETIME_FUZZY_THRESHOLD = 0.98
+DATETIME_RATIO_THRESHOLD = 0.7
+EXCEL_SERIAL_EPOCH = "1899-12-30"  # reference :814–817
+
+
+def is_likely_datetime_col(colname: str) -> bool:
+    """Name-keyword gate (reference ``is_likely_datetime_col`` :760–775)."""
+    lc = str(colname).lower()
+    return any(k in lc for k in DATE_COL_KEYWORDS)
+
+
+def type_is_compatible(observed: str, expected: str) -> bool:
+    """True when ``observed`` may stand in for ``expected``.
+
+    Mirrors ``schema_validate_column_types``
+    (reference src/schema_validata.py:2186–2228): equal, or expected is in
+    the observed type's widening list.
+    """
+    if observed == expected:
+        return True
+    return expected in ALLOWED_CASTING.get(observed, [])
+
+
+def spark_dtype_to_canonical(spark_type: str) -> str | None:
+    """Map an already-typed Spark column straight to the lattice.
+
+    Typed Parquet/Iceberg columns carry their type — no voting needed.
+    Returns None for string columns (those go through the vote path).
+    """
+    t = spark_type.lower()
+    if t in ("string", "varchar", "char"):
+        return None
+    if t == "boolean":
+        return "Boolean"
+    if t in ("byte", "short", "int", "integer", "long", "bigint", "tinyint", "smallint"):
+        return "Integer"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "Float"
+    if t in ("timestamp", "timestamp_ntz", "date"):
+        return "Datetime"
+    return "Other"
+
+
+@dataclass(frozen=True)
+class TypeVotes:
+    """Merged per-column counters feeding canonical-type resolution.
+
+    Every field is a plain sum/max over rows, so partial aggregates from
+    any partitioning merge exactly (the treeAggregate property).
+    """
+
+    nonnull: int            # rows not NA under reference null semantics
+    int_ok: int = 0         # trimmed value matches INT_RX
+    long_ok: int = 0        # try_cast('long') succeeded (overflow guard)
+    float_ok: int = 0       # try_cast('double') succeeded
+    numsym_ok: int = 0      # numeric after NUMERIC_SYMBOLS strip
+    bool_ok: int = 0        # lower(trim) in {'true','false'}
+    leading_zero: bool = False  # any value startswith '0' (:1261–1284)
+    dt_full_parse: bool = False  # some single strict format parsed EVERY value
+    dt_any_fmt: int = 0     # values parsed by >=1 strict format
+    numeric_serial_plausible: bool = False  # numeric col: min>1 and max<100000
+
+
+def resolve_canonical_type(
+    votes: TypeVotes,
+    colname: str,
+    spark_type: str = "string",
+) -> str:
+    """Apply the reference's inference precedence to merged vote counters.
+
+    Precedence (reference ``read_df_with_optimal_dtypes`` :1480–1509 and
+    ``infer_data_types`` :1554–1634):
+
+    1. no non-null values → Null-Unknown
+    2. typed (non-string) Spark columns → direct lattice mapping, except
+       numeric columns with a date-suggestive name whose values are all
+       plausible Excel serials → Datetime (:806–824)
+    3. leading zeros → String (:1489–1491)
+    4. one strict format parses every non-null value → Datetime; else
+       name-suggestive columns with fuzzy parse ratio ≥ 0.98 → Datetime
+       (:832–856), both subject to the 0.7 overall ratio (:1609)
+    5. all parse as int → Integer unless any overflows int64 → String
+    6. all parse as float (directly, or after numeric-symbol strip) → Float
+    7. all in {true,false} → Boolean (divergence: see module docstring)
+    8. otherwise String
+    """
+    if votes.nonnull == 0:
+        return "Null-Unknown"
+
+    direct = spark_dtype_to_canonical(spark_type)
+    if direct is not None:
+        if (
+            direct in ("Integer", "Float")
+            and is_likely_datetime_col(colname)
+            and votes.numeric_serial_plausible
+        ):
+            return "Datetime"
+        return direct
+
+    if votes.leading_zero:
+        return "String"
+
+    full_parse = votes.dt_full_parse
+    fuzzy = (
+        is_likely_datetime_col(colname)
+        and votes.dt_any_fmt / votes.nonnull >= DATETIME_FUZZY_THRESHOLD
+    )
+    if (full_parse or fuzzy) and votes.dt_any_fmt / votes.nonnull > DATETIME_RATIO_THRESHOLD:
+        return "Datetime"
+
+    if votes.bool_ok == votes.nonnull:
+        return "Boolean"
+    if votes.int_ok == votes.nonnull:
+        return "Integer" if votes.long_ok == votes.nonnull else "String"
+    if votes.float_ok == votes.nonnull:
+        return "Float"
+    if votes.numsym_ok == votes.nonnull:
+        return "Float"
+    return "String"

@@ -1,0 +1,175 @@
+"""Uniqueness / duplicate operators — Stage D (shuffle stage).
+
+Reference parity: ``duplicated(keep=False)`` counting in
+``build_data_dictionary`` (reference src/schema_validata.py:1868, 1876 —
+count of ALL rows whose value occurs ≥ 2×, not just the excess),
+duplicate-row enumeration ``value_errors_duplicates`` (:2704–2749 —
+returns every row of each duplicated value), and the tiered best-UID pick
+``get_best_uid_column`` (:502–578). Divergence: NA values are excluded
+from duplicate counting here (pandas counts NaN==NaN as duplicates; at
+corpus scale null-duplicates are meaningless and the null rule already
+covers them).
+
+Scale design — this is the one genuinely shuffle-heavy stage, so skew is
+handled explicitly (north rule):
+
+* **counting** is a two-phase salted hash aggregate:
+  ``groupBy(value, salt)`` partial counts (salt = spark_partition_id(),
+  so a value holding 50 % of the corpus — org0/repo0 in the fixture —
+  splits across all tasks), then ``groupBy(value)`` over the tiny
+  per-salt partials. Spark's map-side partial aggregation gives the same
+  effect for plain counts; the explicit form also bounds the size of any
+  single group in the *final* aggregate and is the pattern that scales
+  when the payload per group grows (collect-like aggregates).
+* **enumeration** joins the duplicated-value set back to the base table.
+  The dup-value set is usually tiny → ``broadcast()`` hint; when it
+  exceeds the broadcast threshold the join falls back to sort-merge with
+  AQE skew-join splitting (spark.sql.adaptive.skewJoin.enabled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na
+
+#: dup-value sets smaller than this broadcast in the enumeration join
+BROADCAST_DUP_LIMIT = 1_000_000
+
+_UUID_RX = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+
+def _nonnull(df: DataFrame, cols: list[str]) -> DataFrame:
+    pred = None
+    for c in cols:
+        p = ~is_na(F.col(c))
+        pred = p if pred is None else (pred & p)
+    return df.filter(pred)
+
+
+def duplicate_value_counts(
+    df: DataFrame, cols: list[str], salt_buckets: int | None = None
+) -> DataFrame:
+    """Per-value occurrence counts for values occurring ≥ 2×.
+
+    Two-phase salted aggregate: phase 1 ``groupBy(*cols, salt)`` partial
+    count, phase 2 ``groupBy(*cols)`` sum. Returns ``cols + [dup_n]``.
+    """
+    salt = (
+        F.spark_partition_id()
+        if salt_buckets is None
+        else F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    partial = (
+        _nonnull(df, cols)
+        .groupBy(*cols, salt.alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial_n"))
+    )
+    return (
+        partial.groupBy(*cols)
+        .agg(F.sum("_partial_n").alias("dup_n"))
+        .filter(F.col("dup_n") > 1)
+    )
+
+
+def duplicate_count(df: DataFrame, cols: list[str]) -> int:
+    """``duplicated(keep=False).sum()`` — rows participating in any
+    duplicate group (reference :1868 semantics, NA-excluded)."""
+    r = (
+        duplicate_value_counts(df, cols)
+        .agg(F.coalesce(F.sum("dup_n"), F.lit(0)).alias("n"))
+        .collect()[0]
+    )
+    return int(r["n"])
+
+
+def is_unique(df: DataFrame, cols: list[str]) -> bool:
+    """Exact uniqueness test via the salted two-phase aggregate — returns
+    as soon as one duplicated value exists (limit 1, no full count)."""
+    return len(duplicate_value_counts(df, cols).limit(1).collect()) == 0
+
+
+def enumerate_duplicates(
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    level: str = "Error",
+    rule_id: str = "unique_value",
+) -> DataFrame:
+    """Every row of every duplicated value (reference
+    ``value_errors_duplicates`` :2704–2749), as violation rows
+    ``key_cols + (column_name, rule_id, observed_value, level)``.
+
+    Join strategy: broadcast the (small) duplicated-value set; Catalyst
+    falls back to sort-merge + AQE skew split if the set is large.
+    """
+    dup_vals = duplicate_value_counts(df, cols).select(*cols)
+    # The dup-value set is almost always tiny relative to the corpus;
+    # hint broadcast and let AQE revert if statistics disagree.
+    joined = df.join(F.broadcast(dup_vals), on=cols, how="inner")
+    observed = (
+        F.col(cols[0]).cast("string")
+        if len(cols) == 1
+        else F.to_json(F.struct(*[F.col(c) for c in cols]))
+    )
+    return joined.select(
+        *[F.col(k).cast("string").alias(k) for k in key_cols],
+        F.lit("+".join(cols)).alias("column_name"),
+        F.lit(rule_id).alias("rule_id"),
+        observed.alias("observed_value"),
+        F.lit(level).alias("level"),
+    )
+
+
+def duplicate_counts_for_columns(
+    df: DataFrame, columns: list[str]
+) -> dict[str, int]:
+    """Exact keep=False duplicate counts for several columns.
+
+    One salted two-phase aggregate per column — columns are independent
+    shuffles, so Spark schedules them as separate (parallelizable) jobs.
+    Only called for columns with an active unique_value rule (the
+    verdict-first gating keeps this off the hot path).
+    """
+    return {c: duplicate_count(df, [c]) for c in columns}
+
+
+def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:
+    """Pick the most-unique identifier column, tiered uuid > int > string
+    > float (reference ``get_best_uid_column`` :502–578).
+
+    Uses one ``approx_count_distinct``-for-every-column aggregate plus a
+    driver-side UUID-shape vote on a bounded sample — no full scan per
+    column like the reference's per-column ``nunique()`` loop. At north-
+    rule scale the natural key (repo, path, commit) is fixed and this is
+    only needed for reference-parity mode (SURVEY A9).
+    """
+    n = df.count()
+    if n == 0:
+        return None
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}::d"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    sample = df.limit(sample_rows).toPandas()
+    dtypes = dict(df.dtypes)
+
+    def tier(c: str) -> int:
+        t = dtypes[c]
+        vals = sample[c].dropna().astype(str)
+        if t == "string" and len(vals) > 0 and vals.str.match(_UUID_RX).all():
+            return 0
+        if t in ("int", "bigint", "smallint", "tinyint"):
+            return 1
+        if t == "string":
+            return 2
+        return 3
+
+    candidates = sorted(
+        df.columns,
+        key=lambda c: (tier(c), -(row[f"{c}::d"] / n)),
+    )
+    best = candidates[0]
+    # require near-uniqueness (approx_count_distinct error ~2%)
+    return best if row[f"{best}::d"] / n >= 0.95 else None

@@ -1,0 +1,282 @@
+"""Single-pass per-column statistics aggregate — the engine's Stage A.
+
+Replaces the reference's triple/quintuple full-file re-reads
+(``read_df_with_optimal_dtypes`` reference src/schema_validata.py:1442,
+1477, 1529 plus re-reads at :2526 and :3010) and its per-column pandas
+profiling loop (``build_data_dictionary`` :1772–1914) with ONE DataFrame
+aggregation that computes, for every column simultaneously:
+
+* null_count under reference NA semantics (A1)
+* approx distinct (HLL) + optional mergeable HLL sketch (A3/A9)
+* numeric min/max (A4), max string length (A5)
+* dtype-inference vote counters (A7/A8): int/long/float/bool/symbol-strip
+  parse counts, leading-zero flag, and a **datetime-format bitmask**
+  folded with ``bit_and`` so "some single strict format parses every
+  value" is one aggregate instead of 18 per-format sums.
+
+Everything is a pure Column expression inside whole-stage codegen — no
+Python in the hot path. Partial aggregation (map-side combine) gives the
+treeAggregate merge pattern for free; the per-partition variant keys the
+same aggregate by a partition column and merges upward with a second
+aggregation (``merge_partition_stats``), including ``hll_union_agg`` for
+sketches, so global stats == per-partition stats merged (tested).
+
+Scale notes (100 TB): one scan, column-pruned to the profiled columns;
+~25 scalar aggregates per column, all codegen'd; datetime parsing is
+gated behind a cheap ``length <= 40`` prefilter so multi-KB ``content``
+values never reach the expensive parser. No shuffle beyond the tiny
+aggregate exchange (one row per partition value).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na, nullify
+from schema_validata_spark.functions.types import (
+    BOOL_VALUES,
+    DATETIME_FORMATS,
+    INT_RX,
+    NUMERIC_SYMBOLS,
+    TypeVotes,
+    resolve_canonical_type,
+)
+
+# Longest renderable strict format is ~35 chars; anything longer can never
+# parse, so skip the expensive try_to_timestamp for it (content columns!).
+_DT_MAX_LEN = 40
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    """Merged statistics for one column (one Stage-A struct)."""
+
+    column: str
+    spark_type: str
+    n: int
+    null_count: int
+    approx_distinct: int
+    min_num: float | None
+    max_num: float | None
+    max_len: int | None
+    votes: TypeVotes
+
+    @property
+    def nonnull(self) -> int:
+        return self.n - self.null_count
+
+    @property
+    def canonical_type(self) -> str:
+        return resolve_canonical_type(self.votes, self.column, self.spark_type)
+
+
+def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
+    """Build the per-column aggregate struct.
+
+    All members are algebraic aggregates (sum/min/max/bit_and), so Spark's
+    partial+final hash aggregation merges them exactly across any
+    partitioning — the treeAggregate property the north rule asks for.
+    """
+    c = F.col(col)
+    spark_type = dict(df.dtypes)[col]
+    is_string = spark_type in ("string", "varchar", "char")
+    na = is_na(c)
+    ok = ~na
+    s = F.trim(c.cast("string"))
+
+    def cnt(pred: Column) -> Column:
+        return F.sum((ok & pred).cast("long"))
+
+    members = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(na.cast("long")).alias("null_count"),
+        F.approx_count_distinct(nullify(c)).alias("approx_distinct"),
+        F.min(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")).alias("min_num"),
+        F.max(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")).alias("max_num"),
+        F.max(F.when(ok, F.length(c.cast("string")))).alias("max_len"),
+    ]
+
+    if is_string:
+        # dtype votes only matter for string columns; typed columns map
+        # straight to the lattice (functions/types.py).
+        int_like = s.rlike(INT_RX)
+        members += [
+            cnt(int_like).alias("int_ok"),
+            cnt(F.expr(f"try_cast(trim(cast(`{col}` as string)) as long) is not null")).alias("long_ok"),
+            cnt(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double) is not null")).alias("float_ok"),
+            cnt(
+                F.expr(
+                    f"try_cast(translate(trim(cast(`{col}` as string)), '{NUMERIC_SYMBOLS}', '') as double) is not null"
+                )
+            ).alias("numsym_ok"),
+            cnt(F.lower(s).isin(*BOOL_VALUES)).alias("bool_ok"),
+            F.max((ok & s.startswith("0")).cast("int")).alias("leading_zero"),
+        ]
+        # Datetime format bitmask: bit i set when format i parsed the value.
+        # bit_and over non-null rows != 0  ⇔  one format parsed everything.
+        parseable = F.length(s) <= _DT_MAX_LEN
+        mask_terms = [
+            F.when(
+                parseable & F.try_to_timestamp(s, F.lit(fmt)).isNotNull(),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, fmt in enumerate(DATETIME_FORMATS)
+        ]
+        mask = sum(mask_terms[1:], start=mask_terms[0])
+        members += [
+            F.bit_and(F.when(ok, mask)).alias("dt_mask_and"),
+            cnt(mask != 0).alias("dt_any"),
+        ]
+
+    if with_sketch:
+        # Mergeable distinct sketch (Apache DataSketches HLL, Spark >= 3.5):
+        # per-partition sketches union upward via hll_union_agg.
+        members.append(F.hll_sketch_agg(nullify(c).cast("string")).alias("hll"))
+
+    return F.struct(*members).alias(col)
+
+
+def _row_to_stats(col: str, spark_type: str, r) -> ColumnStats:
+    # sum/bit_and aggregates are NULL over zero rows — treat as 0.
+    d = {k: (0 if v is None else v) for k, v in r.asDict().items()}
+    d["min_num"] = r["min_num"]
+    d["max_num"] = r["max_num"]
+    d["max_len"] = r["max_len"]
+    nonnull = int(d["n"]) - int(d["null_count"])
+    is_string = spark_type in ("string", "varchar", "char")
+    min_num = d["min_num"]
+    max_num = d["max_num"]
+    serial_plausible = (
+        min_num is not None
+        and max_num is not None
+        and min_num > 1
+        and max_num < 100000
+    )
+    if is_string:
+        votes = TypeVotes(
+            nonnull=nonnull,
+            int_ok=int(d["int_ok"] or 0),
+            long_ok=int(d["long_ok"] or 0),
+            float_ok=int(d["float_ok"] or 0),
+            numsym_ok=int(d["numsym_ok"] or 0),
+            bool_ok=int(d["bool_ok"] or 0),
+            leading_zero=bool(d["leading_zero"] or 0),
+            dt_full_parse=bool(d["dt_mask_and"]) if nonnull > 0 else False,
+            dt_any_fmt=int(d["dt_any"] or 0),
+            numeric_serial_plausible=serial_plausible,
+        )
+    else:
+        votes = TypeVotes(nonnull=nonnull, numeric_serial_plausible=serial_plausible)
+    return ColumnStats(
+        column=col,
+        spark_type=spark_type,
+        n=int(d["n"]),
+        null_count=int(d["null_count"]),
+        approx_distinct=int(d["approx_distinct"]),
+        min_num=min_num,
+        max_num=max_num,
+        max_len=None if d["max_len"] is None else int(d["max_len"]),
+        votes=votes,
+    )
+
+
+def stats_agg_df(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    with_sketch: bool = False,
+) -> DataFrame:
+    """The Stage-A plan: one (optionally grouped) aggregation, one struct
+    per profiled column. Lazy — callers pick collection strategy."""
+    cols = columns or [c for c in df.columns if not group_by or c not in group_by]
+    structs = [_stat_struct(df, c, with_sketch=with_sketch) for c in cols]
+    if group_by:
+        return df.groupBy(*group_by).agg(*structs)
+    return df.agg(*structs)
+
+
+def column_stats(
+    df: DataFrame, columns: list[str] | None = None
+) -> dict[str, ColumnStats]:
+    """Global single-pass stats for every (requested) column.
+
+    One job, one scan, one collected row.
+    """
+    cols = columns or df.columns
+    row = stats_agg_df(df, cols).collect()[0]
+    dtypes = dict(df.dtypes)
+    return {c: _row_to_stats(c, dtypes[c], row[c]) for c in cols}
+
+
+def per_partition_stats(
+    df: DataFrame,
+    partition_col: str,
+    columns: list[str] | None = None,
+    with_sketch: bool = False,
+) -> DataFrame:
+    """Per-partition Stage A: same aggregate keyed by ``partition_col``.
+
+    Returns a small DataFrame (one row per partition value) that can be
+    persisted as the resume manifest's metrics payload and merged to
+    global stats with :func:`merge_partition_stats` — the two-level
+    treeAggregate pattern from SURVEY §2.4 A12.
+
+    The partition key must be a *stable* column (e.g. Iceberg partition
+    value like ``lang``), not ``spark_partition_id()``, so resume
+    manifests stay valid across re-plans (SURVEY §7.3).
+    """
+    cols = columns or [c for c in df.columns if c != partition_col]
+    return stats_agg_df(df, cols, group_by=[partition_col], with_sketch=with_sketch)
+
+
+def merge_partition_stats(
+    part_stats: DataFrame, partition_col: str
+) -> DataFrame:
+    """Merge per-partition stat rows into one global row.
+
+    Exact for every counter (sums / min / max / bit_and); distinct counts
+    merge via ``hll_union_agg`` when sketches were collected, else the
+    merged approx_distinct is NULL (approx_count_distinct estimates are
+    not re-mergeable — by design, callers needing mergeable distinct ask
+    for sketches).
+    """
+    stat_cols = [c for c in part_stats.columns if c != partition_col]
+    aggs = []
+    for col in stat_cols:
+        fields = [f.name for f in part_stats.schema[col].dataType.fields]
+        members = []
+        for fname in fields:
+            src = F.col(f"`{col}`.{fname}")
+            if fname in ("n", "null_count", "int_ok", "long_ok", "float_ok",
+                         "numsym_ok", "bool_ok", "dt_any"):
+                members.append(F.sum(src).alias(fname))
+            elif fname == "approx_distinct":
+                members.append(F.lit(None).cast("long").alias(fname))
+            elif fname == "min_num":
+                members.append(F.min(src).alias(fname))
+            elif fname in ("max_num", "max_len", "leading_zero"):
+                members.append(F.max(src).alias(fname))
+            elif fname == "dt_mask_and":
+                members.append(F.bit_and(src).alias(fname))
+            elif fname == "hll":
+                members.append(F.hll_union_agg(src).alias(fname))
+        aggs.append(F.struct(*members).alias(col))
+    return part_stats.agg(*aggs)
+
+
+def collect_column_stats_grouped(
+    part_stats_df: DataFrame, partition_col: str, dtypes: dict[str, str]
+) -> dict[str, dict[str, ColumnStats]]:
+    """Collect a per-partition stats DataFrame into
+    ``{partition_value: {column: ColumnStats}}`` for the verdict engine."""
+    out: dict[str, dict[str, ColumnStats]] = {}
+    stat_cols = [c for c in part_stats_df.columns if c != partition_col]
+    for row in part_stats_df.collect():
+        pval = row[partition_col]
+        out[pval] = {
+            c: _row_to_stats(c, dtypes[c], row[c]) for c in stat_cols
+        }
+    return out

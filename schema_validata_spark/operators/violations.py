@@ -1,0 +1,198 @@
+"""Row-level violation extraction — Stage C.
+
+Reference parity: ``get_value_errors`` (reference src/schema_validata.py:
+2981–3117) and extractors ``value_errors_nulls`` :2666–2700,
+``value_errors_length`` :2824–2870, ``value_errors_out_of_range``
+:2874–2931, ``value_errors_regex_mismatches`` :2935–2977,
+``value_errors_unallowed`` :2753–2821. The reference emits per-row
+records via ``iterrows()`` (its biggest scalability sin, :2737–2746,
+:2808–2818); here each extractor is a filter + projection — one scan per
+*failed* (column, rule) pair, all unioned into one violations DataFrame.
+
+Verdict-first gating preserved (reference :3049–3071): only (column,
+rule) pairs whose aggregate verdict failed reach row extraction, and the
+default ``ignore_errors=['allow_null']`` is honored (:2982).
+
+Output shape per the north rule: natural-key columns (e.g. repo, path,
+commit) + ``column_name, rule_id, observed_value, level`` — no global row
+numbers at 10^12 scale; the reference's ``Sheet_Row`` pointer maps to the
+natural key (SURVEY §1.5).
+
+Scale notes: all failed pairs for one table are merged into a SINGLE scan
+(one filter per rule OR'd, with an explode over matching rules) when
+``fuse=True`` — the 100 TB path reads the table once for Stage C instead
+of once per failed pair. Column pruning keeps the scan narrow (keys + the
+failed columns only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.predicates import violation_predicate
+from schema_validata_spark.operators.verdicts import (
+    SCHEMA_REQUIRED_MESSAGE_LEVELS,
+    Verdict,
+)
+from schema_validata_spark.sources.spec import TableSpec
+
+#: rule_ids skipped during row extraction by default (reference :2982)
+DEFAULT_IGNORE = ("allow_null",)
+
+VIOLATION_COLS = ("column_name", "rule_id", "observed_value", "level")
+
+
+def extract_violations(
+    df: DataFrame,
+    spec: TableSpec,
+    key_cols: list[str],
+    failed: list[Verdict] | list[tuple[str, str]] | None = None,
+    ignore: tuple[str, ...] = DEFAULT_IGNORE,
+    fuse: bool = True,
+) -> DataFrame:
+    """Violation rows for every failed (column, rule) pair.
+
+    ``failed`` — Verdicts (or bare ``(column, rule_id)`` pairs) from Stage
+    B; None means "extract for every active rule" (profiling mode).
+    Returns a DataFrame ``key_cols + (column_name, rule_id,
+    observed_value, level)``; empty when nothing failed.
+    """
+    if failed is None:
+        pairs = [
+            (cs.field_name, r)
+            for cs in spec.columns
+            for r in cs.active_rules()
+        ]
+    else:
+        pairs = [
+            (v.column, v.rule_id) if isinstance(v, Verdict) else tuple(v)
+            for v in failed
+            if not (isinstance(v, Verdict) and v.passed)
+        ]
+    pairs = [
+        (col, rule)
+        for (col, rule) in pairs
+        if rule not in ignore and spec.column(col) is not None
+    ]
+
+    spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        ", ".join(
+            [f"`{k}` string" for k in key_cols]
+            + [f"`{c}` string" for c in VIOLATION_COLS]
+        ),
+    )
+
+    branches = []
+    for col, rule in pairs:
+        cs = spec.column(col)
+        pred = violation_predicate(cs, rule)
+        if pred is None:
+            continue
+        level = SCHEMA_REQUIRED_MESSAGE_LEVELS[cs.required]
+        branches.append((col, rule, pred, level))
+    if not branches:
+        return empty
+
+    keys = [F.col(k).cast("string").alias(k) for k in key_cols]
+
+    if fuse:
+        # One scan: a row carries an array of (rule hit) structs, exploded.
+        # inline() drops rows whose array is empty after filtering.
+        hit_structs = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        pred,
+                        F.struct(
+                            F.lit(col).alias("column_name"),
+                            F.lit(rule).alias("rule_id"),
+                            F.col(col).cast("string").alias("observed_value"),
+                            F.lit(level).alias("level"),
+                        ),
+                    )
+                    for col, rule, pred, level in branches
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        out = (
+            df.select(*keys, hit_structs.alias("_hits"))
+            .filter(F.size("_hits") > 0)
+            .select(*[F.col(k) for k in key_cols], F.explode("_hits").alias("_h"))
+            .select(
+                *[F.col(k) for k in key_cols],
+                F.col("_h.column_name"),
+                F.col("_h.rule_id"),
+                F.col("_h.observed_value"),
+                F.col("_h.level"),
+            )
+        )
+        return out
+
+    parts = [
+        df.filter(pred).select(
+            *keys,
+            F.lit(col).alias("column_name"),
+            F.lit(rule).alias("rule_id"),
+            F.col(col).cast("string").alias("observed_value"),
+            F.lit(level).alias("level"),
+        )
+        for col, rule, pred, level in branches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def canonical_order(violations: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Deterministic output order (reference sorts by Sheet_Row,
+    :4201–4202; at scale the natural key is the sort key — SURVEY O2)."""
+    return violations.orderBy(*key_cols, "column_name", "rule_id")
+
+
+def violations_checksum(violations: DataFrame, key_cols: list[str]) -> int:
+    """Order-independent distributed content checksum.
+
+    Sum of per-row crc32 over the canonical string form — identical for
+    identical violation sets regardless of partitioning, usable at any
+    scale (one aggregate, no sort, no collect of rows).
+    """
+    row_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in [*key_cols, *VIOLATION_COLS]]
+    )
+    r = violations.agg(F.sum(F.crc32(row_str)).alias("cksum")).collect()[0]
+    return int(r["cksum"] or 0)
+
+
+def violations_sha256(violations: DataFrame, key_cols: list[str]) -> str:
+    """sha256 over the canonically-ordered violation rows.
+
+    The north-rule invariant ("violation rows whose content sha256 equals
+    the reference's"). Collects — use at test scale; production runs use
+    :func:`violations_checksum` plus per-partition sha256 manifests.
+    """
+    rows = (
+        canonical_order(violations, key_cols)
+        .select(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in [*key_cols, *VIOLATION_COLS]
+                ],
+            ).alias("s")
+        )
+        .collect()
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r["s"].encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()

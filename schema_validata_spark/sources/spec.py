@@ -1,0 +1,342 @@
+"""Schema-spec ("data dictionary") model and loaders.
+
+Reference parity: the data dictionary is an XLSX workbook, one sheet per
+table, each row a column spec with the fixed attribute set
+``DATA_DICT_SCHEMA`` (reference src/schema_validata.py:80–91):
+``field_name, required, data_type, allow_null, length, range_min,
+range_max, regex_pattern, unique_value, allowed_value_list``; parsed to a
+nested dict by ``data_dict_to_json`` (:1076–1163) with stringified lists
+revived by ``ast.literal_eval`` (``eval_nested_string_literals``
+:582–628). A special ``Data_Integrity`` sheet holds SQL rules
+(``DATA_INTEGRITY_SCHEMA`` :95–100).
+
+Engine design: the spec is a tiny, driver-side object. Rules compile to
+Column expressions at plan-build time; only literals (allowed-value
+arrays, regex strings, bounds) travel to executors, embedded in the
+plan — effectively a broadcast of constants, costing nothing at 100 TB.
+
+Loaders: dict (programmatic), JSON file, CSV (one file per table, same
+columns as the xlsx sheet), and the reference's XLSX template (behind an
+openpyxl import-guard since the lib may be absent).
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+_TRUE_STRINGS = {"true", "t", "yes", "y", "1", "1.0"}
+_NAN_STRINGS = {"", "nan", "none", "null", "n/a", "na", "<na>"}
+
+
+def _as_bool(v: Any, default: bool = False) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and math.isnan(v):
+            return default
+        return bool(v)
+    s = str(v).strip().lower()
+    if s in _NAN_STRINGS:
+        return default
+    return s in _TRUE_STRINGS
+
+
+def _as_float(v: Any) -> float | None:
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return None if isinstance(v, float) and math.isnan(v) else float(v)
+    s = str(v).strip()
+    if s.lower() in _NAN_STRINGS:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _as_int(v: Any) -> int | None:
+    f = _as_float(v)
+    return None if f is None else int(f)
+
+
+def _as_str(v: Any) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    s = str(v)
+    return None if s.strip().lower() in _NAN_STRINGS else s
+
+
+def _as_list(v: Any) -> list | None:
+    """Revive stringified Python lists, mirroring
+    ``eval_nested_string_literals`` (reference src/schema_validata.py:582–628).
+    """
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    s = str(v).strip()
+    if s.lower() in _NAN_STRINGS:
+        return None
+    try:
+        parsed = ast.literal_eval(s)
+        if isinstance(parsed, (list, tuple, set)):
+            return list(parsed)
+        return [parsed]
+    except (ValueError, SyntaxError):
+        return [s]
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column's declared constraints (one xlsx sheet row).
+
+    Attribute set mirrors ``DATA_DICT_SCHEMA``
+    (reference src/schema_validata.py:80–91).
+    """
+
+    field_name: str
+    required: bool = True
+    data_type: str | None = None          # canonical lattice member
+    allow_null: bool = True
+    length: int | None = None             # max string length
+    range_min: float | None = None
+    range_max: float | None = None
+    regex_pattern: str | None = None      # pandas str.match semantics: start-anchored
+    unique_value: bool = False
+    allowed_value_list: list | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ColumnSpec":
+        return cls(
+            field_name=str(d["field_name"]),
+            required=_as_bool(d.get("required"), default=True),
+            data_type=_as_str(d.get("data_type")),
+            allow_null=_as_bool(d.get("allow_null"), default=True),
+            length=_as_int(d.get("length")),
+            range_min=_as_float(d.get("range_min")),
+            range_max=_as_float(d.get("range_max")),
+            regex_pattern=_as_str(d.get("regex_pattern")),
+            unique_value=_as_bool(d.get("unique_value"), default=False),
+            allowed_value_list=_as_list(d.get("allowed_value_list")),
+        )
+
+    def active_rules(self) -> list[str]:
+        """rule_ids this spec activates, in reference dispatch order
+        (``schema_validate_attribute``, src/schema_validata.py:2440–2487)."""
+        rules = []
+        if self.data_type:
+            rules.append("data_type")
+        if not self.allow_null:
+            rules.append("allow_null")
+        if self.length is not None:
+            rules.append("length")
+        if self.range_min is not None:
+            rules.append("range_min")
+        if self.range_max is not None:
+            rules.append("range_max")
+        if self.unique_value:
+            rules.append("unique_value")
+        if self.allowed_value_list is not None:
+            rules.append("allowed_value_list")
+        if self.regex_pattern:
+            rules.append("regex_pattern")
+        return rules
+
+
+@dataclass(frozen=True)
+class IntegrityRule:
+    """One SQL cross-table rule (``Data_Integrity`` sheet row;
+    ``DATA_INTEGRITY_SCHEMA``, reference src/schema_validata.py:95–100)."""
+
+    primary_table: str
+    sql: str
+    level: str = "Error"
+    message: str = ""
+
+
+@dataclass(frozen=True)
+class ForeignKeyRule:
+    """Referential-integrity rule (north-rule capability; template parity:
+    SHOWTIMES.id → MOVIES.id annotations, template sheet 3)."""
+
+    child_table: str
+    child_keys: tuple[str, ...]
+    parent_table: str
+    parent_keys: tuple[str, ...]
+    level: str = "Error"
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """All constraints for one table (one xlsx sheet)."""
+
+    name: str
+    columns: tuple[ColumnSpec, ...]
+    # composite uniqueness beyond single columns (north-rule: (repo,path,commit))
+    unique_together: tuple[tuple[str, ...], ...] = ()
+
+    def column(self, name: str) -> ColumnSpec | None:
+        for c in self.columns:
+            if c.field_name == name:
+                return c
+        return None
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c.field_name for c in self.columns]
+
+
+@dataclass
+class RuleSet:
+    """The whole spec: tables + cross-table rules. Driver-side only."""
+
+    tables: dict[str, TableSpec] = field(default_factory=dict)
+    integrity_rules: list[IntegrityRule] = field(default_factory=list)
+    foreign_keys: list[ForeignKeyRule] = field(default_factory=list)
+
+    def spec_hash(self) -> str:
+        """sha256 of the canonical JSON form — half of the run UID.
+
+        Reference used md5(dataset file) + md5(dict file)
+        (src/schema_validata.py:361–390, :4074); at Iceberg scale the
+        dataset half is the table snapshot-id (SURVEY §1.5).
+        """
+        return hashlib.sha256(
+            json.dumps(self.to_dict(), sort_keys=True, default=str).encode()
+        ).hexdigest()
+
+    def to_dict(self) -> dict:
+        return {
+            "tables": {
+                t.name: {
+                    "columns": [vars(c) for c in t.columns],
+                    "unique_together": [list(k) for k in t.unique_together],
+                }
+                for t in self.tables.values()
+            },
+            "integrity_rules": [vars(r) for r in self.integrity_rules],
+            "foreign_keys": [
+                {
+                    "child_table": r.child_table,
+                    "child_keys": list(r.child_keys),
+                    "parent_table": r.parent_table,
+                    "parent_keys": list(r.parent_keys),
+                    "level": r.level,
+                }
+                for r in self.foreign_keys
+            ],
+        }
+
+
+def load_spec_dict(spec: dict) -> RuleSet:
+    """Build a RuleSet from the nested-dict shape the reference's
+    ``data_dict_to_json`` produces (src/schema_validata.py:1076–1163):
+    ``{table: {field_name: {attr: value}}}`` — plus optional engine keys
+    ``_integrity_rules``, ``_foreign_keys``, ``_unique_together``.
+    """
+    rs = RuleSet()
+    for tname, cols in spec.items():
+        if tname == "_integrity_rules":
+            for r in cols:
+                rs.integrity_rules.append(
+                    IntegrityRule(
+                        primary_table=r.get("primary_table", r.get("Primary Table", "")),
+                        sql=r.get("sql", r.get("SQL Error Query", "")),
+                        level=r.get("level", r.get("Level", "Error")),
+                        message=r.get("message", r.get("Message", "")),
+                    )
+                )
+            continue
+        if tname == "_foreign_keys":
+            for r in cols:
+                rs.foreign_keys.append(
+                    ForeignKeyRule(
+                        child_table=r["child_table"],
+                        child_keys=tuple(r["child_keys"]),
+                        parent_table=r["parent_table"],
+                        parent_keys=tuple(r["parent_keys"]),
+                        level=r.get("level", "Error"),
+                    )
+                )
+            continue
+        unique_together: tuple[tuple[str, ...], ...] = ()
+        col_specs = []
+        for fname, attrs in cols.items():
+            if fname == "_unique_together":
+                unique_together = tuple(tuple(k) for k in attrs)
+                continue
+            d = dict(attrs)
+            d["field_name"] = fname
+            col_specs.append(ColumnSpec.from_dict(d))
+        rs.tables[tname] = TableSpec(
+            name=tname, columns=tuple(col_specs), unique_together=unique_together
+        )
+    return rs
+
+
+def load_spec_json(path: str) -> RuleSet:
+    """Load a spec from a JSON file (the engine's native spec format)."""
+    with open(path) as f:
+        return load_spec_dict(json.load(f))
+
+
+def load_spec_xlsx(path: str) -> RuleSet:
+    """Load the reference's xlsx data-dictionary template.
+
+    Mirrors ``data_dict_to_json`` + ``xlsx_tabs_to_pd_dataframes``
+    (reference src/schema_validata.py:997–1163): one sheet per table,
+    ``Data_Integrity`` sheet → SQL rules. Driver-side, tiny file.
+    Guarded: openpyxl may be absent in this environment.
+    """
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx spec loading requires openpyxl; supply the spec as JSON/dict"
+        ) from e
+
+    sheets = pd.read_excel(path, sheet_name=None, dtype=str)
+    spec: dict[str, Any] = {}
+    for sheet, df in sheets.items():
+        if sheet == "Data_Integrity":
+            spec.setdefault("_integrity_rules", [])
+            for _, row in df.iterrows():
+                spec["_integrity_rules"].append(
+                    {
+                        "primary_table": row.get("Primary Table"),
+                        "sql": row.get("SQL Error Query"),
+                        "level": row.get("Level", "Error"),
+                        "message": row.get("Message", ""),
+                    }
+                )
+            continue
+        spec[sheet] = {
+            str(row["field_name"]): {
+                k: row.get(k)
+                for k in (
+                    "required",
+                    "data_type",
+                    "allow_null",
+                    "length",
+                    "range_min",
+                    "range_max",
+                    "regex_pattern",
+                    "unique_value",
+                    "allowed_value_list",
+                )
+            }
+            for _, row in df.iterrows()
+            if _as_str(row.get("field_name"))
+        }
+    return load_spec_dict(spec)

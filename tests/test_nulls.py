@@ -1,0 +1,96 @@
+"""NA-semantics parametrized table (SURVEY §5.2; reference
+src/schema_validata.py:200–248, check_na_value :1639–1693)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na, nullify
+
+# (value, expected_is_na) — mirrors the reference's COMMON_NA_VALUES +
+# NA_VALUES_v1_5 + NA_PATTERNS with case-insensitivity and whitespace rules.
+NA_CASES = [
+    (None, True),
+    ("", True),
+    (" ", True),
+    ("   ", True),
+    ("N/A", True),
+    ("n/a", True),
+    ("NA", True),
+    ("na", True),
+    ("NULL", True),
+    ("Null", True),
+    ("null", True),
+    ("None", True),
+    ("NaN", True),
+    ("nan", True),
+    ("-NaN", True),
+    ("-nan", True),
+    ("#N/A", True),
+    ("#NA", True),
+    ("<NA>", True),
+    ("#REF!", True),
+    ("#VALUE!", True),
+    ("#DIV/0!", True),
+    ("missing", True),
+    ("Missing", True),
+    ("MISSING", True),  # case-insensitive match
+    ("#N/A N/A", True),
+    ("-1.#IND", True),
+    ("1.#QNAN", True),
+    # NA_PATTERNS
+    ("NOT AVAILABLE", True),
+    ("not available", True),
+    ("NOT_AVAILABLE", True),
+    ("NOT-AVAILABLE", True),
+    ("  NOT / AVAILABLE ", True),
+    ("N A", True),
+    ("N_A", True),
+    ("N-A", True),
+    ("n/a ", True),
+    ("-", True),
+    ("_", True),
+    ("/", True),
+    ("\\", True),
+    (" - ", True),
+    # NOT null
+    ("0", False),
+    ("0.0", False),
+    ("false", False),
+    ("abc", False),
+    ("NAtional", False),
+    ("available", False),
+    ("N/B", False),
+    ("--", False),  # two dashes don't match the single-separator pattern
+    ("x ", False),
+]
+
+
+@pytest.mark.parametrize("value,expected", NA_CASES)
+def test_is_na_semantics(spark, value, expected):
+    df = spark.createDataFrame([(value,)], "v string")
+    got = df.select(is_na("v").alias("r")).collect()[0]["r"]
+    assert got is expected, f"is_na({value!r}) = {got}, want {expected}"
+
+
+def test_is_na_vectorized_batch(spark):
+    """One job for the whole table — the practical usage shape."""
+    rows = [(i, v) for i, (v, _) in enumerate(NA_CASES)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", is_na("v").alias("r")).collect()
+    }
+    for i, (v, expected) in enumerate(NA_CASES):
+        assert got[i] is expected, f"is_na({v!r})"
+
+
+def test_is_na_numeric_column(spark):
+    df = spark.createDataFrame([(1.5,), (None,)], "v double")
+    got = [r["r"] for r in df.select(is_na("v").alias("r")).collect()]
+    assert got == [False, True]
+
+
+def test_nullify(spark):
+    df = spark.createDataFrame([("N/A",), ("keep",)], "v string")
+    got = [r["v2"] for r in df.select(nullify("v").alias("v2")).collect()]
+    assert got == [None, "keep"]

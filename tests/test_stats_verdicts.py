@@ -1,0 +1,195 @@
+"""Stage A (stats) + Stage B (verdicts) + Stage C (violations) tests —
+the V1–V8 rule matrix from SURVEY §2.10, each with pass/fail/null cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.operators.stats import (
+    collect_column_stats_grouped,
+    column_stats,
+    merge_partition_stats,
+    per_partition_stats,
+)
+from schema_validata_spark.operators.duplicates import (
+    duplicate_count,
+    enumerate_duplicates,
+    is_unique,
+)
+from schema_validata_spark.plans.validate import validate_table
+from schema_validata_spark.operators.violations import violations_sha256
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # (repo, path, commit, lang, content)
+        ("org0/repo0", "src/a.py", "a" * 40, "py", "print(1)"),
+        ("org0/repo0", "src/a.py", "a" * 40, "py", "print(1)"),   # dup triple
+        ("org1/repo1", "src/b.js", "b" * 39, "cobol", None),      # bad commit + lang
+        ("org2/repo2", "src/c.go", "c" * 40, "go", "N/A"),        # NA content
+        (None, "src/d.rs", "d" * 40, "rs", "x" * 60),             # null repo, long content
+        ("org3/repo3", "src/e.c", "e" * 40, "c", "int main(){}"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_spec():
+    return load_spec_dict(
+        {
+            "code_corpus": {
+                "repo": {
+                    "required": True, "data_type": "String", "allow_null": False,
+                    "length": 200, "regex_pattern": r"^[\w.-]+/[\w.-]+$",
+                },
+                "path": {"required": True, "data_type": "String", "allow_null": False, "length": 500},
+                "commit": {
+                    "required": True, "data_type": "String", "allow_null": False,
+                    "length": 40, "regex_pattern": r"^[0-9a-f]{40}$",
+                },
+                "lang": {
+                    "required": True, "data_type": "String", "allow_null": False,
+                    "length": 8, "allowed_value_list": "['py','js','go','rs','java','c']",
+                },
+                "content": {"required": True, "data_type": "String", "allow_null": True, "length": 50},
+                "missing_col": {"required": True},
+                "optional_missing": {"required": False},
+                "_unique_together": [["repo", "path", "commit"]],
+            }
+        }
+    ).tables["code_corpus"]
+
+
+def test_stats_null_semantics(corpus):
+    st = column_stats(corpus, ["repo", "content"])
+    assert st["repo"].null_count == 1
+    # None + 'N/A' both null under reference semantics
+    assert st["content"].null_count == 2
+    assert st["content"].max_len == 60
+    assert st["repo"].canonical_type == "String"
+
+
+def test_per_partition_merges_to_global(corpus):
+    """North-rule treeAggregate property: per-partition stats merged ==
+    global stats, exactly, for every mergeable counter."""
+    cols = ["repo", "commit", "content"]
+    global_stats = column_stats(corpus, cols)
+    pstats = per_partition_stats(corpus, "lang", cols)
+    merged_row = merge_partition_stats(pstats, "lang").collect()[0]
+    for c in cols:
+        g = global_stats[c]
+        m = merged_row[c].asDict()
+        assert int(m["n"]) == g.n, c
+        assert int(m["null_count"]) == g.null_count, c
+        assert m["max_len"] == g.max_len, c
+        assert m["min_num"] == g.min_num, c
+        assert m["max_num"] == g.max_num, c
+
+
+def test_hll_sketch_merge(corpus):
+    """Distinct sketches union upward (hll_sketch_agg/hll_union_agg)."""
+    pstats = per_partition_stats(corpus, "lang", ["repo"], with_sketch=True)
+    merged = merge_partition_stats(pstats, "lang")
+    est = merged.select(
+        F.hll_sketch_estimate(F.col("repo.hll")).alias("d")
+    ).collect()[0]["d"]
+    assert est == 4  # org0..org3 distinct repos (null excluded)
+
+
+def test_verdicts_v1_to_v8(corpus, corpus_spec):
+    tv = validate_table(
+        corpus, corpus_spec, key_cols=["repo", "path", "commit"], partition_col="lang"
+    )
+    failed = {(v.column, v.rule_id) for v in tv.verdicts if not v.passed and v.partition is None}
+    assert ("repo", "allow_null") in failed
+    assert ("commit", "regex_pattern") in failed
+    assert ("lang", "allowed_value_list") in failed
+    assert ("content", "length") in failed
+    assert ("missing_col", "required_column") in failed
+    assert ("optional_missing", "optional_column") in failed
+    # things that must PASS
+    passed = {(v.column, v.rule_id) for v in tv.verdicts if v.passed and v.partition is None}
+    assert ("repo", "regex_pattern") in passed     # null excluded from regex
+    assert ("commit", "length") in passed
+    assert ("repo", "data_type") in passed
+    # per-partition verdicts exist
+    parts = {v.partition for v in tv.verdicts if v.partition is not None}
+    assert parts == {"py", "cobol", "go", "rs", "c"}
+    # severity levels (reference :124–127)
+    for v in tv.verdicts:
+        assert v.level == ("Error" if v.required else "Informational/Warning")
+
+
+def test_verdict_messages_reference_templates(corpus, corpus_spec):
+    tv = validate_table(corpus, corpus_spec, key_cols=["repo"], list_errors=False)
+    msgs = {(v.column, v.rule_id): v.message for v in tv.verdicts if not v.passed}
+    assert msgs[("repo", "allow_null")] == (
+        "Column 'repo' data has 1 null values, null values are not allowed."
+    )
+    assert msgs[("missing_col", "required_column")] == (
+        "Column by name 'missing_col' is required, but missing in dataset."
+    )
+    assert msgs[("content", "length")] == (
+        "Column 'content' max string  of: 60 exceeds the max allowed  of: 50 ."
+    )
+
+
+def test_violation_rows(corpus, corpus_spec):
+    tv = validate_table(
+        corpus, corpus_spec, key_cols=["repo", "path", "commit"]
+    )
+    v = tv.violations.toPandas()
+    byrule = v.groupby("rule_id").size().to_dict()
+    assert byrule["regex_pattern"] == 1          # 39-char commit
+    assert byrule["allowed_value_list"] == 1     # cobol
+    assert byrule["length"] == 1                 # 60-char content
+    assert byrule["unique_value"] == 2           # both rows of the dup triple
+    # allow_null ignored by default (reference ignore_errors, :2982)
+    assert "allow_null" not in byrule
+    # deterministic sha256 across runs
+    h1 = violations_sha256(tv.violations, ["repo", "path", "commit"])
+    tv2 = validate_table(
+        corpus.repartition(5), corpus_spec, key_cols=["repo", "path", "commit"]
+    )
+    h2 = violations_sha256(tv2.violations, ["repo", "path", "commit"])
+    assert h1 == h2
+
+
+def test_range_rules(spark):
+    spec = load_spec_dict(
+        {
+            "t": {
+                "v": {"data_type": "Float", "range_min": 0, "range_max": 100},
+                "n": {"data_type": "Integer", "unique_value": True},
+            }
+        }
+    ).tables["t"]
+    df = spark.createDataFrame(
+        [(-5.0, 1), (50.0, 2), (150.0, 2)], "v double, n bigint"
+    )
+    tv = validate_table(df, spec, key_cols=["n"])
+    failed = {(v.column, v.rule_id): v for v in tv.verdicts if not v.passed}
+    assert ("v", "range_min") in failed
+    assert ("v", "range_max") in failed
+    assert ("n", "unique_value") in failed
+    assert failed[("n", "unique_value")].count == 2  # duplicated(keep=False)
+    assert failed[("v", "range_min")].message == (
+        "Column 'v' min value of: -5 is less than the minimum allowed value of: 0 ."
+    )
+    rows = tv.violations.toPandas()
+    assert set(rows[rows.rule_id == "range_min"].observed_value) == {"-5.0"}
+    assert set(rows[rows.rule_id == "range_max"].observed_value) == {"150.0"}
+
+
+def test_duplicates_exact_and_salted(spark):
+    # skewed: value 'hot' occurs 50 times, 'a' twice, 'b' once
+    rows = [("hot",)] * 50 + [("a",), ("a",), ("b",), (None,), ("N/A",)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    assert duplicate_count(df, ["v"]) == 52   # 50 + 2, keep=False; NA excluded
+    assert not is_unique(df, ["v"])
+    assert is_unique(spark.createDataFrame([("x",), ("y",)], "v string"), ["v"])
+    dup_rows = enumerate_duplicates(df, ["v"], key_cols=["v"])
+    assert dup_rows.count() == 52

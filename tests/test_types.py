@@ -1,0 +1,93 @@
+"""Type-inference parity tests — the dirty_types fixture from FIXTURES.md §C
+(reference inference rules: src/schema_validata.py:1261–1634)."""
+
+from schema_validata_spark.functions.types import (
+    ALLOWED_CASTING,
+    CANONICAL_TYPES,
+    type_is_compatible,
+)
+from schema_validata_spark.operators.stats import column_stats
+
+
+def _canon(spark, values, colname="v", sql_type="string"):
+    rows = [(v,) for v in values]
+    df = spark.createDataFrame(rows, f"`{colname}` {sql_type}")
+    return column_stats(df, [colname])[colname].canonical_type
+
+
+def test_leading_zeros_stay_string(spark):
+    assert _canon(spark, ["02134", "00501", "12345"], "zip_lz") == "String"
+
+
+def test_int_overflow_falls_back_to_string(spark):
+    big = str(2**64)  # > int64 max
+    assert _canon(spark, [big, "123"], "big_int") == "String"
+
+
+def test_plain_ints(spark):
+    assert _canon(spark, ["1", "2", "42"], "ints_as_str") == "Integer"
+
+
+def test_negative_and_plus_ints(spark):
+    assert _canon(spark, ["-5", "+7"], "i") == "Integer"
+
+
+def test_floats(spark):
+    assert _canon(spark, ["1.5", "2.25", "3"], "floats") == "Float"
+
+
+def test_money_symbols_strip_to_float(spark):
+    assert _canon(spark, ["$1,234.50", "€99", "12%"], "money") == "Float"
+
+
+def test_bools(spark):
+    assert _canon(spark, ["True", "False", "true"], "bools") == "Boolean"
+
+
+def test_all_null_is_null_unknown(spark):
+    assert _canon(spark, ["", "N/A", None, "missing"], "all_null") == "Null-Unknown"
+
+
+def test_datetime_iso_single_format(spark):
+    vals = ["2026-01-06 15:00:00", "2025-12-31 08:30:00"]
+    assert _canon(spark, vals, "anything") == "Datetime"
+
+
+def test_datetime_mixed_formats_needs_suggestive_name(spark):
+    vals = ["2026-01-06 15:00:00", "1/6/26", "January 2026"]
+    # name contains 'dt' (DATE_COL_KEYWORDS) → fuzzy 0.98 path applies
+    assert _canon(spark, vals, "mixed_dt") == "Datetime"
+    # non-suggestive name: no single strict format parses all → String
+    assert _canon(spark, vals, "notes") == "String"
+
+
+def test_excel_serial_dates_for_date_named_numeric(spark):
+    vals = [44561.0, 44562.0, 44563.0]
+    assert _canon(spark, vals, "serial_date", "double") == "Datetime"
+    # same values, non-suggestive name → stays Float
+    assert _canon(spark, vals, "amount", "double") == "Float"
+
+
+def test_typed_columns_map_directly(spark):
+    assert _canon(spark, [1, 2], "n", "bigint") == "Integer"
+    assert _canon(spark, [1.5], "x", "double") == "Float"
+    assert _canon(spark, [True], "b", "boolean") == "Boolean"
+
+
+def test_mixed_garbage_is_string(spark):
+    assert _canon(spark, ["abc", "1", "2.5"], "s") == "String"
+
+
+def test_casting_matrix_parity():
+    # reference src/schema_validata.py:2212–2220, exhaustively
+    assert set(ALLOWED_CASTING) == set(CANONICAL_TYPES)
+    assert type_is_compatible("Integer", "Float")
+    assert type_is_compatible("Integer", "String")
+    assert not type_is_compatible("Float", "Integer")
+    assert not type_is_compatible("String", "Integer")
+    assert type_is_compatible("Null-Unknown", "Datetime")
+    assert not type_is_compatible("Null-Unknown", "Other")
+    assert type_is_compatible("Other", "String")
+    assert type_is_compatible("Datetime", "String")
+    for t in CANONICAL_TYPES:
+        assert type_is_compatible(t, t)
