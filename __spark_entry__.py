@@ -3,36 +3,385 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query exercises a schema_validata_spark operator (SURVEY.md §2);
+the oracle strings are ANSI SQL for DuckDB over the pre-registered
+views ``region nation customer supplier part orders lineitem events
+documents embeddings``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from schema_validata_spark.functions.nulls import NA_PATTERNS, NA_VALUES
+from schema_validata_spark.operators import text as T
+from schema_validata_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from schema_validata_spark.operators.duplicates import duplicate_value_counts
+from schema_validata_spark.operators.integrity import (
+    fk_violations,
+    integrity_summary,
+    run_integrity_rule,
+)
+from schema_validata_spark.operators.profile import profile_df
+from schema_validata_spark.operators.similarity import brute_force_topk
+from schema_validata_spark.operators.stats import (
+    per_partition_stats,
+)
+from schema_validata_spark.operators.violations import extract_violations
+from schema_validata_spark.operators.verdicts import verdicts_to_df
+from schema_validata_spark.plans.validate import validate_table
+from schema_validata_spark.sources.spec import IntegrityRule, load_spec_dict
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------- NA SQL
+# DuckDB mirror of functions/nulls.py::is_na — generated from the same
+# constants so the two dialects cannot drift.
+
+_NA_LOWER = ", ".join(f"'{v}'" for v in sorted({v for v in NA_VALUES if v}))
+_NA_RX = "(?i)" + "|".join(f"(?:{p})" for p in NA_PATTERNS)
+
+
+def _na_sql(expr: str) -> str:
+    s = f"trim(CAST({expr} AS VARCHAR))"
+    return (
+        f"({expr} IS NULL OR {s} = '' OR lower({s}) IN ({_NA_LOWER}) "
+        f"OR regexp_matches(CAST({expr} AS VARCHAR), '{_NA_RX}'))"
+    )
+
+
+def _num_sql(expr: str) -> str:
+    return f"TRY_CAST(trim(CAST({expr} AS VARCHAR)) AS DOUBLE)"
+
+
+# ------------------------------------------------------------- the spec
+# Orders-table spec used by the violation/verdict queries: chosen so some
+# rules genuinely fail on the TPC-H-ish data (range bounds inside the
+# value domain; allowed list excluding 'P'; regex excluding 4-/5-).
+
+ORDERS_SPEC = load_spec_dict(
+    {
+        "orders": {
+            "o_orderkey": {"data_type": "Integer", "allow_null": False, "unique_value": True},
+            "o_custkey": {"data_type": "Integer", "allow_null": False},
+            "o_orderstatus": {"data_type": "String", "allowed_value_list": ["F", "O"]},
+            "o_totalprice": {"data_type": "Float", "range_min": 2000, "range_max": 400000},
+            "o_orderpriority": {"data_type": "String", "regex_pattern": "[1-3]-.*", "length": 15},
+        }
+    }
+).tables["orders"]
+
+_FAILED_PAIRS = [
+    ("o_totalprice", "range_min"),
+    ("o_totalprice", "range_max"),
+    ("o_orderstatus", "allowed_value_list"),
+    ("o_orderpriority", "regex_pattern"),
+]
+
+
+# -------------------------------------------------------------- queries
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full Stage A–D validation of orders at sf0.001 →
+    per-(partition, column, rule) verdicts DataFrame."""
+    df = _read(spark, "/root/testdata/sf0.001", "orders")
+    tv = validate_table(
+        df,
+        ORDERS_SPEC,
+        key_cols=["o_orderkey"],
+        partition_col="o_orderstatus",
+        list_errors=False,
+    )
+    return verdicts_to_df(spark, tv.verdicts)
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-A single-pass profile (SURVEY §2.4 A1–A5, A9)."""
+    return profile_df(_read(spark, sf_dir, "lineitem"))
+
+
+def q_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-C fused violation extraction (SURVEY §2.2 P4–P7, §2.11)."""
+    df = _read(spark, sf_dir, "orders")
+    return extract_violations(
+        df, ORDERS_SPEC, key_cols=["o_orderkey"], failed=_FAILED_PAIRS
+    )
+
+
+def q_dup_custkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-D salted two-phase duplicate counting (SURVEY §2.4 A2)."""
+    return duplicate_value_counts(_read(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def q_fk_orphans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential check via broadcast left-anti join (SURVEY §2.3 J3)."""
+    return fk_violations(
+        _read(spark, sf_dir, "events"),
+        _read(spark, sf_dir, "customer"),
+        ["user_id"],
+        ["c_custkey"],
+        key_cols=["event_id"],
+    )
+
+
+def q_integrity_sql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL integrity rule + groupBy summary (SURVEY §2.9 Q1/Q5, A10)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    rule = IntegrityRule(
+        primary_table="orders",
+        sql=(
+            "SELECT o.o_orderkey FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = '${segment}'"
+        ),
+        level="Error",
+        message="orders placed by BUILDING-segment customers",
+    )
+    v = run_integrity_rule(spark, rule, {"segment": "BUILDING"})
+    return integrity_summary(v).withColumnRenamed("table", "table_name")
+
+
+def q_per_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition Stage A keyed by a stable column (SURVEY A12)."""
+    ps = per_partition_stats(
+        _read(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice"],
+    )
+    return ps.select(
+        F.col("l_returnflag"),
+        F.col("l_quantity.n").alias("q_n"),
+        F.col("l_quantity.null_count").alias("q_nulls"),
+        F.col("l_quantity.min_num").alias("q_min"),
+        F.col("l_quantity.max_num").alias("q_max"),
+        F.col("l_extendedprice.min_num").alias("p_min"),
+        F.col("l_extendedprice.max_num").alias("p_max"),
+    )
+
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring, pure expressions (§text ops)."""
+    df = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.bpe_token_estimate(c).alias("n_bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars_obs"),
+        T.quality_score(c).alias("quality"),
+    )
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID over marker stopword votes."""
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup winner map: content sha256 → group size + kept id."""
+    df = _read(spark, sf_dir, "documents")
+    return (
+        df.select(F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    df = _read(spark, sf_dir, "embeddings")
+    target = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(
+        df, "embedding", "vec_id", target, topk=10, exclude_id=0
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
+    signature banding is not ANSI-SQL-expressible; rows-only check)."""
+    df = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        df, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    df = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3, k=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_lineitem": q_profile_lineitem,
+        "violations_orders": q_violations_orders,
+        "dup_custkey_counts": q_dup_custkey_counts,
+        "fk_orphans_events": q_fk_orphans_events,
+        "integrity_sql_summary": q_integrity_sql_summary,
+        "per_partition_stats": q_per_partition_stats,
+        "text_stats_documents": q_text_stats_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+def _profile_lineitem_sql() -> str:
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    parts = []
+    for c in cols:
+        na = _na_sql(c)
+        parts.append(
+            f"SELECT '{c}' AS column, count(*) AS n, "
+            f"count(*) FILTER (WHERE {na}) AS null_count, "
+            f"count(DISTINCT CASE WHEN NOT {na} THEN CAST({c} AS VARCHAR) END) AS distinct_n, "
+            f"min({_num_sql(c)}) AS min_num, max({_num_sql(c)}) AS max_num, "
+            f"max(CASE WHEN NOT {na} THEN length(CAST({c} AS VARCHAR)) END) AS max_len "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _violations_orders_sql() -> str:
+    key = "CAST(o_orderkey AS VARCHAR) AS o_orderkey"
+    na_status = _na_sql("o_orderstatus")
+    na_prio = _na_sql("o_orderpriority")
+    return f"""
+SELECT {key}, 'o_totalprice' AS column_name, 'range_min' AS rule_id,
+       CAST(o_totalprice AS VARCHAR) AS observed_value, 'Error' AS level
+FROM orders WHERE {_num_sql('o_totalprice')} < 2000.0
+UNION ALL
+SELECT {key}, 'o_totalprice', 'range_max', CAST(o_totalprice AS VARCHAR), 'Error'
+FROM orders WHERE {_num_sql('o_totalprice')} > 400000.0
+UNION ALL
+SELECT {key}, 'o_orderstatus', 'allowed_value_list', CAST(o_orderstatus AS VARCHAR), 'Error'
+FROM orders WHERE NOT {na_status} AND trim(CAST(o_orderstatus AS VARCHAR)) NOT IN ('F', 'O')
+UNION ALL
+SELECT {key}, 'o_orderpriority', 'regex_pattern', CAST(o_orderpriority AS VARCHAR), 'Error'
+FROM orders WHERE NOT {na_prio}
+  AND NOT regexp_matches(trim(CAST(o_orderpriority AS VARCHAR)), '^(?:[1-3]-.*)')
+"""
+
+
+def _text_stats_sql() -> str:
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    n_tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    mwl = f"CAST(list_sum(list_transform({tok}, x -> length(x))) AS DOUBLE) / len({tok})"
+    rep = f"1.0 - CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})"
+    punct = (
+        "CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)"
+        " / length(text)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+  greatest(CAST(ceil(length(trim(text)) / 4.0) AS BIGINT), n_tokens) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_obs,
+  round((
+      (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN coalesce({mwl}, 0.0) >= 2.0 AND coalesce({mwl}, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END)
+    + (1.0 - least(coalesce({rep}, 1.0) * 2, 1.0))
+    + (CASE WHEN coalesce({punct}, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0, 6) AS quality
+FROM t
+"""
+
+
+def _lang_id_sql() -> str:
+    from schema_validata_spark.operators.text import LANG_MARKERS
+
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    encoded = []
+    for lang, marks in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in marks)
+        encoded.append(
+            f"printf('%08d|%s', len(list_filter({tok}, x -> x IN ({inlist}))), '{lang}')"
+        )
+    best = "greatest(" + ", ".join(encoded) + ")"
+    return f"""
+SELECT doc_id,
+  CASE WHEN CAST(substr({best}, 1, 8) AS INT) >= 1
+       THEN substr({best}, 10) ELSE 'und' END AS lang_pred
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_lineitem": _profile_lineitem_sql(),
+        "violations_orders": _violations_orders_sql(),
+        "dup_custkey_counts": (
+            "SELECT o_custkey, count(*) AS dup_n FROM orders "
+            "WHERE NOT " + _na_sql("o_custkey") + " "
+            "GROUP BY o_custkey HAVING count(*) > 1"
+        ),
+        "fk_orphans_events": (
+            "SELECT CAST(event_id AS VARCHAR) AS event_id, "
+            "'user_id' AS column_name, 'foreign_key' AS rule_id, "
+            "CAST(user_id AS VARCHAR) AS observed_value, 'Error' AS level "
+            "FROM events e WHERE NOT " + _na_sql("e.user_id") + " AND NOT EXISTS ("
+            "SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        ),
+        "integrity_sql_summary": (
+            "SELECT 'orders' AS table_name, "
+            "'orders placed by BUILDING-segment customers' AS message, "
+            "'Error' AS level, count(*) AS n_violations "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING'"
+        ),
+        "per_partition_stats": (
+            "SELECT l_returnflag, count(*) AS q_n, "
+            "count(*) FILTER (WHERE " + _na_sql("l_quantity") + ") AS q_nulls, "
+            f"min({_num_sql('l_quantity')}) AS q_min, "
+            f"max({_num_sql('l_quantity')}) AS q_max, "
+            f"min({_num_sql('l_extendedprice')}) AS p_min, "
+            f"max({_num_sql('l_extendedprice')}) AS p_max "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "text_stats_documents": _text_stats_sql(),
+        "lang_id_documents": _lang_id_sql(),
+        "dedup_exact_documents": (
+            "SELECT sha256(text) AS content_sha, count(*) AS n_docs, "
+            "min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)"
+        ),
+        "ann_topk_embeddings": (
+            "WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS te "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT te FROM t)), 6) AS cos_sim "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        # minhash_near_dups / simhash_near_dups: LSH banding is not
+        # ANSI-SQL-expressible → rows-only check by design.
+    }

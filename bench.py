@@ -1,0 +1,133 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Note on parallelism: the driver's testdata parquet files are single
+row-group, so a raw scan is one task regardless of
+spark.sql.files.maxPartitionBytes. Each table is repartitioned to the
+core count once up front (cached) to emulate the multi-file layout any
+real corpus has; the timed section measures the operators, not the
+degenerate file layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("schema_validata_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from schema_validata_spark.operators.duplicates import duplicate_value_counts
+    from schema_validata_spark.operators.integrity import fk_violations
+    from schema_validata_spark.operators.profile import profile_df
+    from schema_validata_spark.operators.dedup import minhash_near_duplicates
+    from schema_validata_spark.operators.similarity import brute_force_topk
+    from schema_validata_spark.operators.text import text_stats_df
+    from schema_validata_spark.operators.violations import extract_violations
+    from schema_validata_spark.plans.validate import validate_table
+    from __spark_entry__ import ORDERS_SPEC, _FAILED_PAIRS
+
+    def read(name: str):
+        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet").repartition(CPUS)
+        df = df.persist()
+        df.count()
+        return df
+
+    lineitem = read("lineitem")
+    orders = read("orders")
+    customer = read("customer")
+    events = read("events")
+    documents = read("documents")
+    embeddings = read("embeddings")
+
+    n_rows = {
+        "lineitem": lineitem.count(),
+        "orders": orders.count(),
+    }
+
+    target = [float(x) for x in embeddings.limit(1).first()["embedding"]]
+
+    def run_validate():
+        validate_table(
+            orders, ORDERS_SPEC, key_cols=["o_orderkey"],
+            partition_col="o_orderstatus", list_errors=True,
+        ).violations.count()
+
+    benches = {
+        "validate_orders_full": run_validate,
+        "profile_lineitem": lambda: profile_df(lineitem).collect(),
+        "violations_orders": lambda: extract_violations(
+            orders, ORDERS_SPEC, ["o_orderkey"], _FAILED_PAIRS
+        ).count(),
+        "dup_counts_orders": lambda: duplicate_value_counts(
+            orders, ["o_custkey"]
+        ).count(),
+        "fk_orphans_orders": lambda: fk_violations(
+            orders, customer, ["o_custkey"], ["c_custkey"], ["o_orderkey"]
+        ).count(),
+        "text_stats_documents": lambda: text_stats_df(
+            documents, "text", ["doc_id"]
+        ).count(),
+        "minhash_near_dups": lambda: minhash_near_duplicates(
+            documents, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+        ).count(),
+        "ann_topk": lambda: brute_force_topk(
+            embeddings, "embedding", "vec_id", target, topk=10
+        ).collect(),
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in benches.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    # constraint evaluations: verdict rules × rows for the flagship table
+    rules = sum(len(cs.active_rules()) for cs in ORDERS_SPEC.columns)
+    rows_per_sec = (
+        round(n_rows["orders"] * rules / times["validate_orders_full"])
+        if times["validate_orders_full"] > 0
+        else None
+    )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total bench seconds (validated rows/sec in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": {
+                    "validated_constraint_evals_per_sec": rows_per_sec,
+                    "cpus": CPUS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,26 @@ def is_na(col: Column | str) -> Column:
     )
 
 
+def is_na_typed(col: Column | str, spark_type: str) -> Column:
+    """Type-aware fast path for :func:`is_na`.
+
+    The literal/regex NA spellings only exist in string data: a bigint or
+    timestamp can never render as ``'missing'``, and a float's only
+    stringy NA is NaN (cast → ``'nan'`` ∈ NA set, reproduced here as
+    ``isnan``). Skipping the trim/lower/isin/rlike chain on typed columns
+    removes most of the per-row cost of wide stats aggregates while
+    keeping bit-identical semantics with the reference's
+    ``check_na_value``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = spark_type.lower()
+    if t in ("string", "varchar", "char"):
+        return is_na(c)
+    if t in ("float", "double"):
+        return c.isNull() | F.isnan(c)
+    return c.isNull()
+
+
 def not_na(col: Column | str) -> Column:
     """Negation of :func:`is_na`."""
     return ~is_na(col)

@@ -1,0 +1,368 @@
+"""Deduplication operators for training-data pipelines.
+
+No counterpart in the reference (its uniqueness rule is exact scalar
+equality — operators/duplicates.py); these are the corpus-scale document
+dedup strategies:
+
+* exact        — content-hash groupBy (xxhash64 prefilter + sha256 confirm)
+* MinHash+LSH  — shingle → minhash signature → banded buckets →
+                 candidate self-join → exact-Jaccard verify
+* SimHash      — 64-bit sign-of-sums sketch, byte-band buckets →
+                 hamming-distance verify
+* n-gram Jaccard — exact pairwise verifier reused by both LSH paths
+
+Everything is DataFrame-native (expressions only, no Python UDF):
+signatures are ``transform``/``aggregate`` array expressions, banding is
+an ``explode`` + shuffle-on-band-key, candidate generation is a
+self-join (AQE skew-join splits hot buckets), verification is
+``array_intersect`` math. Hash seeds are fixed constants so every run —
+and every resume — produces identical signatures.
+
+Scale notes (10^12 docs): the only all-to-all stage is the band-key
+self-join; bucket sizes are capped (``max_bucket``) so a degenerate key
+(empty docs, boilerplate) cannot produce a quadratic bucket. Pair dedup
+uses the (id1 < id2) canonical ordering, so each pair exists once.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.text import shingle_hashes
+
+#: Mersenne prime 2^31-1 — minhash universal-hash modulus; operands stay
+#: < 2^62 so 64-bit multiply never overflows.
+_MERSENNE = (1 << 31) - 1
+
+#: buckets larger than this are dropped from candidate generation
+#: (boilerplate/empty-content buckets would otherwise go quadratic)
+DEFAULT_MAX_BUCKET = 500
+
+
+def _perm_constants(num_perm: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash parameters."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Duplicate groups by exact content: ``(content_sha, n_docs,
+    keep_id)`` for groups with ≥ 2 docs.
+
+    xxhash64 would suffice as a shuffle key; sha256 is the group identity
+    (collision-safe at 10^12 docs, and the north rule's per-row
+    invariant). One shuffle, salted implicitly by the hash key's uniform
+    distribution.
+    """
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha"),
+            F.col(id_col),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content — the 100 TB form:
+    shuffle on content hash, min-id winner, semi-join back."""
+    winners = (
+        df.select(F.sha2(F.col(text_col), 256).alias("_sha"), F.col(id_col))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+# -------------------------------------------------------------- MinHash
+
+def minhash_signature(
+    col: Column | str, num_perm: int = 128, k: int = 5
+) -> Column:
+    """MinHash signature (array<long>, length ``num_perm``) from k-token
+    shingles — ONE ``aggregate`` fold over the shingle hashes that
+    updates all permutations per element via ``zip_with``.
+
+    This formulation matters: the naive "one array_min(transform) per
+    permutation" builds ``num_perm`` sibling expressions, and because
+    higher-order functions are interpreted (not codegen'd, no common-
+    subexpression elimination) each would re-hash every shingle —
+    measured 100× slower. Here shingle hashing runs exactly once per
+    row.
+
+    Docs with no shingles (< k tokens) return the all-sentinel signature
+    (every entry = the modulus); callers must filter them out before
+    banding (``minhash_bands`` does) or they'd all bucket together.
+    """
+    consts = _perm_constants(num_perm)
+    A = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    B = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    hashes = F.transform(
+        shingle_hashes(col, k), lambda h: F.pmod(h, F.lit(_MERSENNE))
+    )
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(A, B, lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE))),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """``(id, band, band_hash)`` — one row per (doc, band).
+
+    ``bands`` of ``num_perm // bands`` rows each; similarity threshold
+    ≈ (1/bands)^(bands/num_perm). Defaults (128, 16) target J ≈ 0.7.
+
+    The band hashes are derived inside a single-element ``transform``
+    wrapper (``transform(array(sig), s -> ...)``) so the signature
+    expression is bound once per row — without the wrapper, Catalyst's
+    project collapsing would inline the full signature aggregate into
+    every one of the ``bands`` hash expressions.
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(text_col, num_perm, k)
+    bands_arr = F.flatten(
+        F.transform(
+            F.array(sig),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(s, i * F.lit(rows) + F.lit(1), F.lit(rows)),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            ),
+        )
+    )
+    from schema_validata_spark.operators.text import token_count
+
+    return (
+        df.filter(token_count(F.col(text_col)) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(bands_arr).alias("b"))
+        .select("id", F.col("b.band"), F.col("b.band_hash"))
+    )
+
+
+def _candidate_pairs(
+    bands_df: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Distinct (id1 < id2) pairs sharing ≥ 1 band bucket.
+
+    Self-join on the band key; buckets above ``max_bucket`` are dropped
+    first (quadratic-bucket guard — log the drop count at call sites if
+    coverage accounting matters). Bucket sizes come from a window count
+    over the same partitioning the join needs, so the expensive
+    signature scan is shuffled ONCE and both join sides read the reused
+    exchange (ReuseExchange); AQE skew-join splits what remains.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    pruned = (
+        bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    l = pruned.alias("l")
+    r = pruned.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact n-gram (k-shingle) Jaccard for candidate pairs:
+    ``(id1, id2, jaccard)``. Shingle-hash arrays join in by id — two
+    broadcast-or-shuffle hash joins, then pure array math."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, k).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id1", "sh": "sh1"}), "id1")
+        .join(sh.withColumnsRenamed({"id": "id2", "sh": "sh2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    k: int = 5,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup pairs ``(id1, id2, jaccard)`` with
+    exact-Jaccard verification ≥ ``threshold``."""
+    bands_df = minhash_bands(df, text_col, id_col, num_perm, bands, k)
+    cand = _candidate_pairs(bands_df, max_bucket)
+    return jaccard_pairs(cand, df, text_col, id_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash64(col: Column | str, k: int = 2) -> Column:
+    """64-bit SimHash over k-token shingle hashes — sign of the per-bit
+    vote sum, assembled as a bigint.
+
+    ONE ``aggregate`` fold maintains all 64 bit-votes as an array
+    (``zip_with`` against a literal bit-mask array), so shingle hashing
+    runs once per row; the naive 64-aggregates formulation re-hashes per
+    bit (higher-order functions are interpreted — no CSE). Packing uses
+    mask-array dot product for bits 0–62 plus an explicit sign-bit term,
+    staying inside signed-long range (ANSI overflow-safe).
+    """
+    hashes = shingle_hashes(col, k)
+    masks = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign
+    MASKS = F.array(*[F.lit(m).cast("long") for m in masks])
+    POW2 = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                MASKS,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # bind votes once (array-wrap), then pack
+    packed = F.transform(
+        F.array(votes),
+        lambda v: F.aggregate(
+            F.zip_with(
+                F.slice(v, 1, 63),
+                POW2,
+                lambda bit, p: F.when(bit > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        + F.when(F.element_at(v, 64) > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.element_at(packed, 1)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    k: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
+    any pair with hamming ≤ 7 shares a band) → verify exact hamming via
+    ``bit_count(xor)`` ≤ ``max_hamming``. Returns (id1, id2, hamming)."""
+    sim = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, k).alias("sh")
+    )
+    bands_df = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_hash"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.band"), F.col("b.band_hash"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    pruned = (
+        bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    l = pruned.alias("l")
+    r = pruned.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

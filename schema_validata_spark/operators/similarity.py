@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-pipeline capability with no reference counterpart:
+
+* brute-force cosine top-k — the exact baseline; one scan, expression
+  math (``zip_with`` + ``aggregate`` fold in double precision), top-k by
+  ``orderBy ... limit`` (Spark plans TakeOrderedAndProject — no full sort
+  at scale).
+* random-hyperplane LSH ANN — the scale path: sign-bit bucket per plane
+  group, probe only matching buckets, exact re-rank inside.
+* embedding near-dup pairs — cosine ≥ threshold via the same LSH
+  buckets (used by the dedup suite).
+
+Hyperplanes are generated from a fixed seed so bucket assignment is
+stable across runs/resumes. All expression-level; a vectorized pandas-UDF
+variant is deliberately NOT the default (Arrow transfer of 64-float
+arrays costs more than the codegen'd fold at this dimensionality).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — sequential fold, same
+    summation order as a scalar loop (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_to_literal(col: Column | str, vec: list[float]) -> Column:
+    """Cosine of each row's embedding against a driver-side query vector
+    (embedded as an array literal — broadcast by constant folding)."""
+    a = _as_double_array(col)
+    q = F.array(*[F.lit(float(v)) for v in vec])
+    return cosine(a, q)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    topk: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k by cosine: ``(id, cos_sim)``, ``orderBy(desc, id)
+    limit k`` → TakeOrderedAndProject (per-partition heap + driver merge,
+    no global sort)."""
+    sim = F.round(cosine_to_literal(vec_col, query), 6).alias("cos_sim")
+    out = df.select(F.col(id_col), sim)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(topk)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def lsh_bucket(col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane, packed
+    into a long. Cosine-similar vectors collide with probability
+    ``(1 - θ/π)^n_planes``."""
+    a = _as_double_array(col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        q = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(dot(a, q) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Build the ANN index: ``(id, table, bucket, embedding)`` — one row
+    per (vector, hash table). Persist/bucket-write this by (table,
+    bucket) in production so probes are partition-pruned scans."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=0xA11CE + 7919 * t)
+        rows.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec_col, planes).alias("bucket"),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        F.explode(F.array(*rows)).alias("tb"),
+    ).select("id", "embedding", F.col("tb.table"), F.col("tb.bucket"))
+
+
+def lsh_topk(
+    index_df: DataFrame,
+    query: list[float],
+    topk: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """ANN probe: hash the query with the same planes, scan only matching
+    (table, bucket) rows, exact-cosine re-rank. Recall grows with
+    ``n_tables``; cost is the union of ``n_tables`` buckets instead of
+    the full corpus."""
+    dim = len(query)
+    cond = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=0xA11CE + 7919 * t)
+        qb = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(query, p)) >= 0:
+                qb |= 1 << i
+        c = (F.col("table") == t) & (F.col("bucket") == qb)
+        cond = c if cond is None else (cond | c)
+    probed = index_df.filter(cond).dropDuplicates(["id"])
+    if exclude_id is not None:
+        probed = probed.filter(F.col("id") != exclude_id)
+    return (
+        probed.select(
+            "id",
+            F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col("id"))
+        .limit(topk)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(id1, id2, cos_sim)`` ≥
+    ``threshold``: LSH buckets → in-bucket self-join (AQE-skew-split,
+    quadratic-bucket guard) → exact cosine verify."""
+    idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
+    sizes = idx.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    pruned = idx.join(
+        sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+        on=["table", "bucket"],
+        how="left_semi",
+    )
+    l = pruned.alias("l")
+    r = pruned.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.embedding").alias("e1"),
+            F.col("r.embedding").alias("e2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round(cosine(_as_double_array(F.col("e1")), _as_double_array(F.col("e2"))), 6).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)

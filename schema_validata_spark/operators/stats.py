@@ -31,11 +31,12 @@ aggregate exchange (one row per partition value).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schema_validata_spark.functions.nulls import is_na, nullify
+from schema_validata_spark.functions.nulls import is_na, is_na_typed, nullify
 from schema_validata_spark.functions.types import (
     BOOL_VALUES,
     DATETIME_FORMATS,
@@ -48,6 +49,14 @@ from schema_validata_spark.functions.types import (
 # Longest renderable strict format is ~35 chars; anything longer can never
 # parse, so skip the expensive try_to_timestamp for it (content columns!).
 _DT_MAX_LEN = 40
+
+# Cheap date-like prefilter: every DATETIME_FORMATS pattern renders
+# either digits-separator-digit ('2020-01-02', '1/2/20') or a month name
+# then a digit ('Mar-5-2020', 'March 5, 2020'). try_to_timestamp failures
+# are exception-driven on the JVM (~µs each × 18 formats × every value),
+# so rejecting 'ACTIVE' / '1-URGENT' / free text with one regex before
+# the parser cascade is a ~10× win on non-date string columns.
+_DATE_LIKE_RX = r"(?i)^(\d{1,4}[-/]\d|[a-z]{3,9}[- ,]{1,2}\d)"
 
 
 @dataclass(frozen=True)
@@ -73,8 +82,51 @@ class ColumnStats:
         return resolve_canonical_type(self.votes, self.column, self.spark_type)
 
 
+def _prep_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Per-row helper columns computed ONCE under the aggregate.
+
+    Every stat member used to re-evaluate ``is_na`` (trim + lower + isin
+    + regex) and the string casts inline; with ~10 members × N columns
+    the interpreted expression tree did 100+ redundant passes per row.
+    Projecting ``__na/__s/__num/__len`` first makes each a single
+    evaluation per (row, column); the aggregate above consumes cheap
+    column references. Projection and aggregate stay in one stage (no
+    extra pass over the data).
+    """
+    dtypes = dict(df.dtypes)
+    out: list[Column] = []
+    for col in cols:
+        c = F.col(col)
+        s = F.trim(c.cast("string"))
+        out.append(c)
+        out.append(is_na_typed(c, dtypes[col]).alias(f"__na_{col}"))
+        out.append(F.expr(
+            f"try_cast(trim(cast(`{col}` as string)) as double)"
+        ).alias(f"__num_{col}"))
+        out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
+        if dtypes[col] in ("string", "varchar", "char"):
+            out.append(s.alias(f"__s_{col}"))
+            # Datetime format bitmask: bit i set when format i parsed the
+            # value. Computed ONCE here (two aggregate members consume it);
+            # the date-like prefilter keeps the exception-driven parser
+            # cascade off non-date values entirely.
+            parseable = (F.length(s) <= _DT_MAX_LEN) & s.rlike(_DATE_LIKE_RX)
+            mask_terms = [
+                F.when(
+                    F.try_to_timestamp(s, F.lit(fmt)).isNotNull(),
+                    F.lit(1 << i).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for i, fmt in enumerate(DATETIME_FORMATS)
+            ]
+            mask = F.when(
+                parseable, sum(mask_terms[1:], start=mask_terms[0])
+            ).otherwise(F.lit(0).cast("long"))
+            out.append(mask.alias(f"__dtmask_{col}"))
+    return out
+
+
 def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
-    """Build the per-column aggregate struct.
+    """Build the per-column aggregate struct (over ``_prep_exprs`` output).
 
     All members are algebraic aggregates (sum/min/max/bit_and), so Spark's
     partial+final hash aggregation merges them exactly across any
@@ -83,9 +135,11 @@ def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
     c = F.col(col)
     spark_type = dict(df.dtypes)[col]
     is_string = spark_type in ("string", "varchar", "char")
-    na = is_na(c)
+    na = F.col(f"__na_{col}")
     ok = ~na
-    s = F.trim(c.cast("string"))
+    num = F.col(f"__num_{col}")
+    ln = F.col(f"__len_{col}")
+    s = F.col(f"__s_{col}") if is_string else None
 
     def cnt(pred: Column) -> Column:
         return F.sum((ok & pred).cast("long"))
@@ -93,39 +147,30 @@ def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
     members = [
         F.count(F.lit(1)).alias("n"),
         F.sum(na.cast("long")).alias("null_count"),
-        F.approx_count_distinct(nullify(c)).alias("approx_distinct"),
-        F.min(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")).alias("min_num"),
-        F.max(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")).alias("max_num"),
-        F.max(F.when(ok, F.length(c.cast("string")))).alias("max_len"),
+        F.approx_count_distinct(F.when(ok, c)).alias("approx_distinct"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+        F.max(F.when(ok, ln)).alias("max_len"),
     ]
 
     if is_string:
         # dtype votes only matter for string columns; typed columns map
         # straight to the lattice (functions/types.py).
-        int_like = s.rlike(INT_RX)
         members += [
-            cnt(int_like).alias("int_ok"),
-            cnt(F.expr(f"try_cast(trim(cast(`{col}` as string)) as long) is not null")).alias("long_ok"),
-            cnt(F.expr(f"try_cast(trim(cast(`{col}` as string)) as double) is not null")).alias("float_ok"),
+            cnt(s.rlike(INT_RX)).alias("int_ok"),
+            cnt(F.expr(f"try_cast(`__s_{col}` as long) is not null")).alias("long_ok"),
+            cnt(num.isNotNull()).alias("float_ok"),
             cnt(
                 F.expr(
-                    f"try_cast(translate(trim(cast(`{col}` as string)), '{NUMERIC_SYMBOLS}', '') as double) is not null"
+                    f"try_cast(translate(`__s_{col}`, '{NUMERIC_SYMBOLS}', '') as double) is not null"
                 )
             ).alias("numsym_ok"),
             cnt(F.lower(s).isin(*BOOL_VALUES)).alias("bool_ok"),
             F.max((ok & s.startswith("0")).cast("int")).alias("leading_zero"),
         ]
-        # Datetime format bitmask: bit i set when format i parsed the value.
-        # bit_and over non-null rows != 0  ⇔  one format parsed everything.
-        parseable = F.length(s) <= _DT_MAX_LEN
-        mask_terms = [
-            F.when(
-                parseable & F.try_to_timestamp(s, F.lit(fmt)).isNotNull(),
-                F.lit(1 << i).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i, fmt in enumerate(DATETIME_FORMATS)
-        ]
-        mask = sum(mask_terms[1:], start=mask_terms[0])
+        # bit_and over non-null rows != 0  ⇔  one format parsed everything
+        # (mask precomputed in _prep_exprs).
+        mask = F.col(f"__dtmask_{col}")
         members += [
             F.bit_and(F.when(ok, mask)).alias("dt_mask_and"),
             cnt(mask != 0).alias("dt_any"),
@@ -192,10 +237,13 @@ def stats_agg_df(
     """The Stage-A plan: one (optionally grouped) aggregation, one struct
     per profiled column. Lazy — callers pick collection strategy."""
     cols = columns or [c for c in df.columns if not group_by or c not in group_by]
+    prepped = df.select(
+        *[F.col(g) for g in (group_by or [])], *_prep_exprs(df, cols)
+    )
     structs = [_stat_struct(df, c, with_sketch=with_sketch) for c in cols]
     if group_by:
-        return df.groupBy(*group_by).agg(*structs)
-    return df.agg(*structs)
+        return prepped.groupBy(*group_by).agg(*structs)
+    return prepped.agg(*structs)
 
 
 def column_stats(
@@ -230,6 +278,58 @@ def per_partition_stats(
     """
     cols = columns or [c for c in df.columns if c != partition_col]
     return stats_agg_df(df, cols, group_by=[partition_col], with_sketch=with_sketch)
+
+
+def stats_rollup_df(
+    df: DataFrame,
+    partition_col: str,
+    columns: list[str] | None = None,
+    with_sketch: bool = False,
+) -> DataFrame:
+    """Global + per-partition Stage A in ONE scan via ``rollup``.
+
+    ``rollup(partition_col)`` evaluates the grouping sets
+    ``((partition_col), ())`` from the same pass over the data — the
+    global row is computed from raw rows (not merged estimates), so
+    ``approx_distinct`` stays directly comparable to a plain global agg.
+    At 100 TB this halves Stage-A IO versus separate global and
+    per-partition jobs. ``_is_total = 1`` marks the global row
+    (disambiguates a genuine NULL partition value).
+    """
+    cols = columns or [c for c in df.columns if c != partition_col]
+    # Group on an aliased COPY of the partition column: grouping sets null
+    # out the grouping attribute, which would corrupt stats computed over
+    # the partition column itself in the global row.
+    prepped = df.select(
+        F.col(partition_col).alias("__part"), *_prep_exprs(df, cols)
+    )
+    structs = [_stat_struct(df, c, with_sketch=with_sketch) for c in cols]
+    # The key column stays named "__part" (renaming back could collide
+    # when the partition column is itself among the profiled columns).
+    return prepped.rollup("__part").agg(
+        *structs, F.grouping("__part").alias("_is_total")
+    )
+
+
+def collect_rollup_stats(
+    rollup_df: DataFrame, partition_col: str, dtypes: dict[str, str]
+) -> tuple[dict[str, ColumnStats], dict[Any, dict[str, ColumnStats]]]:
+    """Split a ``stats_rollup_df`` result into
+    ``(global_stats, {partition_value: stats})``. ``partition_col`` is
+    accepted for call-site clarity; the key column is ``__part``."""
+    del partition_col
+    stat_cols = [
+        c for c in rollup_df.columns if c not in ("__part", "_is_total")
+    ]
+    global_stats: dict[str, ColumnStats] = {}
+    part_stats: dict[Any, dict[str, ColumnStats]] = {}
+    for row in rollup_df.collect():
+        d = {c: _row_to_stats(c, dtypes[c], row[c]) for c in stat_cols}
+        if row["_is_total"] == 1:
+            global_stats = d
+        else:
+            part_stats[row["__part"]] = d
+    return global_stats, part_stats
 
 
 def merge_partition_stats(

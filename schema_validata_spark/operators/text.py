@@ -1,0 +1,189 @@
+"""Text analysis for large-scale training-data pipelines.
+
+No counterpart in the reference (it validates tabular spreadsheets);
+these are the document-corpus operators a 100 TB training pipeline needs,
+built as pure Column expressions (whole-stage codegen, zero Python in the
+hot path):
+
+* token counting — whitespace tokens + a BPE-ish subword estimate
+* quality scoring — length / punctuation / stopword / repetition ratios
+* language ID — stopword-hit heuristic over a per-language marker list
+* document fingerprinting — 64-bit content hash + shingle fingerprints
+  (the building block operators/dedup.py composes into MinHash/SimHash)
+
+Everything returns a Column so callers compose them into their own
+selects; `*_df` helpers give ready-made query shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish heuristic: ~4 characters per subword token on natural text
+BPE_CHARS_PER_TOKEN = 4.0
+
+# Tiny per-language high-frequency marker sets — enough signal for a
+# heuristic language vote; swap for fastText at deploy time.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "en", "y"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(F.trim(c)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(c), _WS))).cast("long")
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish subword-token estimate: ceil(chars / 4), floored at the
+    whitespace token count (a subword tokenizer never merges across
+    whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(
+        F.ceil(F.length(F.trim(c)) / F.lit(BPE_CHARS_PER_TOKEN)).cast("long"),
+        token_count(c),
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (double, NULL on empty)."""
+    t = tokens(col)
+    n = F.size(t)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    clean = F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
+    return F.when(total > 0, (total - clean).cast("double") / total.cast("double"))
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 − distinct_tokens / tokens — high on degenerate repeated text."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n.cast("double"),
+    )
+
+
+def mean_word_length(col: Column | str) -> Column:
+    t = tokens(col)
+    n = F.size(t)
+    chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(n > 0, chars.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score from length / punctuation /
+    repetition / word-length heuristics (Gopher-style filters folded into
+    one number). Pure expression — scored at scan speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = F.coalesce(mean_word_length(c), F.lit(0.0))
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    rep = F.coalesce(repetition_ratio(c), F.lit(1.0))
+    rep_ok = F.lit(1.0) - F.least(rep * 2, F.lit(1.0))
+    punct = F.coalesce(punct_ratio(c), F.lit(1.0))
+    punct_ok = F.when(punct <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        (len_ok + mwl_ok + rep_ok + punct_ok) / F.lit(4.0), 6
+    )
+
+
+def _isin_filter(marks: tuple[str, ...]):
+    """Single-arg lambda factory — PySpark higher-order functions infer
+    the SQL lambda arity from the Python signature, so closures must not
+    carry default-arg parameters."""
+    return lambda x: x.isin(*marks)
+
+
+def lang_votes(col: Column | str) -> list[Column]:
+    """Per-language marker-hit counts (one filter per language)."""
+    t = tokens(col)
+    return [
+        F.size(F.filter(t, _isin_filter(marks))).alias(f"hits_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Heuristic language ID: language with the most marker hits,
+    ``'und'`` when nothing scores ≥ ``min_hits``."""
+    t = tokens(col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(t, _isin_filter(marks))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit content fingerprint (xxhash64) — the exact-dedup key.
+    Collision odds at 10^12 docs ~2.7e-8 per pair-bucket; exact-content
+    confirm happens inside dedup's group (operators/dedup.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """k-token shingle strings (the MinHash/Jaccard unit).
+
+    ``transform`` over token indexes + ``slice`` — pure expression, no
+    UDF; returns array<string>, distinct."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(t, i, k))
+        )
+    )
+
+
+def shingle_hashes(col: Column | str, k: int = 5) -> Column:
+    """xxhash64 of each k-shingle (array<long>) — input to MinHash."""
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+
+
+def text_stats_df(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Ready-made per-document stats: tokens, BPE estimate, quality,
+    language, fingerprint — one scan, all codegen'd."""
+    c = F.col(text_col)
+    return df.select(
+        *[F.col(i) for i in id_cols],
+        token_count(c).alias("n_tokens"),
+        bpe_token_estimate(c).alias("n_bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint64(c).alias("fingerprint"),
+    )

@@ -106,6 +106,10 @@ def rule_aggregates(
     with counters ``regex_miss``, ``unallowed``, ``distinct``, ``nonnull``.
     Only columns whose spec activates the matching rule contribute
     aggregates — columns without such rules cost nothing.
+
+    With ``group_by`` set, a ``rollup`` computes the global AND the
+    per-partition counters in the same scan (grouping sets ``((g), ())``)
+    — the global row carries key ``None``.
     """
     aggs = []
     present = set(df.columns)
@@ -130,10 +134,21 @@ def rule_aggregates(
             aggs.append(F.sum(ok.cast("long")).alias(f"{cs.field_name}::nonnull"))
     if not aggs:
         return {}
-    agged = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    if group_by:
+        # Group on an aliased COPY: grouping sets null out the grouping
+        # attribute itself, which would corrupt aggregates over the
+        # partition column in the global row.
+        agged = df.withColumn("__part", F.col(group_by)).rollup("__part").agg(
+            *aggs, F.grouping("__part").alias("__is_total")
+        )
+    else:
+        agged = df.agg(*aggs)
     out: dict[str | None, dict[str, dict[str, int]]] = {}
     for row in agged.collect():
-        key = row[group_by] if group_by else None
+        if group_by:
+            key = None if row["__is_total"] == 1 else row["__part"]
+        else:
+            key = None
         d = row.asDict()
         per_col: dict[str, dict[str, int]] = {}
         for k, v in d.items():

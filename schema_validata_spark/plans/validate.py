@@ -32,9 +32,9 @@ from schema_validata_spark.operators.duplicates import (
 )
 from schema_validata_spark.operators.stats import (
     ColumnStats,
-    collect_column_stats_grouped,
+    collect_rollup_stats,
     column_stats,
-    per_partition_stats,
+    stats_rollup_df,
 )
 from schema_validata_spark.operators.verdicts import (
     Verdict,
@@ -136,18 +136,25 @@ def validate_table(
     :4085).
     """
     spec_cols = [c for c in spec.column_names if c in df.columns]
-    # Stage A: single-pass stats (global) + optional per-partition.
-    stats = column_stats(df, spec_cols)
+    # Stage A: single-pass stats. With a partition column, ONE rollup scan
+    # yields both the global and the per-partition stats (grouping sets);
+    # same for the rule-counter aggregates below — Stage A+B cost is two
+    # scans total regardless of partitioning.
     part_stats = None
     if partition_col is not None:
-        pstats_df = per_partition_stats(df, partition_col, spec_cols)
-        part_stats = collect_column_stats_grouped(
-            pstats_df, partition_col, dict(df.dtypes)
+        stats, part_stats = collect_rollup_stats(
+            stats_rollup_df(df, partition_col, spec_cols),
+            partition_col,
+            dict(df.dtypes),
         )
+    else:
+        stats = column_stats(df, spec_cols)
 
-    # Rule aggregates (regex/allowed/unique counters), grouped if needed.
-    counts_by_part = rule_aggregates(df, spec, group_by=partition_col) if partition_col else {}
-    counts_global = rule_aggregates(df, spec).get(None, {})
+    # Rule aggregates (regex/allowed/unique counters): rollup-grouped when
+    # partitioned (global row under key None).
+    counts_all = rule_aggregates(df, spec, group_by=partition_col)
+    counts_global = counts_all.get(None, {})
+    counts_by_part = {k: v for k, v in counts_all.items() if k is not None}
 
     # Exact duplicate counts — only for unique-rule columns whose cheap
     # distinct check failed (verdict-first gating).

@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given sf dir, runs the
+matching oracle_sql() in DuckDB over the same parquet files, and
+compares row count, sorted column names, and exact values (rows sorted
+by all columns). Usage: python tools/check_correctness.py [sf_dir] [name...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as E
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = 0
+
+    print("== entry() smoke ==")
+    t0 = time.time()
+    edf = E.entry(spark)
+    erows = edf.collect()
+    print(f"entry: {len(erows)} rows, schema={[f.name for f in edf.schema]}, {time.time()-t0:.1f}s")
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        dt_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {dt_spark:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            failures += 1
+            continue
+        if not s.equals(o):
+            neq = (s != o) & ~(s.isna() & o.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(s)} mismatched rows; first:")
+            print(pd.concat([s[bad].head(3), o[bad].head(3)]))
+            failures += 1
+            continue
+        print(f"PASS {name}: {len(s)} rows, {dt_spark:.1f}s")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
