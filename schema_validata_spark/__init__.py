@@ -33,7 +33,16 @@ from schema_validata_spark.sources.spec import (
 from schema_validata_spark.operators.stats import column_stats, per_partition_stats
 from schema_validata_spark.operators.verdicts import evaluate_verdicts, verdicts_to_df
 from schema_validata_spark.operators.violations import extract_violations
+from schema_validata_spark.operators.profile import build_data_dictionary, profile_df
+from schema_validata_spark.operators.integrity import (
+    check_foreign_keys,
+    fk_violations,
+    run_integrity_rules,
+)
+from schema_validata_spark.operators.drift import chi_square_drift, drift_report, ks_drift
 from schema_validata_spark.plans.validate import validate_dataset
+from schema_validata_spark.plans.resume import resumable_validate_table
+from schema_validata_spark.sources.corpus import synthetic_code_corpus
 
 __all__ = [
     "is_na",
@@ -52,7 +61,17 @@ __all__ = [
     "evaluate_verdicts",
     "verdicts_to_df",
     "extract_violations",
+    "profile_df",
+    "build_data_dictionary",
+    "fk_violations",
+    "check_foreign_keys",
+    "run_integrity_rules",
+    "chi_square_drift",
+    "ks_drift",
+    "drift_report",
     "validate_dataset",
+    "resumable_validate_table",
+    "synthetic_code_corpus",
 ]
 
 __version__ = "0.1.0"

@@ -171,6 +171,10 @@ class TypeVotes:
     dt_full_parse: bool = False  # some single strict format parsed EVERY value
     dt_any_fmt: int = 0     # values parsed by >=1 strict format
     numeric_serial_plausible: bool = False  # numeric col: min>1 and max<100000
+    # raw bit_and of the per-value format bitmask over non-null rows —
+    # kept so partition-level votes merge exactly (AND) on the driver;
+    # dt_full_parse is its != 0 projection.
+    dt_mask: int = 0
 
 
 def resolve_canonical_type(

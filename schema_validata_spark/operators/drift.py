@@ -1,0 +1,242 @@
+"""Distribution-drift checks vs a baseline snapshot — M7 (north-rule
+capability; the reference has no drift checks).
+
+* chi-square — categorical columns: value counts of current vs baseline
+  snapshots joined on value, statistic from expression math; only the
+  per-value count rows (small) ever reach the driver.
+* KS (two-sample Kolmogorov–Smirnov) — numeric columns: baseline
+  ``approx_percentile`` grid as thresholds, both snapshots' empirical
+  CDFs evaluated at those thresholds in one aggregate each, statistic =
+  max CDF gap.
+
+P-values are computed driver-side with self-contained math (regularized
+incomplete gamma for chi²; the asymptotic Kolmogorov Q-function for KS)
+— no scipy dependency. Both checks cost one scan per snapshot; at scale
+the baseline side is typically a persisted counts/quantile table, so the
+recurring cost is one scan of the current snapshot only (pass
+``*_counts_df`` / precomputed thresholds to the lower-level functions).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na
+
+
+# ------------------------------------------------------ driver-side math
+
+def _gammainc_upper_q(s: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(s, x) = Γ(s,x)/Γ(s).
+
+    Series for x < s+1, continued fraction otherwise (Numerical Recipes
+    6.2 construction — standard public algorithm)."""
+    if x < 0 or s <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < s + 1:
+        # lower series P(s,x), return 1-P
+        term = 1.0 / s
+        total = term
+        n = s
+        for _ in range(500):
+            n += 1
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-12:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q(s,x)
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-12:
+            break
+    return h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    """Chi-square survival function P(X >= stat)."""
+    if dof <= 0 or math.isnan(stat):
+        return float("nan")
+    return _gammainc_upper_q(dof / 2.0, stat / 2.0)
+
+
+def ks_sf(stat: float, n1: float, n2: float) -> float:
+    """Asymptotic two-sample KS p-value (Kolmogorov distribution Q)."""
+    if math.isnan(stat):
+        return float("nan")
+    ne = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * stat
+    if lam < 0.3:
+        # series alternates without damping as λ→0; Q(λ→0) = 1
+        return 1.0
+    total = 0.0
+    for j in range(1, 101):
+        term = 2.0 * (-1) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return min(max(total, 0.0), 1.0)
+
+
+@dataclass(frozen=True)
+class DriftResult:
+    column: str
+    method: str          # 'chi_square' | 'ks'
+    statistic: float
+    p_value: float
+    n_current: int
+    n_baseline: int
+    drifted: bool        # p_value < alpha
+
+
+# ---------------------------------------------------------- chi-square
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """Non-NA value counts — the persistable baseline artifact."""
+    return (
+        df.filter(~is_na(F.col(col)))
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def chi_square_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    alpha: float = 0.01,
+    current_counts: DataFrame | None = None,
+    baseline_counts: DataFrame | None = None,
+) -> DriftResult:
+    """Pearson chi-square of current category counts against expected
+    counts scaled from the baseline distribution.
+
+    Categories absent from one side contribute with count 0 (full outer
+    join). Expected count for category i: ``n_cur * base_i / n_base``.
+    Zero-expected categories (new values never seen in baseline) are
+    assigned the conservative 0.5 expected count so novel categories
+    register as drift instead of dividing by zero.
+    """
+    cur = current_counts if current_counts is not None else value_counts(current, col)
+    base = baseline_counts if baseline_counts is not None else value_counts(baseline, col)
+    joined = (
+        cur.withColumnRenamed("n", "n_cur")
+        .join(base.withColumnRenamed("n", "n_base"), on="value", how="full_outer")
+        .fillna(0, subset=["n_cur", "n_base"])
+    )
+    totals = joined.agg(
+        F.sum("n_cur").alias("tc"),
+        F.sum("n_base").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    tc, tb, k = int(totals["tc"] or 0), int(totals["tb"] or 0), int(totals["k"])
+    if tc == 0 or tb == 0 or k < 2:
+        return DriftResult(col, "chi_square", float("nan"), float("nan"), tc, tb, False)
+    stat_row = joined.select(
+        F.sum(
+            F.pow(
+                F.col("n_cur")
+                - F.lit(tc) * F.col("n_base").cast("double") / F.lit(tb),
+                2,
+            )
+            / F.greatest(
+                F.lit(tc) * F.col("n_base").cast("double") / F.lit(tb),
+                F.lit(0.5),
+            )
+        ).alias("stat")
+    ).collect()[0]
+    stat = float(stat_row["stat"])
+    p = chi2_sf(stat, k - 1)
+    return DriftResult(col, "chi_square", stat, p, tc, tb, p < alpha)
+
+
+# ------------------------------------------------------------------ KS
+
+def quantile_thresholds(
+    df: DataFrame, col: str, n_quantiles: int = 99
+) -> list[float]:
+    """Baseline equi-depth quantile grid via ``approx_percentile`` — the
+    persistable artifact for recurring KS checks."""
+    probs = [i / (n_quantiles + 1) for i in range(1, n_quantiles + 1)]
+    row = df.select(
+        F.percentile_approx(
+            F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)"),
+            probs,
+            10000,
+        ).alias("q")
+    ).collect()[0]
+    qs = row["q"] or []
+    return sorted(set(float(q) for q in qs if q is not None))
+
+
+def _cdf_at(df: DataFrame, col: str, thresholds: list[float]) -> tuple[list[float], int]:
+    num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+    aggs = [F.count(num).alias("__n")] + [
+        F.sum((num <= F.lit(t)).cast("long")).alias(f"__t{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"] or 0)
+    if n == 0:
+        return [0.0] * len(thresholds), 0
+    return [int(row[f"__t{i}"] or 0) / n for i in range(len(thresholds))], n
+
+
+def ks_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    alpha: float = 0.01,
+    n_quantiles: int = 99,
+    thresholds: list[float] | None = None,
+) -> DriftResult:
+    """Two-sample KS over a numeric column: D = max |F_cur − F_base|
+    evaluated on the baseline quantile grid (equi-depth, so the grid
+    brackets the mass where it lives). One aggregate per snapshot."""
+    ts = thresholds if thresholds is not None else quantile_thresholds(
+        baseline, col, n_quantiles
+    )
+    if not ts:
+        return DriftResult(col, "ks", float("nan"), float("nan"), 0, 0, False)
+    cdf_c, n_c = _cdf_at(current, col, ts)
+    cdf_b, n_b = _cdf_at(baseline, col, ts)
+    if n_c == 0 or n_b == 0:
+        return DriftResult(col, "ks", float("nan"), float("nan"), n_c, n_b, False)
+    stat = max(abs(a - b) for a, b in zip(cdf_c, cdf_b))
+    p = ks_sf(stat, n_c, n_b)
+    return DriftResult(col, "ks", stat, p, n_c, n_b, p < alpha)
+
+
+def drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    categorical: list[str] = (),
+    numeric: list[str] = (),
+    alpha: float = 0.01,
+) -> list[DriftResult]:
+    """Run chi-square on categorical and KS on numeric columns."""
+    out = [chi_square_drift(current, baseline, c, alpha) for c in categorical]
+    out += [ks_drift(current, baseline, c, alpha) for c in numeric]
+    return out

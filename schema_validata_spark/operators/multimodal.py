@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-pipeline capability (no reference counterpart). Convention:
+
+* payload column: ``binary`` (image/audio/video bytes, format-opaque)
+* metadata column: struct ``(media_type, format, width, height,
+  duration_ms, sample_rate)`` — nullable per modality
+
+The Spark-side plumbing — schema, partition-preserving ``mapInPandas``
+iteration, Arrow batch shapes, deterministic output schema — is real and
+tested. The actual codec work (image decode/resize, audio resample,
+video frame sampling) is STUBBED: the codec libraries (Pillow/ffmpeg/…)
+are not in this container, so each kernel either raises
+``NotImplementedError`` (strict mode) or produces a deterministic fake
+derived from the payload hash (test mode) with the exact schema a real
+decoder would emit. Swapping in a real codec changes only the marked
+inner function, never the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("format", T.StringType()),        # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),     # decoded-pixel stat
+        T.StructField("phash", T.LongType()),            # perceptual hash
+    ]
+)
+
+
+def _fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder.
+
+    REPLACE-ME(codec): a real implementation decodes ``payload`` with
+    Pillow/libvips and computes actual pixel stats; this fake derives
+    every field from a stable hash of the bytes so tests are exact and
+    repeatable.
+    """
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 64,
+        "height": 64 + h[1] % 64,
+        "mean_luma": h[2] / 255.0,
+        "phash": int.from_bytes(h[3:11], "big", signed=True),
+    }
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    strict: bool = False,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Per-image features via ``mapInPandas`` (Arrow-batched; one Python
+    worker per partition, zero driver involvement).
+
+    ``strict=True`` raises ``NotImplementedError`` at executor time —
+    the contract for environments without a codec. The plumbing keeps
+    partitioning (narrow transformation, no shuffle) and prunes input
+    columns to ``id_cols + [payload_col]``.
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + list(IMAGE_FEATURES_SCHEMA.fields)
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires a codec library (not in this "
+                    "container); run with strict=False for the "
+                    "deterministic fake decoder"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                d = _fake_decode_image(payload)
+                rows.append(
+                    {
+                        **{c: r[c] for c in id_cols},
+                        "content_sha": hashlib.sha256(payload).hexdigest(),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_bytes": len(payload),
+                        "mean_luma": d["mean_luma"],
+                        "phash": d["phash"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    pruned = df.select(*id_cols, payload_col)
+    return pruned.mapInPandas(kernel, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (video, frame_ts).
+
+    The frame timestamps derive from metadata duration (real); the frame
+    payload extraction is the stubbed codec step — emitted as NULL bytes
+    with the correct schema. REPLACE-ME(codec): real impl calls ffmpeg
+    per partition inside mapInPandas.
+    """
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    ts = F.explode(
+        F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+    ).alias("frame_ts_ms")
+    return df.select(*id_cols, dur.alias("duration_ms"), ts).withColumn(
+        "frame_payload", F.lit(None).cast("binary")
+    )
+
+
+def validate_media_meta(df: DataFrame) -> DataFrame:
+    """Constraint checks native to the media metadata struct: negative
+    dimensions/durations, unknown media types, payload-meta mismatches.
+    Pure Column expressions — composes with the violation pipeline."""
+    m = F.col("media_meta")
+    checks = [
+        ((m["media_type"].isNull()) | ~m["media_type"].isin("image", "audio", "video"),
+         "media_type_invalid"),
+        ((m["media_type"] == "image") & (
+            m["width"].isNull() | (m["width"] <= 0)
+            | m["height"].isNull() | (m["height"] <= 0)), "image_dims_invalid"),
+        ((m["media_type"].isin("audio", "video")) & (
+            m["duration_ms"].isNull() | (m["duration_ms"] <= 0)), "duration_invalid"),
+        ((m["media_type"] == "audio") & (
+            m["sample_rate"].isNull() | (m["sample_rate"] <= 0)), "sample_rate_invalid"),
+    ]
+    hits = F.filter(
+        F.array(
+            *[F.when(pred, F.lit(rule)) for pred, rule in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.withColumn("_rules", hits)
+        .filter(F.size("_rules") > 0)
+        .withColumn("rule_id", F.explode("_rules"))
+        .drop("_rules")
+    )

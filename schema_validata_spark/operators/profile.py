@@ -109,22 +109,40 @@ def build_data_dictionary(
     low_card = [
         c for c in cols if stats[c].approx_distinct <= max_unique_vals * 2
     ]
+    # SURVEY A3: the HLL estimate (±2 %) prefilters; columns whose
+    # estimate is CLOSE to the non-null count get one exact
+    # count_distinct confirm so the unique_value flag is never decided
+    # by an approximation. Clearly-non-unique columns skip the confirm.
+    ambiguous = [
+        c for c in cols
+        if c not in low_card
+        and stats[c].nonnull > 0
+        and stats[c].approx_distinct >= 0.9 * stats[c].nonnull
+    ]
     harvested: dict[str, list] = {}
     uniques_exact: dict[str, int] = {}
-    if low_card:
+    if low_card or ambiguous:
         row = df.agg(
             *[
                 F.array_sort(
                     F.collect_set(F.when(~is_na(F.col(c)), F.col(c).cast("string")))
                 ).alias(f"__set_{c}")
                 for c in low_card
-            ]
+            ],
+            *[
+                F.count_distinct(
+                    F.when(~is_na(F.col(c)), F.col(c).cast("string"))
+                ).alias(f"__exact_{c}")
+                for c in ambiguous
+            ],
         ).collect()[0]
         for c in low_card:
             vals = row[f"__set_{c}"] or []
             uniques_exact[c] = len(vals)
             if len(vals) <= max_unique_vals:
                 harvested[c] = list(vals)
+        for c in ambiguous:
+            uniques_exact[c] = int(row[f"__exact_{c}"] or 0)
 
     out: dict[str, dict] = {}
     for c in cols:

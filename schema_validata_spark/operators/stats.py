@@ -212,6 +212,7 @@ def _row_to_stats(col: str, spark_type: str, r) -> ColumnStats:
             dt_full_parse=bool(d["dt_mask_and"]) if nonnull > 0 else False,
             dt_any_fmt=int(d["dt_any"] or 0),
             numeric_serial_plausible=serial_plausible,
+            dt_mask=int(d["dt_mask_and"] or 0) if nonnull > 0 else 0,
         )
     else:
         votes = TypeVotes(nonnull=nonnull, numeric_serial_plausible=serial_plausible)
@@ -330,6 +331,61 @@ def collect_rollup_stats(
         else:
             part_stats[row["__part"]] = d
     return global_stats, part_stats
+
+
+def merge_column_stats(parts: list[ColumnStats]) -> ColumnStats:
+    """Driver-side exact merge of per-partition ColumnStats (the resume
+    path: carried-forward manifest metrics + freshly computed partitions).
+
+    Every field merges exactly (sums / min / max / AND of dt_mask over
+    partitions with non-null rows) EXCEPT ``approx_distinct``, which is
+    not mergeable from estimates — the merged value is the SUM, an upper
+    bound, used only for reporting; verdict-relevant distinctness always
+    comes from exact counts or a dedicated global pass.
+    """
+    if not parts:
+        raise ValueError("merge_column_stats: empty input")
+    first = parts[0]
+    n = sum(p.n for p in parts)
+    null_count = sum(p.null_count for p in parts)
+    nums = [p.min_num for p in parts if p.min_num is not None]
+    maxs = [p.max_num for p in parts if p.max_num is not None]
+    lens = [p.max_len for p in parts if p.max_len is not None]
+    min_num = min(nums) if nums else None
+    max_num = max(maxs) if maxs else None
+    voting = [p for p in parts if p.votes.nonnull > 0]
+    mask = None
+    for p in voting:
+        mask = p.votes.dt_mask if mask is None else (mask & p.votes.dt_mask)
+    mask = mask or 0
+    serial_plausible = (
+        min_num is not None and max_num is not None
+        and min_num > 1 and max_num < 100000
+    )
+    votes = TypeVotes(
+        nonnull=n - null_count,
+        int_ok=sum(p.votes.int_ok for p in parts),
+        long_ok=sum(p.votes.long_ok for p in parts),
+        float_ok=sum(p.votes.float_ok for p in parts),
+        numsym_ok=sum(p.votes.numsym_ok for p in parts),
+        bool_ok=sum(p.votes.bool_ok for p in parts),
+        leading_zero=any(p.votes.leading_zero for p in parts),
+        dt_full_parse=mask != 0,
+        dt_any_fmt=sum(p.votes.dt_any_fmt for p in parts),
+        numeric_serial_plausible=serial_plausible,
+        dt_mask=mask,
+    )
+    return ColumnStats(
+        column=first.column,
+        spark_type=first.spark_type,
+        n=n,
+        null_count=null_count,
+        approx_distinct=sum(p.approx_distinct for p in parts),
+        min_num=min_num,
+        max_num=max_num,
+        max_len=max(lens) if lens else None,
+        votes=votes,
+    )
 
 
 def merge_partition_stats(

@@ -161,7 +161,11 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     UDF; returns array<string>, distinct."""
     t = tokens(col)
     n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    # sequence(1, 0) is an error in Spark (start > stop needs step -1),
+    # so short docs (< k tokens) get an explicitly empty shingle set.
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(t, i, k))

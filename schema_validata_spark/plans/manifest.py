@@ -1,0 +1,149 @@
+"""Checkpointed per-partition lineage manifests — M8 (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Spark has no built-in batch resume, so this is engine code around the
+job: after Stage A computes one stats row per partition value, each
+partition's metrics are written as one JSON manifest file
+``<dir>/part=<urlencoded value>.json`` (write-to-temp + atomic rename).
+On restart the driver reads the manifest directory, filters the input to
+the incomplete partitions only (partition pruning does the skip when the
+partition column is the physical layout key), recomputes just those, and
+carries completed partitions' metrics forward — final verdicts are
+bit-identical to an uninterrupted run (tested).
+
+Manifest keys are **stable partition values** (e.g. the Iceberg
+partition column ``lang``), never ``spark_partition_id()`` — task ids
+change with every re-plan (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql import DataFrame
+
+from schema_validata_spark.operators.stats import ColumnStats
+from schema_validata_spark.functions.types import TypeVotes
+
+MANIFEST_VERSION = 1
+
+
+def _fname(partition_value: str) -> str:
+    return f"part={urllib.parse.quote(str(partition_value), safe='')}.json"
+
+
+def _stats_to_dict(stats: dict[str, ColumnStats]) -> dict:
+    return {
+        c: {
+            "column": s.column,
+            "spark_type": s.spark_type,
+            "n": s.n,
+            "null_count": s.null_count,
+            "approx_distinct": s.approx_distinct,
+            "min_num": s.min_num,
+            "max_num": s.max_num,
+            "max_len": s.max_len,
+            "votes": vars(s.votes),
+        }
+        for c, s in stats.items()
+    }
+
+
+def _stats_from_dict(d: dict) -> dict[str, ColumnStats]:
+    return {
+        c: ColumnStats(
+            column=v["column"],
+            spark_type=v["spark_type"],
+            n=v["n"],
+            null_count=v["null_count"],
+            approx_distinct=v["approx_distinct"],
+            min_num=v["min_num"],
+            max_num=v["max_num"],
+            max_len=v["max_len"],
+            votes=TypeVotes(**v["votes"]),
+        )
+        for c, v in d.items()
+    }
+
+
+def write_partition_manifest(
+    manifest_dir: str,
+    partition_value: str,
+    stats: dict[str, ColumnStats],
+    rule_counts: dict[str, dict[str, int]] | None = None,
+    run_uid: str = "",
+) -> str:
+    """Atomically persist one partition's Stage-A metrics."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    path = os.path.join(manifest_dir, _fname(partition_value))
+    tmp = path + ".tmp"
+    payload = {
+        "version": MANIFEST_VERSION,
+        "run_uid": run_uid,
+        "partition": partition_value,
+        "status": "done",
+        "stats": _stats_to_dict(stats),
+        "rule_counts": rule_counts or {},
+    }
+    with open(tmp, "w") as f:
+        json.dump(payload, f, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def read_manifests(
+    manifest_dir: str, run_uid: str = ""
+) -> dict[str, dict]:
+    """Completed partitions: ``{partition_value: payload}``. Manifests
+    from a different ``run_uid`` (spec or snapshot changed) are ignored —
+    a changed spec invalidates carried-forward verdicts."""
+    out: dict[str, dict] = {}
+    if not os.path.isdir(manifest_dir):
+        return out
+    for fn in os.listdir(manifest_dir):
+        if not (fn.startswith("part=") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(manifest_dir, fn)) as f:
+                payload = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write → recompute that partition
+        if payload.get("status") != "done":
+            continue
+        if run_uid and payload.get("run_uid") != run_uid:
+            continue
+        out[str(payload["partition"])] = payload
+    return out
+
+
+def completed_partitions(manifest_dir: str, run_uid: str = "") -> set[str]:
+    return set(read_manifests(manifest_dir, run_uid))
+
+
+def loaded_stats(
+    manifest_dir: str, run_uid: str = ""
+) -> tuple[dict[str, dict[str, ColumnStats]], dict[str, dict[str, dict[str, int]]]]:
+    """Carried-forward metrics: ``({part: stats}, {part: rule_counts})``."""
+    stats: dict[str, dict[str, ColumnStats]] = {}
+    counts: dict[str, dict[str, dict[str, int]]] = {}
+    for part, payload in read_manifests(manifest_dir, run_uid).items():
+        stats[part] = _stats_from_dict(payload["stats"])
+        counts[part] = payload.get("rule_counts", {})
+    return stats, counts
+
+
+def filter_incomplete(
+    df: DataFrame, partition_col: str, done: set[str]
+) -> DataFrame:
+    """Prune completed partitions from the input. When ``partition_col``
+    is the physical partition key, Catalyst turns this into partition
+    pruning — completed data is never read, which IS the resume."""
+    if not done:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.filter(~F.col(partition_col).cast("string").isin(*sorted(done)))

@@ -1,0 +1,164 @@
+"""Resumable validation — M8: Stage A/B with per-partition checkpointing.
+
+Lifecycle (north rule: "resumable from checkpointed per-partition lineage
+manifests, completed partitions skipped, metrics carried forward"):
+
+1. read ``manifest_dir`` → completed partition values for this run_uid
+   (run_uid = sha256(spec) + dataset token, so a changed spec or new
+   snapshot invalidates old manifests);
+2. prune completed partitions from the input (partition pruning when the
+   column is the physical layout key — skipped data is never read);
+3. per-partition Stage A over the remaining partitions only; write one
+   manifest per finished partition (atomic rename);
+4. merge carried-forward + fresh partition stats driver-side
+   (``merge_column_stats`` — exact) into global stats;
+5. global-only rules that cannot merge from partition metrics
+   (``unique_value``: per-partition distinct counts don't compose across
+   partitions) run as a dedicated finalize pass — the salted duplicate
+   aggregate over the full table, only for columns with a unique rule;
+6. verdicts = global + per-partition, identical to an uninterrupted
+   ``validate_table`` run (property-tested).
+
+Violation rows (Stage C) are orthogonal: run them per remaining
+partition and append to a sink partitioned by the same column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from schema_validata_spark.operators.duplicates import duplicate_count
+from schema_validata_spark.operators.stats import (
+    ColumnStats,
+    collect_rollup_stats,
+    merge_column_stats,
+    stats_rollup_df,
+)
+from schema_validata_spark.operators.verdicts import (
+    Verdict,
+    evaluate_verdicts,
+    rule_aggregates,
+)
+from schema_validata_spark.plans.manifest import (
+    completed_partitions,
+    filter_incomplete,
+    loaded_stats,
+    write_partition_manifest,
+)
+from schema_validata_spark.plans.validate import TableValidation
+from schema_validata_spark.sources.spec import TableSpec
+
+
+def resumable_validate_table(
+    df: DataFrame,
+    spec: TableSpec,
+    partition_col: str,
+    manifest_dir: str,
+    dataset_token: str = "",
+) -> TableValidation:
+    """Stage A/B with checkpoint/resume. Re-running after an interrupt
+    recomputes only partitions without a manifest; a completed run is a
+    pure manifest read plus the global finalize pass."""
+    import hashlib
+    import json
+
+    run_uid = hashlib.sha256(
+        (dataset_token + json.dumps(spec.name)).encode()
+    ).hexdigest()[:16] + "_" + _spec_digest(spec)
+
+    done = completed_partitions(manifest_dir, run_uid)
+    carried_stats, carried_counts = loaded_stats(manifest_dir, run_uid)
+
+    remaining = filter_incomplete(df, partition_col, done)
+    spec_cols = [c for c in spec.column_names if c in df.columns]
+    dtypes = dict(df.dtypes)
+
+    # Stage A over the incomplete partitions only (one rollup scan; the
+    # global row of this scan covers only remaining data and is unused —
+    # the true global comes from the driver-side merge below).
+    _, fresh_parts = collect_rollup_stats(
+        stats_rollup_df(remaining, partition_col, spec_cols),
+        partition_col,
+        dtypes,
+    )
+    fresh_counts_all = rule_aggregates(remaining, spec, group_by=partition_col)
+    fresh_counts = {
+        str(k): v for k, v in fresh_counts_all.items() if k is not None
+    }
+
+    for pval, pstats in fresh_parts.items():
+        write_partition_manifest(
+            manifest_dir,
+            str(pval),
+            pstats,
+            rule_counts=fresh_counts.get(str(pval), {}),
+            run_uid=run_uid,
+        )
+
+    all_parts: dict[str, dict[str, ColumnStats]] = dict(carried_stats)
+    all_parts.update({str(k): v for k, v in fresh_parts.items()})
+    all_counts: dict[str, dict[str, dict[str, int]]] = dict(carried_counts)
+    all_counts.update(fresh_counts)
+
+    # Driver-side exact merge → global stats.
+    global_stats = {
+        c: merge_column_stats([p[c] for p in all_parts.values() if c in p])
+        for c in spec_cols
+        if any(c in p for p in all_parts.values())
+    }
+
+    # Global counters: regex/unallowed/nonnull sum exactly across
+    # partitions; distinct does not — unique rules get the dedicated
+    # finalize pass (salted two-phase aggregate over the FULL table).
+    global_counts: dict[str, dict[str, int]] = {}
+    for per_col in all_counts.values():
+        for col, counters in per_col.items():
+            g = global_counts.setdefault(col, {})
+            for k, v in counters.items():
+                if k != "distinct":
+                    g[k] = g.get(k, 0) + v
+    dup_counts: dict[str, int] = {}
+    for cs in spec.columns:
+        if cs.unique_value and cs.field_name in df.columns:
+            dups = duplicate_count(df, [cs.field_name])
+            dup_counts[cs.field_name] = dups
+            g = global_counts.setdefault(cs.field_name, {})
+            nonnull = g.get("nonnull", 0)
+            # distinct reconstructed so the verdict sees exact semantics:
+            # dups counts rows in duplicated groups; distinct == nonnull
+            # iff dups == 0.
+            g["distinct"] = nonnull if dups == 0 else nonnull - max(dups // 2, 1)
+
+    verdicts: list[Verdict] = evaluate_verdicts(
+        spec, global_stats, df.columns, global_counts, dup_counts, partition=None
+    )
+    for pval, pstats in sorted(all_parts.items()):
+        verdicts.extend(
+            evaluate_verdicts(
+                spec,
+                pstats,
+                df.columns,
+                all_counts.get(pval, {}),
+                {},
+                partition=pval,
+            )
+        )
+
+    return TableValidation(
+        table=spec.name,
+        stats=global_stats,
+        partition_stats=all_parts,
+        verdicts=verdicts,
+        violations=None,
+    )
+
+
+def _spec_digest(spec: TableSpec) -> str:
+    import hashlib
+
+    payload = repr(
+        [(c.field_name, c.active_rules(), c.data_type, c.length, c.range_min,
+          c.range_max, c.regex_pattern, c.allowed_value_list, c.allow_null,
+          c.required, c.unique_value) for c in spec.columns]
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

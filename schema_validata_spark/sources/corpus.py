@@ -1,0 +1,156 @@
+"""Deterministic synthetic source-code corpus (the north-rule input shape).
+
+BASELINE.json ``input_hint``: an Iceberg table of source-code
+repositories with columns ``(repo:string, path:string, commit:string,
+lang:string, content:string)``. This generator synthesises that shape at
+any row count with pure Column expressions over ``spark.range`` — no
+Python row loops, no RNG state: every value is a function of the row id
+and the seed (xxhash64), so any two runs (and any partitioning) produce
+identical rows. That determinism is what the resume tests and the
+two-parallelism scaling benchmark rely on.
+
+Skew is built in deliberately: ``org0/repo0`` holds ``skew_pct`` of all
+rows (default 30 %), modeling the monorepo-dominates-the-corpus shape
+that breaks naive groupBy(repo) plans — the salted uniqueness aggregate
+and AQE skew-join paths are exercised against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ("py", "java", "go", "rs", "ts", "c", "rb", "sh")
+#: lang weights (py-heavy, like real corpora)
+_LANG_CUM = (30, 50, 62, 70, 82, 90, 96, 100)
+
+_VOCAB = (
+    "def class return import if else for while try except with as lambda "
+    "yield pass break continue fn let mut pub struct impl match trait use "
+    "func go chan defer select interface map package var const type switch "
+    "case public private static void int string bool float new delete "
+    "template namespace include assert raise print println log error nil "
+    "null true false self this super async await module export require"
+).split()
+
+_EXTS = {"py": ".py", "java": ".java", "go": ".go", "rs": ".rs",
+         "ts": ".ts", "c": ".c", "rb": ".rb", "sh": ".sh"}
+
+
+def _h(seed: int, *cols: Column) -> Column:
+    """Deterministic 64-bit hash of (seed, cols...)."""
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def synthetic_code_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_repos: int = 100,
+    skew_pct: int = 30,
+    min_tokens: int = 5,
+    max_tokens: int = 120,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``(repo, path, commit, lang, content)`` DataFrame, seed-fixed.
+
+    ``content`` is pseudo-code: a deterministic token sequence whose
+    length and words derive from the row id, so content sha256 is a
+    stable per-row invariant (the north rule's comparison key).
+    """
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    rid = F.col("id")
+
+    repo_pick = F.pmod(_h(seed + 1, rid), F.lit(100))
+    repo_n = F.pmod(_h(seed + 2, rid), F.lit(n_repos))
+    repo = F.when(repo_pick < skew_pct, F.lit("org0/repo0")).otherwise(
+        F.concat(
+            F.lit("org"), F.pmod(repo_n, F.lit(10)).cast("string"),
+            F.lit("/repo"), repo_n.cast("string"),
+        )
+    )
+
+    lang_h = F.pmod(_h(seed + 3, rid), F.lit(100))
+    lang = F.lit(LANGS[-1])
+    for l, cum in reversed(list(zip(LANGS, _LANG_CUM))):
+        lang = F.when(lang_h < cum, F.lit(l)).otherwise(lang)
+
+    ext = F.lit(None).cast("string")
+    ext = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _EXTS]),
+            F.array(*[F.lit(v) for v in _EXTS.values()]),
+        ),
+        lang,
+    )
+    path = F.concat(
+        F.lit("src/"),
+        F.pmod(_h(seed + 4, rid), F.lit(20)).cast("string"),
+        F.lit("/file_"),
+        F.pmod(_h(seed + 5, rid), F.lit(10000)).cast("string"),
+        ext,
+    )
+
+    commit = F.substring(F.sha2(F.concat(F.lit(seed), rid.cast("string")), 256), 1, 40)
+
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_tok = (F.pmod(_h(seed + 6, rid), F.lit(max_tokens - min_tokens + 1)) + min_tokens)
+    content = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.lit(seed + 7), rid, i), F.lit(len(_VOCAB))) + 1).cast("int")
+            ),
+        ),
+    )
+
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def corpus_with_injected_violations(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    null_every: int = 101,
+    badlang_every: int = 97,
+    dup_every: int = 103,
+    **kwargs,
+) -> DataFrame:
+    """Corpus plus deterministic, countable rule violations:
+
+    * every ``null_every``-th row: content set to an NA spelling
+    * every ``badlang_every``-th row: lang outside the allowed list
+    * every ``dup_every``-th row: (repo, path, commit) copied from row 0
+      (composite-uniqueness violations)
+
+    Expected violation counts are exact functions of ``n_rows``, so tests
+    assert engine output == injected counts (SURVEY §5 property tests).
+    """
+    from pyspark.sql.window import Window
+
+    base = synthetic_code_corpus(spark, n_rows, seed=seed, **kwargs)
+    # Stable row index via a global sort on the deterministic commit hash
+    # (monotonically_increasing_id would depend on partitioning). Test
+    # helper only — the single-partition window is fine at fixture scale.
+    w = base.withColumn("__rn", F.row_number().over(Window.orderBy("commit")))
+    first = base.orderBy("commit").limit(1).collect()[0]
+    out = w.select(
+        F.when(F.col("__rn") % dup_every == 0, F.lit(first["repo"]))
+        .otherwise(F.col("repo")).alias("repo"),
+        F.when(F.col("__rn") % dup_every == 0, F.lit(first["path"]))
+        .otherwise(F.col("path")).alias("path"),
+        F.when(F.col("__rn") % dup_every == 0, F.lit(first["commit"]))
+        .otherwise(F.col("commit")).alias("commit"),
+        F.when(F.col("__rn") % badlang_every == 0, F.lit("klingon"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("__rn") % null_every == 0, F.lit("N/A"))
+        .otherwise(F.col("content")).alias("content"),
+    )
+    return out

@@ -1,0 +1,137 @@
+"""Structured Streaming validation.
+
+The reference has no streaming (SURVEY §2.12); this module makes the
+engine's rule surface available on streams two ways:
+
+* **stateless** — :func:`streaming_violations`: the Stage-C fused
+  violation extraction is a pure filter+projection, so it applies
+  directly to a streaming DataFrame (append mode, no state, no
+  watermark needed). This is the per-record data-quality firewall:
+  readStream → violations → writeStream to a quarantine sink.
+* **micro-batch verdicts** — :func:`validate_stream_foreach_batch`:
+  windowed per-batch Stage A/B via ``foreachBatch`` (the full aggregate
+  engine is batch-shaped; foreachBatch is the supported bridge). Each
+  batch's verdicts carry the batch id; a downstream consumer alerts on
+  failures.
+* **windowed null/violation counts** — :func:`windowed_rule_counts`:
+  event-time tumbling-window aggregates of rule-violation counts with a
+  watermark for late data — a native streaming aggregation (state
+  bounded by the watermark), giving continuous data-quality metrics
+  without foreachBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.predicates import violation_predicate
+from schema_validata_spark.operators.verdicts import SCHEMA_REQUIRED_MESSAGE_LEVELS
+from schema_validata_spark.operators.violations import extract_violations
+from schema_validata_spark.sources.spec import TableSpec
+
+
+def streaming_violations(
+    stream_df: DataFrame,
+    spec: TableSpec,
+    key_cols: list[str],
+) -> DataFrame:
+    """Stateless violation extraction on a streaming DataFrame.
+
+    Uses every active row-level rule (no verdict gating — there is no
+    'whole dataset' on a stream). The result is append-mode writable:
+    ``streaming_violations(s, spec, keys).writeStream.format(...)``.
+    """
+    return extract_violations(
+        stream_df, spec, key_cols, failed=None, ignore=(), fuse=True
+    )
+
+
+def windowed_rule_counts(
+    stream_df: DataFrame,
+    spec: TableSpec,
+    event_time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling-window violation counts per (window, column, rule).
+
+    Native streaming aggregation: watermark bounds state, late rows
+    beyond the delay are dropped (counted in the on-time window they
+    arrive for). Emits ``window_start, window_end, column_name, rule_id,
+    n_violations``.
+    """
+    aggs = []
+    for cs in spec.columns:
+        if cs.field_name not in stream_df.columns:
+            continue
+        for rule in cs.active_rules():
+            pred = violation_predicate(cs, rule)
+            if pred is None:
+                continue
+            aggs.append(
+                F.sum(pred.cast("long")).alias(f"{cs.field_name}::{rule}")
+            )
+    if not aggs:
+        raise ValueError("spec activates no row-level rules")
+    wm = stream_df.withWatermark(event_time_col, watermark_delay)
+    agged = wm.groupBy(F.window(F.col(event_time_col), window_duration)).agg(*aggs)
+    pairs = [c for c in agged.columns if "::" in c]
+    stacked = agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p.rsplit("::", 1)[0]).alias("column_name"),
+                        F.lit(p.rsplit("::", 1)[1]).alias("rule_id"),
+                        F.col(f"`{p}`").alias("n_violations"),
+                    )
+                    for p in pairs
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        "window_start", "window_end", "r.column_name", "r.rule_id", "r.n_violations"
+    )
+
+
+def validate_stream_foreach_batch(
+    stream_df: DataFrame,
+    spec: TableSpec,
+    key_cols: list[str],
+    on_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+):
+    """Full Stage A–C per micro-batch via ``foreachBatch``.
+
+    ``on_batch(verdicts_df, batch_id)`` receives the verdicts of each
+    batch (exactly-once per batch under the checkpoint). Returns the
+    started StreamingQuery.
+    """
+    from schema_validata_spark.operators.verdicts import verdicts_to_df
+    from schema_validata_spark.plans.validate import validate_table
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tv = validate_table(
+            batch_df, spec, key_cols,
+            partition_col=partition_col, list_errors=False,
+        )
+        vdf = verdicts_to_df(batch_df.sparkSession, tv.verdicts).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        on_batch(vdf, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -1,0 +1,195 @@
+"""Training-pipeline operator tests: text stats, dedup (exact / MinHash /
+SimHash / Jaccard), similarity search — results cross-checked against
+plain-Python oracles on the same inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators import text as TX
+from schema_validata_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from schema_validata_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_index,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm stove in a quiet house on a hill"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                        # exact dup of 0
+        (2, BASE.replace("quiet", "noisy")),               # near dup of 0
+        (3, "completely different text about spark aggregation plans and shuffles"),
+        (4, "der hund läuft durch die stadt und das ist ein test und nicht mehr"),
+        (5, ""),                                           # empty
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def py_tokens(s):
+    return s.strip().lower().split()
+
+
+def py_shingles(s, k):
+    t = py_tokens(s)
+    return {" ".join(t[i : i + k]) for i in range(max(len(t) - k + 1, 0))}
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        got = {
+            r["doc_id"]: r["n"]
+            for r in docs.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+        }
+        want = {r[0]: len(py_tokens(r[1])) for r in [
+            (0, BASE), (1, BASE), (3, "completely different text about spark aggregation plans and shuffles"),
+            (5, ""), (6, "short text")]}
+        for k, v in want.items():
+            assert got[k] == v, k
+
+    def test_lang_id(self, spark, docs):
+        got = {
+            r["doc_id"]: r["l"]
+            for r in docs.select("doc_id", TX.lang_id(F.col("text")).alias("l")).collect()
+        }
+        assert got[0] == "en"
+        assert got[4] == "de"
+        assert got[5] == "und"
+
+    def test_quality_bounds_and_repetition(self, spark):
+        rows = [(0, "word " * 200), (1, BASE)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["q"]
+            for r in df.select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()
+        }
+        assert 0.0 <= got[0] <= 1.0 and 0.0 <= got[1] <= 1.0
+        assert got[1] > got[0]  # degenerate repetition scores lower
+
+    def test_fingerprint_matches_exact_content(self, spark, docs):
+        fps = docs.select("doc_id", TX.fingerprint64(F.col("text")).alias("f")).collect()
+        by_id = {r["doc_id"]: r["f"] for r in fps}
+        assert by_id[0] == by_id[1]
+        assert by_id[0] != by_id[2]
+
+    def test_shingles_match_python(self, spark, docs):
+        got = docs.filter(F.col("doc_id") == 0).select(
+            TX.shingles(F.col("text"), 3).alias("s")
+        ).collect()[0]["s"]
+        assert set(got) == py_shingles(BASE, 3)
+
+
+class TestDedup:
+    def test_exact_groups_and_dedup(self, spark, docs):
+        groups = exact_duplicate_groups(docs, "text", "doc_id").collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+        kept = exact_dedup(docs, "text", "doc_id")
+        assert kept.count() == docs.count() - 1
+        assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+    def test_minhash_finds_exact_and_near(self, spark, docs):
+        pairs = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in minhash_near_duplicates(
+                docs, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+            ).collect()
+        }
+        assert pairs.get((0, 1)) == 1.0
+        assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_jaccard_exact_vs_python(self, spark, docs):
+        cand = spark.createDataFrame([(0, 2)], "id1 long, id2 long")
+        got = jaccard_pairs(cand, docs, "text", "doc_id", k=3).collect()[0]["jaccard"]
+        a, b = py_shingles(BASE, 3), py_shingles(BASE.replace("quiet", "noisy"), 3)
+        want = round(len(a & b) / len(a | b), 6)
+        assert got == want
+
+    def test_simhash_signal(self, spark, docs):
+        from schema_validata_spark.operators.dedup import simhash64
+
+        sh = {
+            r["doc_id"]: r["sh"]
+            for r in docs.filter(F.col("doc_id").isin(0, 2, 3)).select(
+                "doc_id", simhash64(F.col("text"), 2).alias("sh")
+            ).collect()
+        }
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near-dup closer than unrelated
+
+    def test_simhash_pairs(self, spark, docs):
+        # recall guarantee: 8 byte-bands → any pair with hamming <= 7
+        # MUST be found; identical docs (hamming 0) always pair.
+        pairs = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_near_duplicates(
+                docs, "text", "doc_id", max_hamming=7, k=2
+            ).collect()
+        }
+        assert pairs.get((0, 1)) == 0
+        assert (0, 3) not in pairs
+
+
+def _vec(seed, dim=16):
+    import random
+
+    rng = random.Random(seed)
+    return [rng.gauss(0, 1) for _ in range(dim)]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    base = _vec(1)
+    near = [v + 0.01 * d for v, d in zip(base, _vec(2))]
+    rows = [(0, base), (1, near)] + [(i, _vec(i + 10)) for i in range(2, 40)]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def py_cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_python(self, spark, embeddings):
+        rows = {r["vec_id"]: list(r["embedding"]) for r in embeddings.collect()}
+        q = rows[0]
+        want = sorted(
+            ((round(py_cos([float(x) for x in rows[i]], q), 4), i) for i in rows if i != 0),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = brute_force_topk(embeddings, "embedding", "vec_id", q, topk=5, exclude_id=0).collect()
+        assert [r["vec_id"] for r in got][0] == 1  # the near vector wins
+        assert [(round(r["cos_sim"], 4), r["vec_id"]) for r in got] == want
+
+    def test_lsh_probe_finds_near_neighbor(self, spark, embeddings):
+        rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in embeddings.collect()}
+        idx = lsh_index(embeddings, "embedding", "vec_id", dim=16, n_planes=6, n_tables=8)
+        got = lsh_topk(idx, rows[0], topk=3, n_planes=6, n_tables=8, exclude_id=0).collect()
+        assert got and got[0]["id"] == 1  # nearly-parallel vector always collides
+
+    def test_embedding_near_duplicates(self, spark, embeddings):
+        pairs = embedding_near_duplicates(
+            embeddings, "embedding", "vec_id", dim=16,
+            threshold=0.99, n_planes=6, n_tables=8,
+        ).collect()
+        assert {(r["id1"], r["id2"]) for r in pairs} == {(0, 1)}

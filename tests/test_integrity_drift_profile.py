@@ -1,0 +1,152 @@
+"""Stage-E integrity (FK + SQL rules), drift checks, and profiling tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.drift import (
+    chi2_sf,
+    chi_square_drift,
+    ks_drift,
+    ks_sf,
+)
+from schema_validata_spark.operators.integrity import (
+    find_sql_variables,
+    fk_violations,
+    integrity_summary,
+    run_integrity_rule,
+    substitute_sql_variables,
+)
+from schema_validata_spark.operators.profile import build_data_dictionary, profile_df
+from schema_validata_spark.sources.spec import IntegrityRule
+
+
+class TestIntegrity:
+    def test_fk_orphans(self, spark):
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+        )
+        parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+        v = fk_violations(child, parent, ["fk"], ["pk"], ["id"]).collect()
+        # orphan fk=99 flagged; NULL fk is NOT a violation (null rule owns it)
+        assert len(v) == 1
+        assert v[0]["id"] == "3" and v[0]["observed_value"] == "99"
+        assert v[0]["rule_id"] == "foreign_key"
+
+    def test_composite_fk(self, spark):
+        child = spark.createDataFrame([(1, "a", 1), (2, "b", 9)], "id int, k1 string, k2 int")
+        parent = spark.createDataFrame([("a", 1), ("b", 2)], "k1 string, k2 int")
+        v = fk_violations(child, parent, ["k1", "k2"], ["k1", "k2"], ["id"]).collect()
+        assert len(v) == 1 and v[0]["id"] == "2"
+
+    def test_sql_var_substitution(self):
+        assert find_sql_variables("SELECT * FROM t WHERE a='${x}' AND b=${y}") == ["x", "y"]
+        out = substitute_sql_variables("SELECT ${x}", {"x": "1"})
+        assert out == "SELECT 1"
+        with pytest.raises(ValueError, match="unbound"):
+            substitute_sql_variables("SELECT ${nope}", {})
+
+    def test_sql_rule_and_summary(self, spark):
+        spark.createDataFrame([(1, "bad"), (2, "ok")], "id int, st string") \
+            .createOrReplaceTempView("t_rule")
+        rule = IntegrityRule(
+            primary_table="t_rule",
+            sql="SELECT id FROM t_rule WHERE st = '${bad}'",
+            level="Error",
+            message="status must not be bad",
+        )
+        v = run_integrity_rule(spark, rule, {"bad": "bad"})
+        rows = v.collect()
+        assert len(rows) == 1 and '"id":1' in rows[0]["observed_value"]
+        s = integrity_summary(v).collect()[0]
+        assert s["n_violations"] == 1 and s["message"] == "status must not be bad"
+
+    def test_sql_rule_unknown_table(self, spark):
+        rule = IntegrityRule("x", "SELECT * FROM no_such_table_xyz", "Error", "m")
+        with pytest.raises(ValueError, match="unknown table"):
+            run_integrity_rule(spark, rule)
+
+
+class TestDrift:
+    def test_chi2_sf_known_values(self):
+        # chi2 sf(3.84, 1) ≈ 0.05; sf(0, k) == 1
+        assert abs(chi2_sf(3.841, 1) - 0.05) < 1e-3
+        assert chi2_sf(0.0, 5) == 1.0
+
+    def test_ks_sf_monotone(self):
+        assert ks_sf(0.01, 1000, 1000) > 0.99
+        assert ks_sf(0.5, 1000, 1000) < 1e-6
+
+    def test_chi_square_no_drift_same_distribution(self, spark):
+        base = spark.range(0, 3000).select(
+            (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("c")
+        )
+        r = chi_square_drift(base, base, "c")
+        assert r.statistic == 0.0 and r.p_value == 1.0 and not r.drifted
+
+    def test_chi_square_detects_shift(self, spark):
+        base = spark.range(0, 3000).select(
+            (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("c")
+        )
+        cur = spark.range(0, 3000).select(
+            F.when(F.pmod(F.col("id"), F.lit(3)) == 2, F.lit("0"))
+            .otherwise(F.pmod(F.col("id"), F.lit(3)).cast("string")).alias("c")
+        )
+        r = chi_square_drift(cur, base, "c")
+        assert r.drifted and r.p_value < 1e-6
+
+    def test_chi_square_novel_category(self, spark):
+        base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+        cur = spark.createDataFrame([("a",)] * 50 + [("z",)] * 50, "c string")
+        r = chi_square_drift(cur, base, "c")
+        assert r.drifted
+
+    def test_ks_no_drift(self, spark):
+        base = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("v"))
+        r = ks_drift(base, base, "v")
+        assert r.statistic == 0.0 and not r.drifted
+
+    def test_ks_detects_location_shift(self, spark):
+        base = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("v"))
+        cur = spark.range(0, 5000).select(((F.col("id") % 100) + 50).cast("double").alias("v"))
+        r = ks_drift(cur, base, "v")
+        assert r.drifted and r.statistic > 0.4
+
+
+class TestProfile:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [
+            (1, "a", 10.5, None),
+            (2, "b", -1.0, "x"),
+            (3, "a", 99.0, "N/A"),
+            (None, "c", None, "y"),
+        ]
+        return spark.createDataFrame(rows, "id int, cat string, num double, s string")
+
+    def test_profile_df_values(self, spark, df):
+        p = {r["column"]: r for r in profile_df(df).collect()}
+        assert p["id"]["n"] == 4 and p["id"]["null_count"] == 1
+        assert p["id"]["distinct_n"] == 3
+        assert p["num"]["min_num"] == -1.0 and p["num"]["max_num"] == 99.0
+        assert p["s"]["null_count"] == 2  # None + 'N/A'
+        assert p["s"]["distinct_n"] == 2
+        assert p["cat"]["max_len"] == 1
+
+    def test_build_data_dictionary(self, spark, df):
+        d = build_data_dictionary(df)
+        assert d["id"]["data_type"] == "Integer"
+        assert d["id"]["allow_null"] is True and d["id"]["null_count"] == 1
+        assert d["cat"]["data_type"] == "String"
+        assert sorted(d["cat"]["allowed_value_list"]) == ["a", "b", "c"]
+        assert d["cat"]["unique_value"] is False
+        assert d["cat"]["duplicate_count"] == 1  # 4 nonnull, 3 distinct
+        assert d["num"]["range_min"] == -1.0 and d["num"]["range_max"] == 99.0
+        assert d["s"]["unique_value"] is True  # x, y distinct
+
+    def test_high_cardinality_skips_harvest(self, spark):
+        big = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+        d = build_data_dictionary(big)
+        assert d["v"]["allowed_value_list"] is None
+        assert d["v"]["unique_value"] is True

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: schema/batching are real, codecs stubbed."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from schema_validata_spark.operators.multimodal import (
+    MEDIA_META_SCHEMA,
+    frame_sample_plan,
+    image_features,
+    validate_media_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG-fake-payload-1"), ("image", "png", 640, 480, None, None)),
+        (2, bytearray(b"\x89PNG-fake-payload-2"), ("image", "png", -1, 480, None, None)),
+        (3, bytearray(b"RIFF-fake-wav"), ("audio", "wav", None, None, 4000, 16000)),
+        (4, bytearray(b"mp4-fake"), ("video", "mp4", 1920, 1080, 2500, None)),
+        (5, bytearray(b"???"), ("hologram", "x", None, None, None, None)),
+    ]
+    schema = (
+        "id long, payload binary, media_meta struct<media_type:string,"
+        "format:string,width:int,height:int,duration_ms:bigint,sample_rate:int>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_image_features_deterministic_fake(spark, media):
+    imgs = media.filter(F.col("media_meta.media_type") == "image")
+    out = image_features(imgs, "payload", ["id"]).collect()
+    assert len(out) == 2
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 19
+    assert len(by_id[1]["content_sha"]) == 64
+    assert 64 <= by_id[1]["width"] < 128 and 64 <= by_id[1]["height"] < 128
+    assert 0.0 <= by_id[1]["mean_luma"] <= 1.0
+    # deterministic: same payload → same features across runs
+    again = {r["id"]: r for r in image_features(imgs, "payload", ["id"]).collect()}
+    assert again[1] == by_id[1]
+
+
+def test_image_features_strict_raises(spark, media):
+    imgs = media.filter(F.col("media_meta.media_type") == "image")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        image_features(imgs, "payload", ["id"], strict=True).collect()
+
+
+def test_frame_sample_plan(spark, media):
+    vids = media.filter(F.col("media_meta.media_type") == "video")
+    frames = frame_sample_plan(vids, "payload", ["id"], every_ms=1000).collect()
+    # 2500ms video sampled at 1000ms → ts 0,1000,2000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+    assert all(r["frame_payload"] is None for r in frames)  # stubbed codec
+
+
+def test_validate_media_meta(spark, media):
+    bad = validate_media_meta(media).select("id", "rule_id").collect()
+    got = {(r["id"], r["rule_id"]) for r in bad}
+    assert (2, "image_dims_invalid") in got
+    assert (5, "media_type_invalid") in got
+    assert not any(i in (1, 3, 4) for i, _ in got)
