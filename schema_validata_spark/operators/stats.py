@@ -58,6 +58,10 @@ _DT_MAX_LEN = 40
 # the parser cascade is a ~10× win on non-date string columns.
 _DATE_LIKE_RX = r"(?i)^(\d{1,4}[-/]\d|[a-z]{3,9}[- ,]{1,2}\d)"
 
+# No numeric/boolean value renders longer than this; values above skip
+# the int/float/bool cast votes (they'd all fail anyway, expensively).
+_VOTE_MAX_LEN = 64
+
 
 @dataclass(frozen=True)
 class ColumnStats:
@@ -155,17 +159,22 @@ def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
 
     if is_string:
         # dtype votes only matter for string columns; typed columns map
-        # straight to the lattice (functions/types.py).
+        # straight to the lattice (functions/types.py). Every vote is
+        # gated behind length <= 64: no numeric/bool rendering is longer
+        # (double ~24 chars, symbols included ~40), so multi-KB content
+        # values skip the cast/translate machinery entirely — the gate is
+        # one int compare against the precomputed __len column.
+        short = ln <= _VOTE_MAX_LEN
         members += [
-            cnt(s.rlike(INT_RX)).alias("int_ok"),
-            cnt(F.expr(f"try_cast(`__s_{col}` as long) is not null")).alias("long_ok"),
-            cnt(num.isNotNull()).alias("float_ok"),
+            cnt(short & s.rlike(INT_RX)).alias("int_ok"),
+            cnt(short & F.expr(f"try_cast(`__s_{col}` as long) is not null")).alias("long_ok"),
+            cnt(short & num.isNotNull()).alias("float_ok"),
             cnt(
-                F.expr(
+                short & F.expr(
                     f"try_cast(translate(`__s_{col}`, '{NUMERIC_SYMBOLS}', '') as double) is not null"
                 )
             ).alias("numsym_ok"),
-            cnt(F.lower(s).isin(*BOOL_VALUES)).alias("bool_ok"),
+            cnt(short & F.lower(s).isin(*BOOL_VALUES)).alias("bool_ok"),
             F.max((ok & s.startswith("0")).cast("int")).alias("leading_zero"),
         ]
         # bit_and over non-null rows != 0  ⇔  one format parsed everything

@@ -1,0 +1,133 @@
+"""Two-parallelism scaling benchmark (north rule: throughput efficiency
+≥ 0.8 from N to 4N executors; sandbox proxy = local[8] vs local[32]).
+
+Phase 1 (once): synthesize the north-rule-shaped corpus
+(repo, path, commit, lang, content) and write it as multi-file parquet —
+the layout a real corpus has, so scans parallelize.
+
+Phase 2 (per parallelism level, FRESH JVM via subprocess so no warm-JIT
+or cache bleed): run the full Stage A–D validation — rollup stats
+(global + per-lang), rule-counter aggregates, fused violation
+extraction, composite-key duplicate enumeration — and record wall time.
+
+Efficiency = throughput(4N) / (4 × throughput(N)) = T_N / (4 × T_4N).
+
+Usage: python scripts/bench_scaling.py [n_rows]   (default 4,000,000)
+Writes BENCH_SCALING.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.environ.get("SCALING_CORPUS_DIR", "/tmp/svs_scaling_corpus")
+
+_JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+from pyspark.sql import SparkSession, functions as F
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName(f"scaling-{{cpus}}")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.plans.validate import validate_table
+
+spec = load_spec_dict({{
+    "corpus": {{
+        "repo": {{"required": True, "allow_null": False,
+                  "regex_pattern": r"^[\w.-]+/[\w.-]+$", "length": 200}},
+        "path": {{"required": True, "allow_null": False, "length": 500}},
+        "commit": {{"required": True, "allow_null": False,
+                    "regex_pattern": r"^[0-9a-f]{{40}}$", "length": 40}},
+        "lang": {{"required": True, "allow_null": False,
+                  "allowed_value_list": "['py','java','go','rs','ts','c','rb','sh']"}},
+        "content": {{"required": True, "allow_null": False}},
+        "_unique_together": [["repo", "path", "commit"]],
+    }}
+}}).tables["corpus"]
+
+df = spark.read.parquet({data!r})
+n = df.count()  # warm the file listing; counted outside the timed section
+
+# Untimed warmup on a 5% sample: local-mode JIT compilation of the
+# interpreted expression trees is single-threaded and would otherwise
+# dominate (and distort) the comparison — a real cluster amortizes JIT
+# across long-lived executors, which the warmup emulates.
+validate_table(df.sample(0.05, seed=1), spec,
+               key_cols=["repo", "path", "commit"],
+               partition_col="lang", list_errors=True).violations.count()
+
+t0 = time.time()
+tv = validate_table(df, spec, key_cols=["repo", "path", "commit"],
+                    partition_col="lang", list_errors=True)
+n_viol = tv.violations.count()
+wall = time.time() - t0
+
+rules = sum(len(cs.active_rules()) for cs in spec.columns)
+print(json.dumps({{"cpus": cpus, "rows": n, "wall_s": round(wall, 2),
+                   "rows_per_s": round(n / wall),
+                   "constraint_evals_per_s": round(n * rules / wall),
+                   "n_verdicts": len(tv.verdicts), "n_violations": n_viol}}))
+"""
+
+
+def ensure_corpus(n_rows: int) -> None:
+    marker = os.path.join(DATA, "_ROWS")
+    if os.path.exists(marker) and open(marker).read().strip() == str(n_rows):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {ROOT!r})
+from pyspark.sql import SparkSession
+from schema_validata_spark.sources.corpus import synthetic_code_corpus
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+synthetic_code_corpus(spark, {n_rows}, seed=42, partitions=64)\\
+    .write.mode("overwrite").parquet({DATA!r})
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+
+
+def run_level(cpus: int) -> dict:
+    code = _JOB.format(root=ROOT, cpus=cpus, data=DATA)
+    out = subprocess.run(
+        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    ensure_corpus(n_rows)
+    low = run_level(8)
+    high = run_level(32)
+    eff = round(high["rows_per_s"] / (4 * low["rows_per_s"]), 3)
+    result = {
+        "n_rows": n_rows,
+        "local8": low,
+        "local32": high,
+        "scaling_efficiency_8_to_32": eff,
+        "meets_north_rule_0.8": eff >= 0.8,
+    }
+    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
