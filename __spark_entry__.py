@@ -213,6 +213,105 @@ def q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chisq_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift contributions (SURVEY §2.13 / M7): category
+    counts of even- vs odd-id events, expected scaled from baseline."""
+    from schema_validata_spark.operators.drift import value_counts
+
+    ev = _read(spark, sf_dir, "events")
+    cur = value_counts(ev.filter(F.col("event_id") % 2 == 0), "event_type") \
+        .withColumnRenamed("n", "n_cur")
+    base = value_counts(ev.filter(F.col("event_id") % 2 == 1), "event_type") \
+        .withColumnRenamed("n", "n_base")
+    joined = cur.join(base, on="value", how="full_outer").fillna(
+        0, subset=["n_cur", "n_base"]
+    )
+    totals = joined.agg(
+        F.sum("n_cur").alias("tc"), F.sum("n_base").alias("tb")
+    )
+    expected = (
+        F.col("tc").cast("double") * F.col("n_base").cast("double")
+        / F.col("tb").cast("double")
+    )
+    return joined.crossJoin(totals).select(
+        "value",
+        "n_cur",
+        "n_base",
+        F.round(
+            F.pow(F.col("n_cur").cast("double") - expected, 2)
+            / F.greatest(expected, F.lit(0.5)),
+            6,
+        ).alias("contrib"),
+    )
+
+
+def q_window_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rule-violation counts (streaming op §2.12, batch
+    form): per-minute count of events with value > 400."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > 400).cast("long")).alias("n_violations"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_violations",
+        )
+    )
+
+
+def q_fk_multi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple FK rules unioned (SURVEY §2.3 J3 via check_foreign_keys)."""
+    from schema_validata_spark.operators.integrity import check_foreign_keys
+    from schema_validata_spark.sources.spec import ForeignKeyRule
+
+    dfs = {
+        "lineitem": _read(spark, sf_dir, "lineitem"),
+        "orders": _read(spark, sf_dir, "orders"),
+        "part": _read(spark, sf_dir, "part"),
+    }
+    rules = [
+        ForeignKeyRule("lineitem", ("l_orderkey",), "orders", ("o_orderkey",)),
+        ForeignKeyRule("lineitem", ("l_partkey",), "part", ("p_partkey",)),
+    ]
+    return check_foreign_keys(
+        dfs, rules, {"lineitem": ["l_orderkey", "l_linenumber"]}
+    )
+
+
+def q_downcast_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int-downcast display formatting (SURVEY F10) over part sizes."""
+    from schema_validata_spark.functions.scalars import downcast_display
+
+    df = _read(spark, sf_dir, "part")
+    return df.select(
+        "p_partkey",
+        downcast_display(F.col("p_retailprice")).alias("price_disp"),
+        downcast_display(F.col("p_size").cast("double")).alias("size_disp"),
+    )
+
+
+def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: text stats → groupBy predicted language
+    (order-independent aggregates only, for cross-engine determinism)."""
+    df = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    per_doc = df.select(
+        T.lang_id(c).alias("lang_pred"),
+        T.token_count(c).alias("n_tokens"),
+        T.quality_score(c).alias("q"),
+    )
+    return per_doc.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
     signature banding is not ANSI-SQL-expressible; rows-only check)."""
@@ -240,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "chisq_event_types": q_chisq_event_types,
+        "window_violations_events": q_window_violations_events,
+        "fk_multi_lineitem": q_fk_multi_lineitem,
+        "downcast_display": q_downcast_display,
+        "lang_quality_rollup": q_lang_quality_rollup,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -336,6 +440,84 @@ FROM documents
 """
 
 
+def _chisq_sql() -> str:
+    na = _na_sql("event_type")
+    return f"""
+WITH cur AS (
+  SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n_cur
+  FROM events WHERE event_id % 2 = 0 AND NOT {na} GROUP BY 1
+), base AS (
+  SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n_base
+  FROM events WHERE event_id % 2 = 1 AND NOT {na} GROUP BY 1
+), j AS (
+  SELECT coalesce(cur.value, base.value) AS value,
+         coalesce(n_cur, 0) AS n_cur, coalesce(n_base, 0) AS n_base
+  FROM cur FULL OUTER JOIN base ON cur.value = base.value
+), t AS (SELECT sum(n_cur) AS tc, sum(n_base) AS tb FROM j)
+SELECT value, n_cur, n_base,
+  round(power(CAST(n_cur AS DOUBLE) - CAST(tc AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 2)
+        / greatest(CAST(tc AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 0.5), 6) AS contrib
+FROM j, t
+"""
+
+
+def _quality_sql_expr() -> str:
+    """The quality_score expression in DuckDB SQL (mirrors
+    operators/text.py::quality_score op-for-op)."""
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    n_tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    mwl = f"CAST(list_sum(list_transform({tok}, x -> length(x))) AS DOUBLE) / len({tok})"
+    rep = f"1.0 - CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})"
+    punct = (
+        "CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)"
+        " / length(text)"
+    )
+    return f"""round((
+      (CASE WHEN ({n_tok}) >= 5 AND ({n_tok}) <= 100000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN coalesce({mwl}, 0.0) >= 2.0 AND coalesce({mwl}, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END)
+    + (1.0 - least(coalesce({rep}, 1.0) * 2, 1.0))
+    + (CASE WHEN coalesce({punct}, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0, 6)"""
+
+
+def _lang_pred_sql_expr() -> str:
+    from schema_validata_spark.operators.text import LANG_MARKERS
+
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    encoded = []
+    for lang, marks in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in marks)
+        encoded.append(
+            f"printf('%08d|%s', len(list_filter({tok}, x -> x IN ({inlist}))), '{lang}')"
+        )
+    best = "greatest(" + ", ".join(encoded) + ")"
+    return (
+        f"CASE WHEN CAST(substr({best}, 1, 8) AS INT) >= 1 "
+        f"THEN substr({best}, 10) ELSE 'und' END"
+    )
+
+
+def _lang_quality_rollup_sql() -> str:
+    n_tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT {_lang_pred_sql_expr()} AS lang_pred,
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         {_quality_sql_expr()} AS q
+  FROM documents
+)
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(q) AS min_quality, max(q) AS max_quality
+FROM per_doc GROUP BY lang_pred
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -382,6 +564,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id <> 0 "
             "ORDER BY cos_sim DESC, vec_id LIMIT 10"
         ),
+        "chisq_event_types": _chisq_sql(),
+        "window_violations_events": (
+            "SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, count(*) AS n_events, "
+            "count(*) FILTER (WHERE value > 400) AS n_violations "
+            "FROM events GROUP BY 1"
+        ),
+        "fk_multi_lineitem": (
+            "SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey, "
+            "CAST(l_linenumber AS VARCHAR) AS l_linenumber, "
+            "'l_orderkey' AS column_name, 'foreign_key' AS rule_id, "
+            "CAST(l_orderkey AS VARCHAR) AS observed_value, 'Error' AS level "
+            "FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+            "UNION ALL "
+            "SELECT CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+            "'l_partkey', 'foreign_key', CAST(l_partkey AS VARCHAR), 'Error' "
+            "FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"
+        ),
+        "downcast_display": (
+            "SELECT p_partkey, "
+            "CASE WHEN p_retailprice = floor(p_retailprice) "
+            "THEN CAST(CAST(p_retailprice AS BIGINT) AS VARCHAR) "
+            "ELSE CAST(p_retailprice AS VARCHAR) END AS price_disp, "
+            "CASE WHEN CAST(p_size AS DOUBLE) = floor(CAST(p_size AS DOUBLE)) "
+            "THEN CAST(CAST(p_size AS BIGINT) AS VARCHAR) "
+            "ELSE CAST(CAST(p_size AS DOUBLE) AS VARCHAR) END AS size_disp "
+            "FROM part"
+        ),
+        "lang_quality_rollup": _lang_quality_rollup_sql(),
         # minhash_near_dups / simhash_near_dups: LSH banding is not
         # ANSI-SQL-expressible → rows-only check by design.
     }

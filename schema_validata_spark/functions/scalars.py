@@ -1,0 +1,89 @@
+"""Scalar helpers — reference parity for SURVEY §2.8 items not already
+embedded in other operators.
+
+* F8  Excel serial date → timestamp (reference ``infer_datetime_column``
+  src/schema_validata.py:814–817: ``origin='1899-12-30', unit='D'``)
+* F10 int-downcast for display (``downcast_ints`` :469–498)
+* F16 duplicate column-name dedup (``handle_duplicate_columns``
+  :3525–3554: second occurrence becomes ``name_2``, then ``name_3``…)
+* newline scrub (P9, ``remove_pd_df_newlines`` :632–653)
+* numeric-symbol strip + conditional conversion (P10,
+  ``conditional_numeric_conversion`` :657–715)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.functions.types import EXCEL_SERIAL_EPOCH, NUMERIC_SYMBOLS
+
+
+def excel_serial_to_timestamp(col: Column | str) -> Column:
+    """Excel serial day number → timestamp. Fractional days carry time of
+    day (reference converts with pandas ``unit='D'`` semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    days = c.cast("double")
+    base = F.to_timestamp(F.lit(EXCEL_SERIAL_EPOCH))
+    return F.timestamp_add("SECOND", F.round(days * 86400).cast("long"), base)
+
+
+def downcast_display(col: Column | str) -> Column:
+    """Format a double as the reference's report style: integral values
+    print without the trailing ``.0`` (``downcast_ints``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return F.when(
+        d.isNotNull() & (d == F.floor(d)), d.cast("long").cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def dedupe_column_names(df: DataFrame) -> DataFrame:
+    """Postfix duplicate column names with ``_N`` (first keeps its name,
+    later occurrences get _2, _3, …) — reference
+    ``handle_duplicate_columns`` semantics via ``toDF``."""
+    seen: dict[str, int] = {}
+    out = []
+    for name in df.columns:
+        n = seen.get(name, 0) + 1
+        seen[name] = n
+        out.append(name if n == 1 else f"{name}_{n}")
+    return df.toDF(*out)
+
+
+def scrub_newlines(col: Column | str, replace_char: str = " ") -> Column:
+    """Replace newlines in string cells (reference read-time scrub; NOT
+    applied to corpus content columns — sha256 must stay byte-exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[\r\n]+", replace_char)
+
+
+def strip_numeric_symbols(col: Column | str) -> Column:
+    """Remove currency/percent/grouping symbols ($ € £ ¥ ₹ ₽ % ‰ ,)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.trim(c.cast("string")), NUMERIC_SYMBOLS, "")
+
+
+def conditional_numeric_conversion(df: DataFrame, col: str) -> DataFrame:
+    """Convert a string column to double after symbol-strip ONLY when the
+    whole column converts (reference :657–715: all-or-nothing).
+
+    One aggregate decides; the conversion itself is a projection. NA
+    values don't block conversion (they become NULL)."""
+    stripped = strip_numeric_symbols(F.col(col))
+    ok = df.agg(
+        F.min(
+            F.when(
+                ~is_na(F.col(col)),
+                F.expr(
+                    f"try_cast(translate(trim(cast(`{col}` as string)), '{NUMERIC_SYMBOLS}', '') as double) is not null"
+                ),
+            )
+        ).alias("all_ok")
+    ).collect()[0]["all_ok"]
+    if not ok:
+        return df
+    return df.withColumn(
+        col, F.when(is_na(F.col(col)), F.lit(None)).otherwise(stripped.cast("double"))
+    )

@@ -1,0 +1,129 @@
+"""Sources & sinks — reference parity for SURVEY §2.1.
+
+* S1/S3 format-dispatch reader (csv/parquet/json → DataFrame); the
+  production source is Iceberg/parquet, CSV covers spec-file ingestion
+* S6 ``load_files_to_sql`` equivalent: register files as temp views for
+  the SQL integrity rule engine (reference src/schema_validata.py:
+  3212–3318 — minus its pandas→spark→pandas schema roundtrip, :3282)
+* S8/S9 sinks: verdicts + violations as parquet (big, distributed),
+  run summary as JSON (small, driver-side); xlsx report behind an
+  openpyxl import-guard (reference ``write_dataframes_to_xlsx``
+  :1986–2070 and ``schema_validation_to_xlsx`` :4110–4220)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatch read (reference ``read_csv_or_excel_to_df``).
+
+    Format inferred from the extension when not given; CSV defaults to
+    header+schema-inference OFF (read-as-string, like the reference's
+    ``dtype=str`` first read — dtype inference is the engine's job, not
+    the reader's)."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = {"csv": "csv", "tsv": "csv", "json": "json",
+               "jsonl": "json", "parquet": "parquet"}.get(ext, "parquet")
+    reader = spark.read
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "false"}
+        if path.endswith(".tsv"):
+            opts["sep"] = "\t"
+        opts.update({k: str(v) for k, v in options.items()})
+        return reader.options(**opts).csv(path)
+    if fmt == "json":
+        return reader.options(**{k: str(v) for k, v in options.items()}).json(path)
+    return reader.options(**{k: str(v) for k, v in options.items()}).format(fmt).load(path)
+
+
+def load_files_to_views(
+    spark: SparkSession,
+    files: dict[str, str],
+    include_tables: list[str] | None = None,
+) -> list[str]:
+    """Register files as temp views for SQL rules (reference
+    ``load_files_to_sql``). Returns the registered view names."""
+    registered = []
+    for name, path in files.items():
+        if include_tables is not None and name not in include_tables:
+            continue
+        read_table(spark, path).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
+
+
+def write_validation_outputs(
+    result,
+    out_dir: str,
+    violations_by_table: dict[str, DataFrame] | None = None,
+    fmt: str = "parquet",
+) -> dict[str, str]:
+    """Persist a ValidationResult: summary JSON (driver, small), verdicts
+    and violations as distributed writes. Returns written paths."""
+    from schema_validata_spark.operators.verdicts import verdicts_to_df
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+
+    summary_path = os.path.join(out_dir, "summary.json")
+    with open(summary_path, "w") as f:
+        f.write(result.to_json())
+    paths["summary"] = summary_path
+
+    spark = SparkSession.getActiveSession()
+    all_verdicts = [v for tv in result.tables.values() for v in tv.verdicts]
+    if all_verdicts and spark is not None:
+        vpath = os.path.join(out_dir, "verdicts")
+        verdicts_to_df(spark, all_verdicts).coalesce(1).write.mode(
+            "overwrite"
+        ).format(fmt).save(vpath)
+        paths["verdicts"] = vpath
+
+    for name, tv in result.tables.items():
+        df = (violations_by_table or {}).get(name)
+        df = df if df is not None else tv.violations
+        if df is None:
+            continue
+        p = os.path.join(out_dir, f"violations_{name}")
+        df.write.mode("overwrite").format(fmt).save(p)
+        paths[f"violations_{name}"] = p
+    return paths
+
+
+def write_xlsx_report(result, out_path: str) -> str:
+    """Reference-style multi-sheet xlsx report. Guarded: openpyxl may be
+    absent — the parquet/JSON sinks above are the production path."""
+    try:
+        import pandas as pd
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx report requires openpyxl; use write_validation_outputs"
+        ) from e
+
+    with pd.ExcelWriter(out_path, engine="openpyxl") as xw:
+        rows = []
+        for name, tv in result.tables.items():
+            for v in tv.verdicts:
+                rows.append(
+                    {"table": name, "partition": v.partition, "column": v.column,
+                     "rule": v.rule_id, "passed": v.passed, "level": v.level,
+                     "message": v.message}
+                )
+        pd.DataFrame(rows).to_excel(xw, sheet_name="verdicts", index=False)
+        for name, tv in result.tables.items():
+            if tv.violations is not None:
+                pdf = tv.violations.limit(1_048_575).toPandas()  # xlsx row cap
+                pdf.to_excel(xw, sheet_name=f"errors_{name}"[:31], index=False)
+    return out_path

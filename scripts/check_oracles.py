@@ -25,9 +25,18 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
+        d = df[c].dtype
+        if pd.api.types.is_integer_dtype(d):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(d):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(d):
+            df[c] = df[c].astype("datetime64[us]")
+        else:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

@@ -1,0 +1,116 @@
+"""spark-submit entrypoint — M9 (north rule: "launched via spark-submit
+--py-files on multi-executor clusters").
+
+Package and launch:
+
+    cd /root/repo && zip -r /tmp/svs.zip schema_validata_spark
+    spark-submit --py-files /tmp/svs.zip scripts/run_validation.py \
+        --data  <parquet/iceberg path or catalog table> \
+        --spec  spec.json \
+        --table corpus \
+        --keys  repo,path,commit \
+        --partition-col lang \
+        --out   /path/out \
+        [--manifest-dir /path/manifests]   # enables checkpoint/resume
+        [--no-errors]                      # verdicts only, skip Stage C
+
+Local smoke (sandbox):
+
+    python scripts/run_validation.py --data /tmp/svs_scaling_corpus \
+        --spec examples/corpus_spec.json --table corpus \
+        --keys repo,path,commit --partition-col lang --out /tmp/svs_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# Under spark-submit --py-files the package arrives on sys.path via the
+# zip; for bare `python scripts/run_validation.py` smoke runs, fall back
+# to the repo checkout next to this script.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="schema_validata_spark validation run")
+    ap.add_argument("--data", required=True, help="input path or catalog table")
+    ap.add_argument("--format", default=None, help="input format (default: infer/parquet)")
+    ap.add_argument("--spec", required=True, help="spec JSON path")
+    ap.add_argument("--table", required=True, help="table name inside the spec")
+    ap.add_argument("--keys", required=True, help="comma-separated natural-key columns")
+    ap.add_argument("--partition-col", default=None)
+    ap.add_argument("--out", required=True, help="output dir (summary/verdicts/violations)")
+    ap.add_argument("--manifest-dir", default=None, help="enable checkpoint/resume")
+    ap.add_argument("--dataset-token", default="", help="snapshot id for the run UID")
+    ap.add_argument("--no-errors", action="store_true", help="skip violation rows")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit provides master/executors; default local for smoke runs
+    spark = (
+        SparkSession.builder.appName("schema_validata_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode smoke runs share one JVM for driver+executors; the
+        # 1g default heap OOMs under local[32]. spark-submit overrides
+        # these with --driver-memory / --executor-memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from schema_validata_spark.plans.validate import ValidationResult, validate_table
+    from schema_validata_spark.plans.resume import resumable_validate_table
+    from schema_validata_spark.sources.io import read_table, write_validation_outputs
+    from schema_validata_spark.sources.spec import load_spec_json
+
+    ruleset = load_spec_json(args.spec)
+    if args.table not in ruleset.tables:
+        print(f"table {args.table!r} not in spec ({sorted(ruleset.tables)})", file=sys.stderr)
+        return 2
+    spec = ruleset.tables[args.table]
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    looks_like_table = "/" not in args.data and "\\" not in args.data
+    if looks_like_table and spark.catalog.tableExists(args.data):
+        df = spark.table(args.data)
+    else:
+        df = read_table(spark, args.data, fmt=args.format)
+
+    if args.manifest_dir:
+        if not args.partition_col:
+            print("--manifest-dir requires --partition-col", file=sys.stderr)
+            return 2
+        tv = resumable_validate_table(
+            df, spec, args.partition_col, args.manifest_dir,
+            dataset_token=args.dataset_token,
+        )
+        if not args.no_errors:
+            from schema_validata_spark.operators.violations import extract_violations
+            failed = [v for v in tv.verdicts if not v.passed and v.partition is None]
+            tv.violations = extract_violations(df, spec, keys, failed)
+    else:
+        tv = validate_table(
+            df, spec, keys,
+            partition_col=args.partition_col,
+            list_errors=not args.no_errors,
+        )
+
+    result = ValidationResult(run_uid=args.dataset_token or "run")
+    result.tables[args.table] = tv
+    paths = write_validation_outputs(result, args.out)
+
+    n_failed = len([v for v in tv.verdicts if not v.passed])
+    print(f"verdicts: {len(tv.verdicts)} ({n_failed} failed); outputs: {paths}")
+    return 1 if n_failed and any(
+        not v.passed and v.level == "Error" for v in tv.verdicts
+    ) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,101 @@
+"""Scalar helpers (SURVEY §2.8) and source/sink (§2.1) tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.scalars import (
+    conditional_numeric_conversion,
+    dedupe_column_names,
+    downcast_display,
+    excel_serial_to_timestamp,
+    scrub_newlines,
+    strip_numeric_symbols,
+)
+from schema_validata_spark.sources.io import (
+    load_files_to_views,
+    read_table,
+    write_validation_outputs,
+)
+
+
+class TestScalars:
+    def test_excel_serial(self, spark):
+        df = spark.createDataFrame([(1.0,), (45000.0,), (45000.5,)], "d double")
+        got = [
+            str(r["ts"])
+            for r in df.select(excel_serial_to_timestamp(F.col("d")).alias("ts")).collect()
+        ]
+        # 1899-12-30 origin (reference :814–817); 45000 → 2023-03-15
+        assert got[0] == "1899-12-31 00:00:00"
+        assert got[1] == "2023-03-15 00:00:00"
+        assert got[2] == "2023-03-15 12:00:00"  # fractional day = noon
+
+    def test_downcast_display(self, spark):
+        df = spark.createDataFrame([(5.0,), (5.5,), (None,)], "v double")
+        got = [r["d"] for r in df.select(downcast_display(F.col("v")).alias("d")).collect()]
+        assert got == ["5", "5.5", None]
+
+    def test_dedupe_column_names(self, spark):
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, a int".replace("a int, b int, a int", "c1 int, c2 int, c3 int"))
+        df = df.toDF("a", "b", "a")
+        out = dedupe_column_names(df)
+        assert out.columns == ["a", "b", "a_2"]
+
+    def test_scrub_and_strip(self, spark):
+        df = spark.createDataFrame([("a\nb\r\nc", "$1,234.50")], "t string, m string")
+        r = df.select(
+            scrub_newlines(F.col("t")).alias("t"),
+            strip_numeric_symbols(F.col("m")).alias("m"),
+        ).collect()[0]
+        assert r["t"] == "a b c"
+        assert r["m"] == "1234.50"
+
+    def test_conditional_numeric_all_or_nothing(self, spark):
+        ok = spark.createDataFrame([("$1.5",), ("2%",), ("N/A",)], "v string")
+        out = conditional_numeric_conversion(ok, "v")
+        vals = [r["v"] for r in out.orderBy(F.col("v").asc_nulls_last()).collect()]
+        assert vals == [1.5, 2.0, None]  # NA doesn't block; whole column converts
+
+        mixed = spark.createDataFrame([("$1.5",), ("abc",)], "v string")
+        out2 = conditional_numeric_conversion(mixed, "v")
+        assert dict(out2.dtypes)["v"] == "string"  # one bad value → no conversion
+
+
+class TestIO:
+    def test_read_csv_as_strings(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        df = read_table(spark, str(p))
+        assert dict(df.dtypes) == {"a": "string", "b": "string"}
+        assert df.count() == 2
+
+    def test_load_files_to_views(self, spark, tmp_path):
+        p = tmp_path / "v.csv"
+        p.write_text("k\n1\n")
+        names = load_files_to_views(spark, {"view_t1": str(p)})
+        assert names == ["view_t1"]
+        assert spark.sql("SELECT count(*) n FROM view_t1").collect()[0]["n"] == 1
+
+    def test_write_validation_outputs(self, spark, tmp_path):
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.plans.validate import (
+            ValidationResult,
+            validate_table,
+        )
+
+        df = spark.createDataFrame([(1, "x"), (2, None)], "id int, s string")
+        spec = load_spec_dict({"t": {"s": {"allow_null": False, "required": True}}}).tables["t"]
+        tv = validate_table(df, spec, ["id"], ignore=())
+        res = ValidationResult(run_uid="u1")
+        res.tables["t"] = tv
+        out = str(tmp_path / "out")
+        paths = write_validation_outputs(res, out)
+        summary = json.load(open(paths["summary"]))
+        assert summary["run_uid"] == "u1"
+        assert not summary["tables"]["t"]["passed"]
+        assert spark.read.parquet(paths["verdicts"]).count() == len(tv.verdicts)
+        viol = spark.read.parquet(paths["violations_t"])
+        assert viol.filter(F.col("rule_id") == "allow_null").count() == 1
