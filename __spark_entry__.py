@@ -327,6 +327,31 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3, k=2)
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard for fixed candidate pairs (the verifier
+    stage of MinHash dedup, oracle-checkable on its own)."""
+    from schema_validata_spark.operators.dedup import jaccard_pairs
+
+    df = _read(spark, sf_dir, "documents")
+    pairs = (
+        df.select("doc_id")
+        .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 0))
+        .select(F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2"))
+    )
+    return jaccard_pairs(pairs, df, "text", "doc_id", k=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only:
+    bucketing is not ANSI-SQL-expressible)."""
+    from schema_validata_spark.operators.similarity import embedding_near_duplicates
+
+    df = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        df, "embedding", "vec_id", dim=64, threshold=0.8, n_planes=8, n_tables=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -346,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_rollup": q_lang_quality_rollup,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -518,6 +545,27 @@ FROM per_doc GROUP BY lang_pred
 """
 
 
+def _ngram_jaccard_sql() -> str:
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    sh = (
+        f"CASE WHEN len({tok}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({tok}) - 1), "
+        f"i -> array_to_string(list_slice({tok}, i, i + 2), ' '))) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+pairs AS (
+  SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+  WHERE doc_id < 100 AND doc_id % 2 = 0
+)
+SELECT p.id1, p.id2,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -595,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM part"
         ),
         "lang_quality_rollup": _lang_quality_rollup_sql(),
-        # minhash_near_dups / simhash_near_dups: LSH banding is not
-        # ANSI-SQL-expressible → rows-only check by design.
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        # minhash_near_dups / simhash_near_dups / embedding_near_dups:
+        # LSH banding is not ANSI-SQL-expressible → rows-only checks.
     }
