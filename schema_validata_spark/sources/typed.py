@@ -1,0 +1,93 @@
+"""Typed load — reference parity for S4 ``read_df_with_optimal_dtypes``
+(reference src/schema_validata.py:1395–1551).
+
+The reference reads every file THREE times: as-string, re-read with the
+detected NA set, then a final typed read with a dtype map + parse_dates.
+Here the same outcome costs ONE scan for inference (the Stage-A stats
+aggregate already computes the dtype votes) plus a cast projection that
+Catalyst fuses into whatever runs next — the corpus is never re-read.
+
+Casting semantics per canonical type:
+
+* Integer  → ``try_cast(long)`` (reference Int64)
+* Float    → ``try_cast(double)``, numeric symbols stripped when the
+  column only converted after stripping (reference
+  ``conditional_numeric_conversion`` :657–715)
+* Boolean  → lower(trim) ∈ {true,false}
+* Datetime → the single strict format that parsed every value (from the
+  vote bitmask), else the ``try_to_timestamp`` cascade
+* String / Other / Null-Unknown → unchanged
+
+NA spellings become SQL NULL before casting (read-time ``na_values``
+parity), except for String columns, which keep their raw bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import nullify
+from schema_validata_spark.functions.types import DATETIME_FORMATS, NUMERIC_SYMBOLS
+from schema_validata_spark.operators.stats import ColumnStats, column_stats
+
+
+def _typed_column(col: str, st: ColumnStats) -> Column:
+    c = nullify(F.col(col))
+    s = F.trim(c.cast("string"))
+    t = st.canonical_type
+    if t == "Integer":
+        return F.expr(f"try_cast(trim(cast(`{col}` as string)) as long)")
+    if t == "Float":
+        direct = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+        if st.votes.float_ok < st.votes.nonnull <= st.votes.numsym_ok:
+            # column converts only after symbol strip (e.g. '$1,234.50')
+            return F.expr(
+                f"try_cast(translate(trim(cast(`{col}` as string)), "
+                f"'{NUMERIC_SYMBOLS}', '') as double)"
+            )
+        return direct
+    if t == "Boolean":
+        return F.when(F.lower(s) == "true", F.lit(True)).when(
+            F.lower(s) == "false", F.lit(False)
+        )
+    if t == "Datetime":
+        mask = st.votes.dt_mask
+        if mask:
+            # lowest set bit = highest-priority format that parsed all
+            fmt = DATETIME_FORMATS[(mask & -mask).bit_length() - 1]
+            return F.try_to_timestamp(s, F.lit(fmt))
+        return F.coalesce(
+            *[F.try_to_timestamp(s, F.lit(f)) for f in DATETIME_FORMATS]
+        )
+    if t == "Null-Unknown":
+        return c
+    return F.col(col) if st.spark_type in ("string", "varchar", "char") and t == "String" else c
+
+
+def apply_inferred_schema(
+    df: DataFrame, stats: dict[str, ColumnStats] | None = None
+) -> DataFrame:
+    """Cast string columns to their inferred canonical types.
+
+    ``stats`` — reuse an existing Stage-A result; None runs the one-pass
+    inference here. Typed (non-string) columns pass through untouched.
+    """
+    stats = stats or column_stats(df)
+    out = []
+    for col in df.columns:
+        st = stats.get(col)
+        if st is None or st.spark_type not in ("string", "varchar", "char"):
+            out.append(F.col(col))
+        else:
+            out.append(_typed_column(col, st).alias(col))
+    return df.select(*out)
+
+
+def read_typed(spark, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """S4 end-to-end: read-as-string → one-pass inference → typed
+    projection (the reference's triple read, in one scan + one cast)."""
+    from schema_validata_spark.sources.io import read_table
+
+    raw = read_table(spark, path, fmt=fmt, **options)
+    return apply_inferred_schema(raw)

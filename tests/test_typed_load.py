@@ -1,0 +1,65 @@
+"""S4 typed-load parity: read-as-string → inferred canonical types →
+typed DataFrame in one scan + one projection (reference triple-read,
+``read_df_with_optimal_dtypes`` src/schema_validata.py:1395–1551)."""
+
+import pytest
+
+from schema_validata_spark.sources.typed import apply_inferred_schema, read_typed
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        ("1", "1.5", "true", "2024-01-02", "007", "$1,200.50", "x", "N/A"),
+        ("2", "2.0", "false", "2024-02-03", "042", "$3.25", "y", "1"),
+        ("3", "N/A", "true", "N/A", "100", "7%", "z", "2.5"),
+    ]
+    cols = "i string, f string, b string, d string, zeros string, money string, s string, mixed string"
+    return spark.createDataFrame(rows, cols)
+
+
+def test_inferred_types(spark, raw):
+    typed = apply_inferred_schema(raw)
+    dt = dict(typed.dtypes)
+    assert dt["i"] == "bigint"
+    assert dt["f"] == "double"
+    assert dt["b"] == "boolean"
+    assert dt["d"] == "timestamp"
+    assert dt["zeros"] == "string"   # leading zeros preserved (:1489–1491)
+    assert dt["money"] == "double"   # symbol-strip conversion
+    assert dt["s"] == "string"
+
+
+def test_typed_values(spark, raw):
+    typed = apply_inferred_schema(raw)
+    rows = {r["i"]: r for r in typed.collect()}
+    assert rows[1]["f"] == 1.5 and rows[3]["f"] is None  # NA → NULL
+    assert rows[1]["b"] is True and rows[2]["b"] is False
+    assert str(rows[1]["d"]).startswith("2024-01-02")
+    assert rows[3]["d"] is None
+    assert rows[1]["zeros"] == "007"          # raw bytes kept for String
+    assert rows[1]["money"] == 1200.5
+    assert rows[3]["money"] == 7.0
+
+
+def test_mixed_numeric_column_widens_to_float(spark, raw):
+    # '1' + '2.5' (+ NA) → every non-null value parses as float → Float
+    # (reference infer_data_types precedence: int vote fails, float wins)
+    typed = apply_inferred_schema(raw)
+    assert dict(typed.dtypes)["mixed"] == "double"
+    vals = sorted(r["mixed"] for r in typed.select("mixed").collect() if r["mixed"] is not None)
+    assert vals == [1.0, 2.5]
+
+
+def test_read_typed_csv(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,event_date\n1,x,2020-05-06\n2,y,2020-06-07\n")
+    df = read_typed(spark, str(p))
+    dt = dict(df.dtypes)
+    assert dt == {"a": "bigint", "b": "string", "event_date": "timestamp"}
+
+
+def test_typed_columns_passthrough(spark):
+    df = spark.createDataFrame([(1, 2.5)], "a int, b double")
+    typed = apply_inferred_schema(df)
+    assert dict(typed.dtypes) == {"a": "int", "b": "double"}
