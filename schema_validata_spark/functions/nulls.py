@@ -88,6 +88,24 @@ def is_na(col: Column | str) -> Column:
     )
 
 
+def is_na_pretrimmed(col: Column, trimmed: Column, gate_len: int = 256) -> Column:
+    """:func:`is_na` for callers that already computed ``trim(col)`` —
+    avoids re-trimming (three extra full-string copies per row on multi-KB
+    values). The literal/regex membership checks are gated behind
+    ``length <= gate_len``: the longest NA literal is 13 chars and every
+    NA pattern is a short anchored token (whitespace-only strings of any
+    length are caught by the ``trimmed == ''`` arm), so the gate only
+    skips work that could never match.
+    """
+    short = F.length(trimmed) <= gate_len
+    return (
+        col.isNull()
+        | (trimmed == F.lit(""))
+        | (short & F.lower(trimmed).isin(*_NA_LOWER))
+        | (short & trimmed.rlike(_NA_COMBINED_RX))
+    )
+
+
 def is_na_typed(col: Column | str, spark_type: str) -> Column:
     """Type-aware fast path for :func:`is_na`.
 

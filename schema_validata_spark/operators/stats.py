@@ -86,34 +86,69 @@ class ColumnStats:
         return resolve_canonical_type(self.votes, self.column, self.spark_type)
 
 
-def _prep_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
+def _prep_exprs(
+    df: DataFrame, cols: list[str], keep_original: set[str] | None = None
+) -> list[Column]:
     """Per-row helper columns computed ONCE under the aggregate.
 
-    Every stat member used to re-evaluate ``is_na`` (trim + lower + isin
-    + regex) and the string casts inline; with ~10 members × N columns
-    the interpreted expression tree did 100+ redundant passes per row.
-    Projecting ``__na/__s/__num/__len`` first makes each a single
-    evaluation per (row, column); the aggregate above consumes cheap
-    column references. Projection and aggregate stay in one stage (no
-    extra pass over the data).
+    Two design rules, both measured:
+
+    1. compute once — every stat member used to re-evaluate ``is_na``
+       (trim + lower + isin + regex) and the string casts inline; with
+       ~10 members × N columns that was 100+ redundant passes per row.
+    2. emit SMALL values — the prep projection writes an UnsafeRow per
+       input row; storing the trimmed string (and the raw value) tripled
+       memory traffic on multi-KB ``content`` columns, saturating memory
+       bandwidth and capping 8→32-core scaling at ~2×. So votes are
+       emitted as per-row BOOLEANS (1 byte), the datetime bitmask as one
+       long, and the original column is kept only when a consumer needs
+       the value itself (``keep_original``: approx-distinct/HLL sketch,
+       or fused rule counters referencing the raw column).
+
+    The trimmed string exists only as a shared subexpression inside the
+    codegen'd Project (CSE), never in the row buffer.
     """
+    from schema_validata_spark.functions.nulls import is_na_pretrimmed
+
+    keep_original = keep_original if keep_original is not None else set(cols)
     dtypes = dict(df.dtypes)
     out: list[Column] = []
     for col in cols:
         c = F.col(col)
         s = F.trim(c.cast("string"))
-        out.append(c)
-        out.append(is_na_typed(c, dtypes[col]).alias(f"__na_{col}"))
+        is_str = dtypes[col] in ("string", "varchar", "char")
+        na = is_na_pretrimmed(c, s) if is_str else is_na_typed(c, dtypes[col])
+        ok = ~na
+        if col in keep_original:
+            out.append(c)
+        out.append(na.alias(f"__na_{col}"))
         out.append(F.expr(
             f"try_cast(trim(cast(`{col}` as string)) as double)"
         ).alias(f"__num_{col}"))
         out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
-        if dtypes[col] in ("string", "varchar", "char"):
-            out.append(s.alias(f"__s_{col}"))
+        if is_str:
+            # dtype votes as per-row booleans (see rule 2). Gated behind
+            # length <= 64: no numeric/bool rendering is longer, so
+            # multi-KB values skip the cast/translate machinery — the
+            # gate is one int compare.
+            short = F.length(s) <= _VOTE_MAX_LEN
+            num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+            out += [
+                (ok & short & s.rlike(INT_RX)).alias(f"__iok_{col}"),
+                (ok & short & F.expr(
+                    f"try_cast(trim(cast(`{col}` as string)) as long) is not null"
+                )).alias(f"__lok_{col}"),
+                (ok & short & num.isNotNull()).alias(f"__fok_{col}"),
+                (ok & short & F.expr(
+                    f"try_cast(translate(trim(cast(`{col}` as string)), "
+                    f"'{NUMERIC_SYMBOLS}', '') as double) is not null"
+                )).alias(f"__sok_{col}"),
+                (ok & short & F.lower(s).isin(*BOOL_VALUES)).alias(f"__bok_{col}"),
+                (ok & s.startswith("0")).alias(f"__lz_{col}"),
+            ]
             # Datetime format bitmask: bit i set when format i parsed the
-            # value. Computed ONCE here (two aggregate members consume it);
-            # the date-like prefilter keeps the exception-driven parser
-            # cascade off non-date values entirely.
+            # value; the date-like prefilter keeps the exception-driven
+            # parser cascade off non-date values entirely.
             parseable = (F.length(s) <= _DT_MAX_LEN) & s.rlike(_DATE_LIKE_RX)
             mask_terms = [
                 F.when(
@@ -129,7 +164,12 @@ def _prep_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
     return out
 
 
-def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
+def _stat_struct(
+    df: DataFrame,
+    col: str,
+    with_sketch: bool = False,
+    with_approx_distinct: bool = True,
+) -> Column:
     """Build the per-column aggregate struct (over ``_prep_exprs`` output).
 
     All members are algebraic aggregates (sum/min/max/bit_and), so Spark's
@@ -143,46 +183,46 @@ def _stat_struct(df: DataFrame, col: str, with_sketch: bool = False) -> Column:
     ok = ~na
     num = F.col(f"__num_{col}")
     ln = F.col(f"__len_{col}")
-    s = F.col(f"__s_{col}") if is_string else None
 
     def cnt(pred: Column) -> Column:
-        return F.sum((ok & pred).cast("long"))
+        return F.sum(pred.cast("long"))
 
     members = [
         F.count(F.lit(1)).alias("n"),
         F.sum(na.cast("long")).alias("null_count"),
-        F.approx_count_distinct(F.when(ok, c)).alias("approx_distinct"),
+        # approx_count_distinct is an ImperativeAggregate (HLL++): its
+        # presence disables whole-stage codegen for the ENTIRE aggregate
+        # (measured 6×). Verdict evaluation never reads it (uniqueness
+        # uses exact counts), so callers that don't need distinct
+        # estimates (validate_table) skip it and get the codegen'd plan;
+        # profiling keeps it. -1 = not computed.
+        (
+            F.approx_count_distinct(F.when(ok, c))
+            if with_approx_distinct
+            else F.lit(-1).cast("long")
+        ).alias("approx_distinct"),
         F.min(num).alias("min_num"),
         F.max(num).alias("max_num"),
         F.max(F.when(ok, ln)).alias("max_len"),
     ]
 
     if is_string:
-        # dtype votes only matter for string columns; typed columns map
-        # straight to the lattice (functions/types.py). Every vote is
-        # gated behind length <= 64: no numeric/bool rendering is longer
-        # (double ~24 chars, symbols included ~40), so multi-KB content
-        # values skip the cast/translate machinery entirely — the gate is
-        # one int compare against the precomputed __len column.
-        short = ln <= _VOTE_MAX_LEN
+        # votes precomputed as per-row booleans in _prep_exprs (already
+        # AND'd with not-NA and the 64-char gate)
         members += [
-            cnt(short & s.rlike(INT_RX)).alias("int_ok"),
-            cnt(short & F.expr(f"try_cast(`__s_{col}` as long) is not null")).alias("long_ok"),
-            cnt(short & num.isNotNull()).alias("float_ok"),
-            cnt(
-                short & F.expr(
-                    f"try_cast(translate(`__s_{col}`, '{NUMERIC_SYMBOLS}', '') as double) is not null"
-                )
-            ).alias("numsym_ok"),
-            cnt(short & F.lower(s).isin(*BOOL_VALUES)).alias("bool_ok"),
-            F.max((ok & s.startswith("0")).cast("int")).alias("leading_zero"),
+            cnt(F.col(f"__iok_{col}")).alias("int_ok"),
+            cnt(F.col(f"__lok_{col}")).alias("long_ok"),
+            cnt(F.col(f"__fok_{col}")).alias("float_ok"),
+            cnt(F.col(f"__sok_{col}")).alias("numsym_ok"),
+            cnt(F.col(f"__bok_{col}")).alias("bool_ok"),
+            F.max(F.col(f"__lz_{col}").cast("int")).alias("leading_zero"),
         ]
         # bit_and over non-null rows != 0  ⇔  one format parsed everything
         # (mask precomputed in _prep_exprs).
         mask = F.col(f"__dtmask_{col}")
         members += [
             F.bit_and(F.when(ok, mask)).alias("dt_mask_and"),
-            cnt(mask != 0).alias("dt_any"),
+            cnt(ok & (mask != 0)).alias("dt_any"),
         ]
 
     if with_sketch:
@@ -243,28 +283,47 @@ def stats_agg_df(
     columns: list[str] | None = None,
     group_by: list[str] | None = None,
     with_sketch: bool = False,
+    with_approx_distinct: bool = True,
+    extra_aggs: list[Column] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """The Stage-A plan: one (optionally grouped) aggregation, one struct
-    per profiled column. Lazy — callers pick collection strategy."""
+    per profiled column. Lazy — callers pick collection strategy.
+    ``extra_aggs`` — additional aggregate Columns (e.g. the V6–V8 rule
+    counters) fused into the same plan/scan. ``keep_cols`` — columns
+    whose RAW value the extra aggregates reference; only those (plus all
+    columns when approx-distinct/sketches are on) stay in the prep row,
+    keeping multi-KB payload columns out of the row buffer."""
     cols = columns or [c for c in df.columns if not group_by or c not in group_by]
+    keep = set(cols) if (with_approx_distinct or with_sketch) else set(keep_cols or [])
     prepped = df.select(
-        *[F.col(g) for g in (group_by or [])], *_prep_exprs(df, cols)
+        *[F.col(g) for g in (group_by or [])],
+        *_prep_exprs(df, cols, keep_original=keep),
     )
-    structs = [_stat_struct(df, c, with_sketch=with_sketch) for c in cols]
+    structs = [
+        _stat_struct(df, c, with_sketch=with_sketch,
+                     with_approx_distinct=with_approx_distinct)
+        for c in cols
+    ]
+    extras = list(extra_aggs or [])
     if group_by:
-        return prepped.groupBy(*group_by).agg(*structs)
-    return prepped.agg(*structs)
+        return prepped.groupBy(*group_by).agg(*structs, *extras)
+    return prepped.agg(*structs, *extras)
 
 
 def column_stats(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    with_approx_distinct: bool = True,
 ) -> dict[str, ColumnStats]:
     """Global single-pass stats for every (requested) column.
 
     One job, one scan, one collected row.
     """
     cols = columns or df.columns
-    row = stats_agg_df(df, cols).collect()[0]
+    row = stats_agg_df(
+        df, cols, with_approx_distinct=with_approx_distinct
+    ).collect()[0]
     dtypes = dict(df.dtypes)
     return {c: _row_to_stats(c, dtypes[c], row[c]) for c in cols}
 
@@ -295,6 +354,9 @@ def stats_rollup_df(
     partition_col: str,
     columns: list[str] | None = None,
     with_sketch: bool = False,
+    with_approx_distinct: bool = True,
+    extra_aggs: list[Column] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global + per-partition Stage A in ONE scan via ``rollup``.
 
@@ -310,14 +372,20 @@ def stats_rollup_df(
     # Group on an aliased COPY of the partition column: grouping sets null
     # out the grouping attribute, which would corrupt stats computed over
     # the partition column itself in the global row.
+    keep = set(cols) if (with_approx_distinct or with_sketch) else set(keep_cols or [])
     prepped = df.select(
-        F.col(partition_col).alias("__part"), *_prep_exprs(df, cols)
+        F.col(partition_col).alias("__part"),
+        *_prep_exprs(df, cols, keep_original=keep),
     )
-    structs = [_stat_struct(df, c, with_sketch=with_sketch) for c in cols]
+    structs = [
+        _stat_struct(df, c, with_sketch=with_sketch,
+                     with_approx_distinct=with_approx_distinct)
+        for c in cols
+    ]
     # The key column stays named "__part" (renaming back could collide
     # when the partition column is itself among the profiled columns).
     return prepped.rollup("__part").agg(
-        *structs, F.grouping("__part").alias("_is_total")
+        *structs, *(extra_aggs or []), F.grouping("__part").alias("_is_total")
     )
 
 
@@ -329,7 +397,8 @@ def collect_rollup_stats(
     accepted for call-site clarity; the key column is ``__part``."""
     del partition_col
     stat_cols = [
-        c for c in rollup_df.columns if c not in ("__part", "_is_total")
+        c for c in rollup_df.columns
+        if c not in ("__part", "_is_total") and "::" not in c
     ]
     global_stats: dict[str, ColumnStats] = {}
     part_stats: dict[Any, dict[str, ColumnStats]] = {}

@@ -95,22 +95,11 @@ class Verdict:
         return not self.passed
 
 
-def rule_aggregates(
-    df: DataFrame,
-    spec: TableSpec,
-    group_by: str | None = None,
-) -> dict[str | None, dict[str, dict[str, int]]]:
-    """One extra scan computing the counters V6–V8 need.
-
-    Returns ``{partition_value (None for global): {column: {counter: n}}}``
-    with counters ``regex_miss``, ``unallowed``, ``distinct``, ``nonnull``.
-    Only columns whose spec activates the matching rule contribute
-    aggregates — columns without such rules cost nothing.
-
-    With ``group_by`` set, a ``rollup`` computes the global AND the
-    per-partition counters in the same scan (grouping sets ``((g), ())``)
-    — the global row carries key ``None``.
-    """
+def rule_agg_columns(df: DataFrame, spec: TableSpec) -> list:
+    """The V6–V8 counter aggregate expressions, aliased
+    ``<column>::<counter>`` — composable into any aggregation (the
+    validate plan embeds them into the Stage-A rollup so verdict inputs
+    cost ONE plan and ONE scan total)."""
     aggs = []
     present = set(df.columns)
     for cs in spec.columns:
@@ -132,6 +121,38 @@ def rule_aggregates(
                 F.count_distinct(F.when(ok, s)).alias(f"{cs.field_name}::distinct")
             )
             aggs.append(F.sum(ok.cast("long")).alias(f"{cs.field_name}::nonnull"))
+    return aggs
+
+
+def parse_rule_counts(row_dict: dict) -> dict[str, dict[str, int]]:
+    """Extract ``{column: {counter: n}}`` from any collected row carrying
+    ``col::counter`` aliases."""
+    per_col: dict[str, dict[str, int]] = {}
+    for k, v in row_dict.items():
+        if "::" not in k:
+            continue
+        colname, counter = k.rsplit("::", 1)
+        per_col.setdefault(colname, {})[counter] = int(v or 0)
+    return per_col
+
+
+def rule_aggregates(
+    df: DataFrame,
+    spec: TableSpec,
+    group_by: str | None = None,
+) -> dict[str | None, dict[str, dict[str, int]]]:
+    """One extra scan computing the counters V6–V8 need.
+
+    Returns ``{partition_value (None for global): {column: {counter: n}}}``
+    with counters ``regex_miss``, ``unallowed``, ``distinct``, ``nonnull``.
+    Only columns whose spec activates the matching rule contribute
+    aggregates — columns without such rules cost nothing.
+
+    With ``group_by`` set, a ``rollup`` computes the global AND the
+    per-partition counters in the same scan (grouping sets ``((g), ())``)
+    — the global row carries key ``None``.
+    """
+    aggs = rule_agg_columns(df, spec)
     if not aggs:
         return {}
     if group_by:
@@ -149,14 +170,7 @@ def rule_aggregates(
             key = None if row["__is_total"] == 1 else row["__part"]
         else:
             key = None
-        d = row.asDict()
-        per_col: dict[str, dict[str, int]] = {}
-        for k, v in d.items():
-            if "::" not in k:
-                continue
-            colname, counter = k.rsplit("::", 1)
-            per_col.setdefault(colname, {})[counter] = int(v or 0)
-        out[key] = per_col
+        out[key] = parse_rule_counts(row.asDict())
     return out
 
 

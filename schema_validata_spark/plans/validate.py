@@ -32,14 +32,15 @@ from schema_validata_spark.operators.duplicates import (
 )
 from schema_validata_spark.operators.stats import (
     ColumnStats,
-    collect_rollup_stats,
-    column_stats,
+    _row_to_stats,
+    stats_agg_df,
     stats_rollup_df,
 )
 from schema_validata_spark.operators.verdicts import (
     Verdict,
     evaluate_verdicts,
-    rule_aggregates,
+    parse_rule_counts,
+    rule_agg_columns,
     verdicts_to_df,
 )
 from schema_validata_spark.operators.violations import (
@@ -88,7 +89,11 @@ class ValidationResult:
                             "canonical_type": st.canonical_type,
                             "n": st.n,
                             "null_count": st.null_count,
-                            "approx_distinct": st.approx_distinct,
+                            # -1 = skipped (validate path drops HLL so
+                            # the stats aggregate stays codegen'd)
+                            "approx_distinct": (
+                                None if st.approx_distinct < 0 else st.approx_distinct
+                            ),
                             "min": st.min_num,
                             "max": st.max_num,
                             "max_len": st.max_len,
@@ -140,21 +145,48 @@ def validate_table(
     # yields both the global and the per-partition stats (grouping sets);
     # same for the rule-counter aggregates below — Stage A+B cost is two
     # scans total regardless of partitioning.
+    # ONE fused Stage-A plan: per-column stat structs AND the V6–V8 rule
+    # counters in the same (rollup) aggregation — one Catalyst plan, one
+    # scan, for both global and per-partition inputs to Stage B. Driver
+    # planning time is a genuinely serial cost that caps cluster scaling
+    # efficiency, so plan count matters as much as scan count.
+    # approx_count_distinct skipped: verdicts never read it, and its
+    # HLL++ buffer disables whole-stage codegen for the whole aggregate.
+    rule_cols = rule_agg_columns(df, spec)
+    # the fused rule counters reference these raw columns — keep only
+    # them in the prep row (payload columns stay out of the row buffer)
+    raw_needed = [
+        cs.field_name for cs in spec.columns
+        if cs.field_name in df.columns
+        and (cs.regex_pattern or cs.allowed_value_list is not None or cs.unique_value)
+    ]
+    dtypes = dict(df.dtypes)
     part_stats = None
+    counts_by_part: dict = {}
     if partition_col is not None:
-        stats, part_stats = collect_rollup_stats(
-            stats_rollup_df(df, partition_col, spec_cols),
-            partition_col,
-            dict(df.dtypes),
-        )
+        rollup = stats_rollup_df(
+            df, partition_col, spec_cols,
+            with_approx_distinct=False, extra_aggs=rule_cols,
+            keep_cols=raw_needed,
+        ).collect()
+        stats, part_stats = {}, {}
+        counts_global = {}
+        stat_cols = [c for c in spec_cols]
+        for row in rollup:
+            d = {c: _row_to_stats(c, dtypes[c], row[c]) for c in stat_cols}
+            counts = parse_rule_counts(row.asDict())
+            if row["_is_total"] == 1:
+                stats, counts_global = d, counts
+            else:
+                part_stats[row["__part"]] = d
+                counts_by_part[row["__part"]] = counts
     else:
-        stats = column_stats(df, spec_cols)
-
-    # Rule aggregates (regex/allowed/unique counters): rollup-grouped when
-    # partitioned (global row under key None).
-    counts_all = rule_aggregates(df, spec, group_by=partition_col)
-    counts_global = counts_all.get(None, {})
-    counts_by_part = {k: v for k, v in counts_all.items() if k is not None}
+        agged = stats_agg_df(
+            df, spec_cols, with_approx_distinct=False, extra_aggs=rule_cols,
+            keep_cols=raw_needed,
+        ).collect()[0]
+        stats = {c: _row_to_stats(c, dtypes[c], agged[c]) for c in spec_cols}
+        counts_global = parse_rule_counts(agged.asDict())
 
     # Exact duplicate counts — only for unique-rule columns whose cheap
     # distinct check failed (verdict-first gating).

@@ -36,6 +36,11 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # default 64MB advisory size coalesces the dup-count shuffle to
+         # ~3 partitions at BOTH parallelism levels, capping the shuffle
+         # stages at 3-core parallelism and corrupting the comparison
+         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false")
@@ -61,12 +66,10 @@ spec = load_spec_dict({{
 df = spark.read.parquet({data!r})
 n = df.count()  # warm the file listing; counted outside the timed section
 
-# Untimed warmup on a 5% sample: local-mode JIT compilation of the
-# interpreted expression trees is single-threaded and would otherwise
-# dominate (and distort) the comparison — a real cluster amortizes JIT
-# across long-lived executors, which the warmup emulates.
-validate_table(df.sample(0.05, seed=1), spec,
-               key_cols=["repo", "path", "commit"],
+# Untimed warmup of the EXACT job: local-mode codegen/JIT compilation is
+# single-threaded and plan-shape-specific; a real cluster amortizes it
+# across long-lived executors. The timed run below measures steady state.
+validate_table(df, spec, key_cols=["repo", "path", "commit"],
                partition_col="lang", list_errors=True).violations.count()
 
 t0 = time.time()
