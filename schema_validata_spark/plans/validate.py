@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from schema_validata_spark.operators.duplicates import (
     duplicate_counts_for_columns,
+    duplicate_value_counts,
     enumerate_duplicates,
 )
 from schema_validata_spark.operators.stats import (
@@ -234,8 +235,17 @@ def validate_table(
                 enumerate_duplicates(df, [col], key_cols, level=level)
             )
         for combo in spec.unique_together:
-            dup_rows = enumerate_duplicates(df, list(combo), key_cols)
-            violations = violations.unionByName(dup_rows)
+            # persist the (tiny) dup set: reused by the emptiness gate and
+            # the lazy enumeration join, so detection shuffles once. Left
+            # persisted — it is small and the violations plan references
+            # it; Spark evicts LRU.
+            dup_vals = duplicate_value_counts(df, list(combo)).persist()
+            if not dup_vals.isEmpty():
+                violations = violations.unionByName(
+                    enumerate_duplicates(
+                        df, list(combo), key_cols, dup_vals=dup_vals
+                    )
+                )
         violations = canonical_order(violations, key_cols)
 
     return TableValidation(

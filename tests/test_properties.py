@@ -134,3 +134,21 @@ class TestNaHypothesis:
 
         want = sum(1 for v in vals if py_is_na(v))
         assert got == want
+
+
+class TestHashDupEquivalence:
+    def test_via_hash_equals_salted(self, spark):
+        from schema_validata_spark.operators.duplicates import duplicate_value_counts
+
+        df = corpus_with_injected_violations(spark, 1200, seed=3, dup_every=37)
+
+        def rows(via_hash):
+            return {
+                tuple(r[c] for c in ("repo", "path", "commit")) + (r["dup_n"],)
+                for r in duplicate_value_counts(
+                    df, ["repo", "path", "commit"], via_hash=via_hash
+                ).collect()
+            }
+
+        a, b = rows(True), rows(False)
+        assert a == b and len(a) > 0
