@@ -312,6 +312,23 @@ def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (centroid-bucketed): with nprobe == k the probe covers
+    every cluster, so the result equals exact brute force — checked
+    against the same SQL oracle. Recall-vs-nprobe is unit-tested."""
+    from schema_validata_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    df = _read(spark, sf_dir, "embeddings")
+    target = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_ivf_centroids(df, "embedding", k=8, iters=2)
+    idx = ivf_index(df, "embedding", "vec_id", cents)
+    return ivf_topk(idx, cents, target, topk=10, nprobe=8, exclude_id=0)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
     signature banding is not ANSI-SQL-expressible; rows-only check)."""
@@ -364,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "chisq_event_types": q_chisq_event_types,
         "window_violations_events": q_window_violations_events,
         "fk_multi_lineitem": q_fk_multi_lineitem,
@@ -608,6 +626,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS te "
             "FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT te FROM t)), 6) AS cos_sim "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "ivf_topk_embeddings": (
+            # full-probe IVF == exact brute force; column named id
+            "WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS te "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id AS id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT te FROM t)), 6) AS cos_sim "
             "FROM embeddings WHERE vec_id <> 0 "
             "ORDER BY cos_sim DESC, vec_id LIMIT 10"

@@ -164,6 +164,105 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    sample_rows: int = 5000,
+    iters: int = 2,
+    seed: int = 0xC3,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k centroids from k-means on a bounded,
+    deterministic sample (driver-side numpy — the sample is capped, so
+    this is O(sample·k·iters) regardless of corpus size; full-corpus
+    Lloyd iterations would be distributed aggregations, unnecessary for
+    a coarse quantizer)."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in df.select(vec_col).limit(sample_rows).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        norm_s = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        norm_c = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        assign = (norm_s @ norm_c.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cent]
+
+
+def _nearest_centroid(col: Column | str, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cluster id as a pure expression: array of
+    (similarity, id) structs, array_max, take the id."""
+    a = _as_double_array(col)
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(a, F.array(*[F.lit(float(v)) for v in c])).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(pairs)["cid"]
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Assign each vector to its nearest centroid:
+    ``(id, embedding, cluster)``. In production, write partitioned by
+    ``cluster`` so probes are partition-pruned scans of nprobe/k of the
+    corpus."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        _nearest_centroid(vec_col, centroids).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side, scan only
+    the ``nprobe`` nearest clusters, exact-cosine re-rank inside."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+
+    def cos_c(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)), key=lambda i: -cos_c(centroids[i]))[:nprobe]
+    probed = index_df.filter(F.col("cluster").isin(*probes))
+    if exclude_id is not None:
+        probed = probed.filter(F.col("id") != exclude_id)
+    return (
+        probed.select(
+            "id",
+            F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col("id"))
+        .limit(topk)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str,

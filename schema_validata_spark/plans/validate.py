@@ -77,6 +77,8 @@ class ValidationResult:
 
     run_uid: str
     tables: dict[str, TableValidation] = dc_field(default_factory=dict)
+    #: Stage-E SQL rule violations (lazy), set by validate_dataset
+    integrity_violations: DataFrame | None = None
 
     def summary(self) -> dict:
         """Driver-side JSON summary (the reference's nested result dict,
@@ -264,11 +266,25 @@ def validate_dataset(
     partition_cols: dict[str, str] | None = None,
     dataset_token: str = "",
     list_errors: bool = True,
+    run_integrity: bool = True,
+    sql_variables: dict[str, str] | None = None,
 ) -> ValidationResult:
-    """Validate several tables against a full RuleSet (Stages A–D; FK and
-    SQL integrity rules are Stage E — operators/integrity.py — invoked by
-    the caller or plans/pipeline helpers so rule execution stays
-    independent jobs)."""
+    """Validate several tables against a full RuleSet — the engine's
+    ``validate_dataset`` (reference src/schema_validata.py:3999–4106 plus
+    its ``data_integrity`` sibling :3972–3995, in one call):
+
+    * Stages A–D per table (stats, verdicts, violations, uniqueness)
+    * Stage E when ``run_integrity``: FK anti-joins for
+      ``ruleset.foreign_keys`` (violations appended to each child table)
+      and SQL error-query rules for ``ruleset.integrity_rules`` (each
+      table registered as a temp view first; results in
+      ``result.integrity_violations`` — lazy DataFrame).
+    """
+    from schema_validata_spark.operators.integrity import (
+        fk_violations,
+        run_integrity_rules,
+    )
+
     partition_cols = partition_cols or {}
     run_uid = f"{dataset_token}_{ruleset.spec_hash()}" if dataset_token else ruleset.spec_hash()
     result = ValidationResult(run_uid=run_uid)
@@ -282,4 +298,29 @@ def validate_dataset(
             partition_col=partition_cols.get(name),
             list_errors=list_errors,
         )
+
+    if run_integrity:
+        for fk in ruleset.foreign_keys:
+            if fk.child_table not in dfs or fk.parent_table not in dfs:
+                continue
+            v = fk_violations(
+                dfs[fk.child_table],
+                dfs[fk.parent_table],
+                list(fk.child_keys),
+                list(fk.parent_keys),
+                key_cols.get(fk.child_table, list(fk.child_keys)),
+                level=fk.level,
+            )
+            tv = result.tables.get(fk.child_table)
+            if tv is not None and tv.violations is not None:
+                tv.violations = tv.violations.unionByName(v)
+            elif tv is not None:
+                tv.violations = v
+        if ruleset.integrity_rules:
+            spark = next(iter(dfs.values())).sparkSession
+            for name, df in dfs.items():
+                df.createOrReplaceTempView(name)
+            result.integrity_violations = run_integrity_rules(
+                spark, ruleset.integrity_rules, sql_variables
+            )
     return result

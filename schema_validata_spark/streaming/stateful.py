@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator — per-key violation streak tracking
+via ``applyInPandasWithState``.
+
+Use case: a quality firewall that alerts when a producer (repo, user,
+source, …) emits N consecutive rule-violating records — inexpressible
+with stateless filters or windowed counts (streaks span micro-batches and
+reset on any clean record), so it needs keyed state.
+
+Division of labor keeps Python thin (the north rule's no-per-row-Python
+budget): the rule predicate is evaluated SPARK-side as a Column
+(``is_violation`` boolean per record, whole-stage codegen); the stateful
+kernel only folds booleans into per-key state with vectorized
+pandas/numpy — Arrow-batched, one call per (key, batch), never per row.
+
+State: ``(streak, total_violations, total_rows)`` per key; output: one
+row per key per batch where the streak crossed ``threshold`` (alert) or
+``emit_all`` is set (continuous metrics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STREAK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("streak", T.LongType()),
+        T.StructField("total_violations", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+    ]
+)
+
+
+def _output_schema(key_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("streak", T.LongType()),
+            T.StructField("total_violations", T.LongType()),
+            T.StructField("total_rows", T.LongType()),
+            T.StructField("alert", T.BooleanType()),
+        ]
+    )
+
+
+def violation_streaks(
+    stream_df: DataFrame,
+    violation_pred: Column,
+    key_col: str,
+    order_col: str,
+    threshold: int = 3,
+    emit_all: bool = False,
+) -> DataFrame:
+    """Per-key consecutive-violation streaks over a stream.
+
+    ``violation_pred`` — any engine rule predicate
+    (functions/predicates.py) or boolean Column; evaluated Spark-side.
+    ``order_col`` — intra-batch ordering column (event time). Emits
+    ``(key, streak, total_violations, total_rows, alert)`` rows; with
+    ``emit_all=False`` only keys whose streak ≥ threshold this batch.
+    """
+    key_field = stream_df.schema[key_col]
+    out_schema = _output_schema(key_field)
+    marked = stream_df.select(
+        F.col(key_col), F.col(order_col).alias("__ord"),
+        violation_pred.alias("__viol"),
+    )
+
+    def fold(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            streak, total_v, total_n = state.get
+        else:
+            streak, total_v, total_n = 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ord", kind="mergesort")
+            flags = pdf["__viol"].fillna(False).to_numpy()
+            total_n += len(flags)
+            total_v += int(flags.sum())
+            # streak continues from carried state; any clean record resets
+            for run_is_viol, run_len in _runs(flags):
+                streak = streak + run_len if run_is_viol else 0
+        state.update((int(streak), int(total_v), int(total_n)))
+        alert = streak >= threshold
+        if alert or emit_all:
+            yield pd.DataFrame(
+                [{
+                    key_col: key[0],
+                    "streak": int(streak),
+                    "total_violations": int(total_v),
+                    "total_rows": int(total_n),
+                    "alert": bool(alert),
+                }]
+            )
+
+    return marked.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=STREAK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _runs(flags):
+    """(value, run_length) pairs of a boolean array — vectorized
+    run-length encoding (numpy diff on change points, no Python loop
+    proportional to rows)."""
+    import numpy as np
+
+    if len(flags) == 0:
+        return []
+    change = np.flatnonzero(np.diff(flags.astype(np.int8)))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [len(flags)]))
+    return [(bool(flags[s]), int(e - s)) for s, e in zip(starts, ends)]

@@ -1,0 +1,98 @@
+"""Stateful streaming (violation streaks) and IVF ANN tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+
+class TestViolationStreaks:
+    def test_streaks_across_batches(self, spark, tmp_path):
+        from schema_validata_spark.streaming.stateful import violation_streaks
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        # key 'a': 4 consecutive violations (>400); key 'b': violations
+        # broken by a clean record → max streak 2
+        rows_b1 = [
+            ("a", 1, 500.0), ("a", 2, 501.0), ("b", 1, 600.0), ("b", 2, 601.0),
+        ]
+        rows_b2 = [
+            ("a", 3, 502.0), ("a", 4, 503.0), ("b", 3, 5.0), ("b", 4, 700.0),
+        ]
+        schema = "k string, seq long, value double"
+        spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "f1"))
+        spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "f2"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = violation_streaks(
+            stream, F.col("value") > 400, key_col="k", order_col="seq",
+            threshold=3, emit_all=True,
+        )
+        q = (
+            out.writeStream.format("memory").queryName("streaks")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "SELECT * FROM streaks ORDER BY total_rows"
+        ).collect()
+        final = {}
+        for r in rows:
+            final[r["k"]] = r  # last emission per key wins (ordered by total_rows)
+        assert final["a"]["streak"] == 4 and final["a"]["alert"]
+        assert final["b"]["streak"] == 1 and not final["b"]["alert"]
+        assert final["b"]["total_violations"] == 3
+        assert final["a"]["total_rows"] == 4
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 4 well-separated direction clusters + noise
+    bases = [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]]
+    i = 0
+    for b in bases:
+        for _ in range(25):
+            rows.append((i, [float(x + rng.gauss(0, 0.5)) for x in b]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestIVF:
+    def test_centroids_deterministic(self, spark, vec_df):
+        c1 = train_ivf_centroids(vec_df, "embedding", k=4, iters=2)
+        c2 = train_ivf_centroids(vec_df, "embedding", k=4, iters=2)
+        assert c1 == c2 and len(c1) == 4
+
+    def test_ivf_matches_brute_force_topk(self, spark, vec_df):
+        cents = train_ivf_centroids(vec_df, "embedding", k=4, iters=2)
+        idx = ivf_index(vec_df, "embedding", "vec_id", cents).cache()
+        # every vector assigned, clusters partition the data
+        assert idx.count() == vec_df.count()
+        n_clusters = idx.select("cluster").distinct().count()
+        assert 2 <= n_clusters <= 4
+
+        query = [10.0, 0.0, 0.0, 0.0]
+        want = [r["vec_id"] for r in brute_force_topk(
+            vec_df, "embedding", "vec_id", query, topk=5
+        ).collect()]
+        got = [r["id"] for r in ivf_topk(idx, cents, query, topk=5, nprobe=1).collect()]
+        # with well-separated clusters, nprobe=1 recovers the exact top-5
+        assert got == want
