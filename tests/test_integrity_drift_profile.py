@@ -150,3 +150,63 @@ class TestProfile:
         d = build_data_dictionary(big)
         assert d["v"]["allowed_value_list"] is None
         assert d["v"]["unique_value"] is True
+
+
+class TestValidateDatasetStageE:
+    def test_three_way_join_rule_and_fk(self, spark):
+        """Reference template parity: Data_Integrity rules are 3-table
+        LEFT JOINs (template sheet 4); FK violations append to the child
+        table's violation rows."""
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.plans.validate import validate_dataset
+
+        movies = spark.createDataFrame(
+            [(1, "G"), (2, "R"), (3, "NC-17")], "id int, rated string"
+        )
+        theaters = spark.createDataFrame([(10, "Main")], "tid int, name string")
+        showtimes = spark.createDataFrame(
+            [(100, 1, 10), (101, 3, 10), (102, 2, 99)],
+            "sid int, movie_id int, theater_id int",
+        )
+        rs = load_spec_dict(
+            {
+                "showtimes": {"sid": {"required": True, "allow_null": False}},
+                "movies": {"id": {"required": True}},
+                "theaters": {"tid": {"required": True}},
+                "_integrity_rules": [
+                    {
+                        "primary_table": "showtimes",
+                        "sql": (
+                            "SELECT s.sid, m.rated FROM showtimes s "
+                            "LEFT JOIN movies m ON s.movie_id = m.id "
+                            "LEFT JOIN theaters t ON s.theater_id = t.tid "
+                            "WHERE m.rated NOT IN ('G', 'PG', 'PG-13', 'R')"
+                        ),
+                        "level": "Error",
+                        "message": "unrated/forbidden movie scheduled",
+                    }
+                ],
+                "_foreign_keys": [
+                    {
+                        "child_table": "showtimes",
+                        "child_keys": ["theater_id"],
+                        "parent_table": "theaters",
+                        "parent_keys": ["tid"],
+                    }
+                ],
+            }
+        )
+        res = validate_dataset(
+            {"movies": movies, "theaters": theaters, "showtimes": showtimes},
+            rs,
+            key_cols={"showtimes": ["sid"]},
+        )
+        iv = res.integrity_violations.collect()
+        assert len(iv) == 1
+        assert '"sid":101' in iv[0]["observed_value"]
+        assert iv[0]["message"] == "unrated/forbidden movie scheduled"
+        fk_rows = [
+            r for r in res.tables["showtimes"].violations.collect()
+            if r["rule_id"] == "foreign_key"
+        ]
+        assert len(fk_rows) == 1 and fk_rows[0]["sid"] == "102"
