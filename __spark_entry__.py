@@ -245,6 +245,38 @@ def q_chisq_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift machinery with a fixed threshold grid: empirical CDFs of
+    events.value for even- vs odd-id halves + per-threshold gap (the max
+    of `gap` is the KS statistic)."""
+    ev = _read(spark, sf_dir, "events")
+    thresholds = [50.0, 100.0, 150.0, 200.0, 300.0, 400.0]
+    num = F.col("value").cast("double")
+    halves = []
+    for name, pred in (("cur", F.col("event_id") % 2 == 0),
+                       ("base", F.col("event_id") % 2 == 1)):
+        h = ev.filter(pred).agg(
+            F.count(num).alias("n"),
+            *[F.sum((num <= F.lit(t)).cast("long")).alias(f"le_{i}")
+              for i, t in enumerate(thresholds)],
+        )
+        halves.append(h.select(
+            *[(F.col(f"le_{i}").cast("double") / F.col("n")).alias(f"{name}_{i}")
+              for i in range(len(thresholds))]
+        ))
+    joined = halves[0].crossJoin(halves[1])
+    rows = F.array(*[
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.round(F.col(f"cur_{i}"), 6).alias("cdf_cur"),
+            F.round(F.col(f"base_{i}"), 6).alias("cdf_base"),
+            F.round(F.abs(F.col(f"cur_{i}") - F.col(f"base_{i}")), 6).alias("gap"),
+        )
+        for i, t in enumerate(thresholds)
+    ])
+    return joined.select(F.explode(rows).alias("r")).select("r.*")
+
+
 def q_window_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rule-violation counts (streaming op §2.12, batch
     form): per-minute count of events with value > 400."""
@@ -383,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "chisq_event_types": q_chisq_event_types,
+        "ks_cdf_events": q_ks_cdf_events,
         "window_violations_events": q_window_violations_events,
         "fk_multi_lineitem": q_fk_multi_lineitem,
         "downcast_display": q_downcast_display,
@@ -504,6 +537,25 @@ SELECT value, n_cur, n_base,
         / greatest(CAST(tc AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 0.5), 6) AS contrib
 FROM j, t
 """
+
+
+def _ks_cdf_sql() -> str:
+    thresholds = [50.0, 100.0, 150.0, 200.0, 300.0, 400.0]
+    parts = []
+    for t in thresholds:
+        parts.append(f"""
+SELECT {t} AS threshold,
+  round(CAST((SELECT count(*) FROM events WHERE event_id % 2 = 0 AND value <= {t}) AS DOUBLE)
+        / (SELECT count(value) FROM events WHERE event_id % 2 = 0), 6) AS cdf_cur,
+  round(CAST((SELECT count(*) FROM events WHERE event_id % 2 = 1 AND value <= {t}) AS DOUBLE)
+        / (SELECT count(value) FROM events WHERE event_id % 2 = 1), 6) AS cdf_base,
+  round(abs(
+    CAST((SELECT count(*) FROM events WHERE event_id % 2 = 0 AND value <= {t}) AS DOUBLE)
+      / (SELECT count(value) FROM events WHERE event_id % 2 = 0)
+    - CAST((SELECT count(*) FROM events WHERE event_id % 2 = 1 AND value <= {t}) AS DOUBLE)
+      / (SELECT count(value) FROM events WHERE event_id % 2 = 1)), 6) AS gap
+""")
+    return " UNION ALL ".join(parts)
 
 
 def _quality_sql_expr() -> str:
@@ -640,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, vec_id LIMIT 10"
         ),
         "chisq_event_types": _chisq_sql(),
+        "ks_cdf_events": _ks_cdf_sql(),
         "window_violations_events": (
             "SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') "
             "AS window_start, count(*) AS n_events, "

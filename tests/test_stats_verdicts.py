@@ -193,3 +193,34 @@ def test_duplicates_exact_and_salted(spark):
     assert is_unique(spark.createDataFrame([("x",), ("y",)], "v string"), ["v"])
     dup_rows = enumerate_duplicates(df, ["v"], key_cols=["v"])
     assert dup_rows.count() == 52
+
+
+def test_empty_table_validation(spark, corpus_spec):
+    """Empty inputs: aggregates return NULL rows — stats must coalesce and
+    verdicts must be well-defined (Null-Unknown types, zero counts)."""
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    tv = validate_table(
+        empty, corpus_spec, key_cols=["repo", "path", "commit"],
+        list_errors=True,
+    )
+    assert all(st.n == 0 and st.null_count == 0 for st in tv.stats.values())
+    assert all(st.canonical_type == "Null-Unknown" for st in tv.stats.values())
+    # data_type verdicts pass (Null-Unknown casts to anything); no
+    # violation rows from nothing
+    failed = {(v.column, v.rule_id) for v in tv.verdicts if not v.passed}
+    assert ("repo", "data_type") not in failed
+    assert tv.violations.count() == 0
+
+
+def test_empty_partitioned_validation(spark, corpus_spec):
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    tv = validate_table(
+        empty, corpus_spec, key_cols=["repo", "path", "commit"],
+        partition_col="lang", list_errors=False,
+    )
+    assert tv.partition_stats == {}
+    assert any(v.partition is None for v in tv.verdicts)
