@@ -290,6 +290,28 @@ def load_spec_json(path: str) -> RuleSet:
         return load_spec_dict(json.load(f))
 
 
+def load_spec_csv(paths: dict[str, str]) -> RuleSet:
+    """Load a spec from CSV files — one file per table, columns =
+    ``DATA_DICT_SCHEMA`` attributes (``field_name, required, data_type,
+    allow_null, length, range_min, range_max, regex_pattern,
+    unique_value, allowed_value_list``). ``paths``: {table_name: csv}.
+    Driver-side (spec files are tiny); stdlib csv, no pandas needed."""
+    import csv
+
+    spec: dict[str, Any] = {}
+    for tname, path in paths.items():
+        spec[tname] = {}
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                fname = _as_str(row.get("field_name"))
+                if not fname:
+                    continue
+                spec[tname][fname] = {
+                    k: v for k, v in row.items() if k != "field_name"
+                }
+    return load_spec_dict(spec)
+
+
 def load_spec_xlsx(path: str) -> RuleSet:
     """Load the reference's xlsx data-dictionary template.
 

@@ -152,3 +152,32 @@ class TestHashDupEquivalence:
 
         a, b = rows(True), rows(False)
         assert a == b and len(a) > 0
+
+
+class TestSkewRobustness:
+    def test_dup_count_on_hot_column(self, spark):
+        """SURVEY §5 skew smoke: one repo holds ~30% of all rows; the
+        duplicate aggregate over that column must not concentrate a hot
+        key into one task's memory and must match the exact answer."""
+        from schema_validata_spark.operators.duplicates import (
+            duplicate_count,
+            duplicate_value_counts,
+        )
+        from schema_validata_spark.sources.corpus import synthetic_code_corpus
+
+        df = synthetic_code_corpus(spark, 50_000, seed=13, partitions=16).cache()
+        n = df.count()
+        # python oracle from collected repo counts
+        from collections import Counter
+
+        counts = Counter(r["repo"] for r in df.select("repo").collect())
+        want = sum(v for v in counts.values() if v > 1)
+        assert duplicate_count(df, ["repo"]) == want
+        got_top = (
+            duplicate_value_counts(df, ["repo"])
+            .orderBy(F.desc("dup_n")).first()
+        )
+        assert got_top["repo"] == "org0/repo0"
+        assert got_top["dup_n"] == counts["org0/repo0"]
+        assert counts["org0/repo0"] / n > 0.25  # the skew is real
+        df.unpersist()

@@ -99,3 +99,26 @@ class TestIO:
         assert spark.read.parquet(paths["verdicts"]).count() == len(tv.verdicts)
         viol = spark.read.parquet(paths["violations_t"])
         assert viol.filter(F.col("rule_id") == "allow_null").count() == 1
+
+
+def test_load_spec_csv(spark, tmp_path):
+    from schema_validata_spark.sources.spec import load_spec_csv
+
+    p = tmp_path / "orders_spec.csv"
+    p.write_text(
+        "field_name,required,data_type,allow_null,length,range_min,range_max,"
+        "regex_pattern,unique_value,allowed_value_list\n"
+        "o_orderkey,True,Integer,False,,,,,True,\n"
+        'o_orderstatus,True,String,True,1,,,,,"[\'F\',\'O\',\'P\']"\n'
+        "o_totalprice,True,Float,True,,0,1000000,,,\n"
+    )
+    rs = load_spec_csv({"orders": str(p)})
+    spec = rs.tables["orders"]
+    assert spec.column("o_orderkey").unique_value is True
+    assert spec.column("o_orderkey").allow_null is False
+    assert spec.column("o_orderstatus").allowed_value_list == ["F", "O", "P"]
+    assert spec.column("o_orderstatus").length == 1
+    assert spec.column("o_totalprice").range_max == 1000000.0
+    assert spec.column("o_totalprice").active_rules() == [
+        "data_type", "range_min", "range_max"
+    ]
