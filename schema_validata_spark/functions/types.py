@@ -32,6 +32,11 @@ Documented divergences from the reference (both intentional):
   strip conversion; the reference's ``conditional_numeric_conversion``
   (:657–715) would silently convert '02134' → 2134 after inference
   chose String, destroying the very zeros :1489–1491 preserved.
+* values longer than 64 characters never vote numeric/boolean
+  (operators/stats.py ``_VOTE_MAX_LEN``): no real numeric rendering is
+  longer, and the gate keeps multi-KB content values out of the cast
+  machinery. A pathological 100-digit numeral column resolves String
+  here where pandas ``to_numeric`` would give Float.
 """
 
 from __future__ import annotations

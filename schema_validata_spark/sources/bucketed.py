@@ -1,0 +1,46 @@
+"""Bucketed storage for shuffle-free co-located joins.
+
+Task-brief capability ("use bucketing for co-located joins"): referential
+checks and dedup-verification joins re-run per validation round over the
+same keys; bucketing both sides by the join key at write time removes the
+per-run shuffle entirely — the sort-merge join reads pre-hashed buckets
+(`.explain` shows no Exchange under the join).
+
+Spark bucketing requires ``saveAsTable`` (bucket metadata lives in the
+catalog); at production scale the equivalent is an Iceberg
+``bucket(N, key)`` partition transform. Bucket counts on both sides must
+be equal (or integer multiples with
+``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by the join
+    key. Sorting inside buckets lets the sort-merge join skip its sort
+    step too — the join becomes a pure streamed merge of bucket files."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_is_shuffle_free(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> bool:
+    """True when the join of two bucketed tables plans without an
+    Exchange on either side — the co-location check used by tests and
+    plan audits."""
+    j = spark.table(left_table).join(spark.table(right_table), on=on)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

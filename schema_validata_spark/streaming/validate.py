@@ -107,6 +107,7 @@ def validate_stream_foreach_batch(
     on_batch: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     partition_col: str | None = None,
+    available_now: bool = False,
 ):
     """Full Stage A–C per micro-batch via ``foreachBatch``.
 
@@ -129,9 +130,13 @@ def validate_stream_foreach_batch(
         )
         on_batch(vdf, batch_id)
 
-    return (
+    w = (
         stream_df.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        # drain everything currently available, then stop — batch-resume
+        # style runs and deterministic tests
+        w = w.trigger(availableNow=True)
+    return w.start()

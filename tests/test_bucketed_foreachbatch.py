@@ -1,0 +1,74 @@
+"""Bucketed co-located joins (no-shuffle evidence) and the foreachBatch
+streaming verdict pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.sources.bucketed import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # (warehouse dir is a static conf — default ./spark-warehouse is fine;
+    # tables are dropped in the finally block)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    parent = spark.range(0, 5000).select(
+        F.col("id").alias("k"), F.lit("p").alias("p")
+    )
+    write_bucketed(child, "b_child", ["k"], n_buckets=8)
+    write_bucketed(parent, "b_parent", ["k"], n_buckets=8)
+    try:
+        assert bucketed_join_is_shuffle_free(spark, "b_child", "b_parent", ["k"])
+        # and the join result is correct
+        n = spark.table("b_child").join(spark.table("b_parent"), on="k").count()
+        assert n == 5000
+        # control: the same join over unbucketed data DOES shuffle
+        child.createOrReplaceTempView("ub_child")
+        parent.createOrReplaceTempView("ub_parent")
+        j = spark.table("ub_child").join(spark.table("ub_parent"), on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_child")
+        spark.sql("DROP TABLE IF EXISTS b_parent")
+
+
+def test_foreach_batch_verdicts(spark, tmp_path):
+    from schema_validata_spark.streaming.validate import (
+        validate_stream_foreach_batch,
+    )
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, 500.0), (2, 5.0), (3, None)], "id long, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    spec = load_spec_dict(
+        {"t": {"value": {"range_max": 100, "allow_null": False}}}
+    ).tables["t"]
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+
+    seen: list = []
+
+    def on_batch(vdf, batch_id):
+        seen.extend(vdf.collect())
+
+    q = validate_stream_foreach_batch(
+        stream, spec, ["id"], on_batch,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    by_rule = {(r["column"], r["rule_id"]): r for r in seen}
+    assert by_rule[("value", "range_max")]["passed"] is False
+    assert by_rule[("value", "allow_null")]["passed"] is False
+    assert by_rule[("value", "allow_null")]["count"] == 1
+    assert all(r["batch_id"] == 0 for r in seen)
