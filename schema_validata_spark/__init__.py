@@ -40,9 +40,11 @@ from schema_validata_spark.operators.integrity import (
     run_integrity_rules,
 )
 from schema_validata_spark.operators.drift import chi_square_drift, drift_report, ks_drift
-from schema_validata_spark.plans.validate import validate_dataset
+from schema_validata_spark.plans.validate import validate_dataset, validate_table
 from schema_validata_spark.plans.resume import resumable_validate_table
 from schema_validata_spark.sources.corpus import synthetic_code_corpus
+from schema_validata_spark.sources.typed import apply_inferred_schema, read_typed
+from schema_validata_spark.sources.spec import load_spec_csv
 
 __all__ = [
     "is_na",
@@ -70,8 +72,12 @@ __all__ = [
     "ks_drift",
     "drift_report",
     "validate_dataset",
+    "validate_table",
     "resumable_validate_table",
     "synthetic_code_corpus",
+    "apply_inferred_schema",
+    "read_typed",
+    "load_spec_csv",
 ]
 
 __version__ = "0.1.0"
