@@ -64,7 +64,9 @@ def profile_df(
                 for c in cols
             ]
         )
-        base = stats_agg_df(df, cols).crossJoin(dist)
+        # exact mode never reads the HLL estimate — skip it so the stats
+        # aggregate stays whole-stage-codegen'd
+        base = stats_agg_df(df, cols, with_approx_distinct=False).crossJoin(dist)
     else:
         base = stats_agg_df(df, cols)
     rows = [
