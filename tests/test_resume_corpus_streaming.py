@@ -183,3 +183,31 @@ class TestStreaming:
         ).collect()
         counts = {(str(r["window_start"]), r["rule_id"]): r["n_violations"] for r in rows}
         assert counts.get(("2026-01-01 00:00:00", "range_max")) == 1
+
+
+class TestPartitionPruning:
+    def test_resume_filter_prunes_partitions(self, spark, tmp_path):
+        """The resume skip-filter must reach the source as PARTITION
+        pruning when the manifest key is the physical partition column —
+        completed partitions are never read (north rule: completed
+        partitions skipped)."""
+        from schema_validata_spark.plans.manifest import filter_incomplete
+
+        src = str(tmp_path / "part_corpus")
+        synthetic_code_corpus(spark, 2000, seed=21).write.partitionBy(
+            "lang"
+        ).mode("overwrite").parquet(src)
+        df = spark.read.parquet(src)
+        langs = sorted(r["lang"] for r in df.select("lang").distinct().collect())
+        done = set(langs[:5])
+        remaining = filter_incomplete(df, "lang", done)
+        plan = remaining._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the pruned scan reads only the incomplete partitions
+        got_langs = {r["lang"] for r in remaining.select("lang").distinct().collect()}
+        assert got_langs == set(langs) - done
+        # and the partition filter is present (not a post-scan filter):
+        # pushed partition filters mention the lang column
+        import re
+        pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+        assert pf and "lang" in pf.group(1)
