@@ -1,0 +1,65 @@
+"""Join-strategy helpers — size-gated broadcast hints.
+
+An explicit ``F.broadcast(df)`` hint is *not* demoted by AQE: Spark will
+collect the hinted side to the driver no matter how big it actually is,
+so an unconditional hint on a derived set (duplicated values, parent FK
+keys) is a scale-killer — a table where a unique-rule column is mostly
+duplicated, or a fact-to-fact FK with billions of parent keys, OOMs the
+driver at 100 TB.
+
+The safe protocol, used by every join in this engine:
+
+* consult Catalyst's *logical plan statistics* (``sizeInBytes`` of the
+  optimized plan — file-size based for source scans, conservatively
+  propagated through operators). **No Spark job runs** to make the
+  decision.
+* hint broadcast only when the estimate is comfortably under the limit
+  (small dimension tables — the common case, where the hint saves AQE a
+  shuffle stage);
+* otherwise attach **no hint** and let AQE decide at runtime: with
+  ``spark.sql.adaptive.enabled`` the initial sort-merge plan is converted
+  to a broadcast join after the map stage *if the actual shuffle size is
+  small* — so derived sets whose estimates are unknowably large still get
+  broadcast when they turn out tiny, without ever risking the driver.
+
+This is the fix for the two round-1 scale-killers (forced broadcasts in
+``enumerate_duplicates`` and ``fk_violations``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default byte gate for an *explicit* broadcast hint. Kept well under
+#: Spark's 8 GB broadcast hard cap and sized for executor/driver comfort;
+#: AQE still broadcasts bigger-estimate-but-actually-small sides at
+#: runtime, so a conservative gate only costs a (re-plannable) shuffle.
+BROADCAST_HINT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized logical plan, in bytes.
+
+    File-size based for source scans; conservatively propagated (often a
+    large upper bound) through joins/aggregates. Never runs a job. When
+    the JVM call fails (plan not analyzable), returns a huge sentinel so
+    callers treat the side as too big to hint.
+    """
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j edge
+        return 1 << 62
+
+
+def maybe_broadcast(
+    df: DataFrame, max_bytes: int = BROADCAST_HINT_MAX_BYTES
+) -> DataFrame:
+    """``F.broadcast(df)`` only when the plan-statistics estimate fits
+    under ``max_bytes``; otherwise the untouched DataFrame (AQE picks the
+    strategy at runtime from *actual* sizes)."""
+    if plan_size_bytes(df) <= max_bytes:
+        return F.broadcast(df)
+    return df

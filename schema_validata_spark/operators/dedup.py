@@ -26,12 +26,15 @@ uses the (id1 < id2) canonical ordering, so each pair exists once.
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from schema_validata_spark.operators.text import shingle_hashes
+
+logger = logging.getLogger(__name__)
 
 #: Mersenne prime 2^31-1 — minhash universal-hash modulus; operands stay
 #: < 2^62 so 64-bit multiply never overflows.
@@ -176,26 +179,61 @@ def minhash_bands(
     )
 
 
-def _candidate_pairs(
-    bands_df: DataFrame, max_bucket: int = DEFAULT_MAX_BUCKET
+def _prune_buckets(
+    bands_df: DataFrame,
+    max_bucket: int,
+    log_drops: bool = False,
+    label: str = "candidate_pairs",
 ) -> DataFrame:
-    """Distinct (id1 < id2) pairs sharing ≥ 1 band bucket.
+    """Drop over-``max_bucket`` buckets (quadratic guard) from a
+    ``(..., band, band_hash)`` frame.
 
-    Self-join on the band key; buckets above ``max_bucket`` are dropped
-    first (quadratic-bucket guard — log the drop count at call sites if
-    coverage accounting matters). Bucket sizes come from a window count
-    over the same partitioning the join needs, so the expensive
-    signature scan is shuffled ONCE and both join sides read the reused
-    exchange (ReuseExchange); AQE skew-join splits what remains.
+    Bucket sizes come from a window count over the same partitioning the
+    downstream self-join needs, so the expensive upstream scan is
+    shuffled ONCE and both join sides read the reused exchange
+    (ReuseExchange).
+
+    ``log_drops=True`` removes the silent-cap smell: the frame is
+    persisted (both join sides then read the cache instead of the reused
+    exchange — same single upstream computation) and one cheap aggregate
+    reports how many buckets/rows the guard discarded.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "band_hash")
-    pruned = (
-        bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
+    counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
+    if log_drops:
+        counted = counted.persist()
+        d = (
+            counted.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count_distinct(F.struct("band", "band_hash")).alias("b"),
+                F.count(F.lit(1)).alias("r"),
+            )
+            .collect()[0]
+        )
+        if int(d["b"] or 0) > 0:
+            logger.warning(
+                "%s: quadratic-bucket guard dropped %d bucket(s) / %d row(s) "
+                "over max_bucket=%d — near-dup coverage is incomplete for "
+                "those keys", label, int(d["b"]), int(d["r"]), max_bucket,
+            )
+        else:
+            logger.info("%s: no buckets over max_bucket=%d", label, max_bucket)
+    return counted.filter(F.col("_n") <= max_bucket).drop("_n")
+
+
+def _candidate_pairs(
+    bands_df: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Distinct (id1 < id2) pairs sharing ≥ 1 band bucket.
+
+    Self-join on the band key after the quadratic-bucket guard
+    (:func:`_prune_buckets`); AQE skew-join splits what remains.
+    """
+    pruned = _prune_buckets(bands_df, max_bucket, log_drops=log_drops)
     l = pruned.alias("l")
     r = pruned.alias("r")
     return (
@@ -249,11 +287,13 @@ def minhash_near_duplicates(
     bands: int = 16,
     k: int = 5,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup pairs ``(id1, id2, jaccard)`` with
-    exact-Jaccard verification ≥ ``threshold``."""
+    exact-Jaccard verification ≥ ``threshold``. ``log_drops`` reports
+    buckets discarded by the quadratic guard (one extra cheap aggregate)."""
     bands_df = minhash_bands(df, text_col, id_col, num_perm, bands, k)
-    cand = _candidate_pairs(bands_df, max_bucket)
+    cand = _candidate_pairs(bands_df, max_bucket, log_drops=log_drops)
     return jaccard_pairs(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
@@ -314,6 +354,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     k: int = 2,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
     any pair with hamming ≤ 7 shares a band) → verify exact hamming via
@@ -339,13 +380,8 @@ def simhash_near_duplicates(
         ).alias("b"),
     ).select("id", "sh", F.col("b.band"), F.col("b.band_hash"))
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "band_hash")
-    pruned = (
-        bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
+    pruned = _prune_buckets(
+        bands_df, max_bucket, log_drops=log_drops, label="simhash_near_duplicates"
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -365,4 +401,145 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id1", "id2"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- exact blocked Jaccard pairs
+
+def shingle_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_posting: int = 10_000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Candidate (id1 < id2) pairs sharing ≥ 1 exact k-shingle — the
+    inverted-index blocking for an EXACT similarity join.
+
+    Any pair with Jaccard > 0 shares a shingle, so (unlike MinHash
+    banding, which is probabilistic) this blocking is *lossless*: follow
+    with :func:`jaccard_pairs` + threshold and the result equals the full
+    cross-join answer — which is what makes it oracle-checkable against
+    an exhaustive SQL baseline. Scale lever is ``max_posting``: postings
+    longer than it (boilerplate shingles shared by everything) are
+    dropped by the quadratic guard, trading completeness for a bound —
+    at the default 10k an undropped corpus-scale run should instead
+    lower it and accept documented coverage loss (``log_drops=True``
+    reports it).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_hashes(text_col, k))).alias(
+            "band_hash"
+        ),
+    ).withColumn("band", F.lit(0))
+    return _candidate_pairs(sh, max_bucket=max_posting, log_drops=log_drops)
+
+
+# ------------------------------------------ pair → cluster resolution
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list:
+    ``(id, cluster_id)`` where ``cluster_id`` is the MINIMUM id in the
+    component (so the cluster id doubles as the keep-winner).
+
+    Algorithm: iterative min-label propagation with path halving —
+    each round every node takes the min label over itself and its
+    neighbors, then labels are pointer-jumped one level
+    (``label := label(label)``), giving O(log diameter) rounds; LSH
+    duplicate clusters are near-cliques, so 2–3 rounds is typical.
+    Each round is two shuffles over the PAIR set (≪ corpus at 100 TB —
+    only near-dup docs appear here). Labels only ever decrease, so
+    convergence is an any-row-changed probe (``limit(1)`` — stops at the
+    first diff) against the previous round. Rounds are
+    ``localCheckpoint``-ed so the iterative plan/lineage doesn't grow
+    unboundedly. Ids may be any orderable type (numeric, string).
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # path halving: comp := min(comp, comp(comp)) — labels are node
+        # ids, so the self-join is total
+        a = stepped.alias("a")
+        b = stepped.alias("b")
+        new_labels = (
+            a.join(b, F.col("a.comp") == F.col("b.id"), "left")
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.comp"),
+                    F.coalesce(F.col("b.comp"), F.col("a.comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into keep/drop decisions for the whole
+    corpus: ``(id, cluster_id, keep)``.
+
+    Docs in no pair form singleton clusters (keep=true); paired docs get
+    their component's min id as ``cluster_id`` and only that winner is
+    kept — the step that turns a pair list into an actual deduped corpus
+    (``df.join(clusters.filter("keep"), id)`` or an anti-join on the
+    drops). The cluster join is a left join on id — the component
+    assignment is tiny relative to the corpus, so AQE broadcasts it.
+    """
+    cc = connected_components(pairs, id1, id2)
+    return df.select(F.col(id_col).alias("id")).join(
+        cc, on="id", how="left"
+    ).select(
+        "id",
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("id")) == F.col("id")).alias(
+            "keep"
+        ),
     )

@@ -22,9 +22,12 @@ handled explicitly (north rule):
   single group in the *final* aggregate and is the pattern that scales
   when the payload per group grows (collect-like aggregates).
 * **enumeration** joins the duplicated-value set back to the base table.
-  The dup-value set is usually tiny → ``broadcast()`` hint; when it
-  exceeds the broadcast threshold the join falls back to sort-merge with
-  AQE skew-join splitting (spark.sql.adaptive.skewJoin.enabled).
+  The dup-value set is usually tiny, but an explicit ``broadcast()`` hint
+  is NOT demoted by AQE — a mostly-duplicated column would OOM the
+  driver. So the hint is size-gated on Catalyst plan statistics
+  (:mod:`schema_validata_spark.functions.joins`); oversized/unknown
+  estimates get no hint and AQE picks broadcast vs sort-merge (with skew
+  splitting) from the *actual* runtime shuffle sizes.
 """
 
 from __future__ import annotations
@@ -32,10 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from schema_validata_spark.functions.joins import maybe_broadcast
 from schema_validata_spark.functions.nulls import is_na
 
-#: dup-value sets smaller than this broadcast in the enumeration join
-BROADCAST_DUP_LIMIT = 1_000_000
+#: plan-size gate (bytes) for hinting broadcast of the dup-value set in
+#: the enumeration join; larger/unknown estimates go unhinted (AQE picks)
+BROADCAST_DUP_LIMIT = 256 * 1024 * 1024
 
 _UUID_RX = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 
@@ -132,16 +137,20 @@ def enumerate_duplicates(
     ``value_errors_duplicates`` :2704–2749), as violation rows
     ``key_cols + (column_name, rule_id, observed_value, level)``.
 
-    Join strategy: broadcast the (small) duplicated-value set; Catalyst
-    falls back to sort-merge + AQE skew split if the set is large.
+    Join strategy: hint broadcast of the duplicated-value set ONLY when
+    Catalyst's plan-size estimate fits ``BROADCAST_DUP_LIMIT`` (an
+    explicit hint is never demoted by AQE, so an unconditional one would
+    OOM on a mostly-duplicated column); otherwise no hint — AQE promotes
+    the sort-merge join to broadcast at runtime when the set turns out
+    small, and splits skewed keys when it doesn't.
     ``dup_vals`` — reuse a (persisted) precomputed duplicated-value set.
     """
     if dup_vals is None:
         dup_vals = duplicate_value_counts(df, cols)
     dup_vals = dup_vals.select(*cols)
-    # The dup-value set is almost always tiny relative to the corpus;
-    # hint broadcast and let AQE revert if statistics disagree.
-    joined = df.join(F.broadcast(dup_vals), on=cols, how="inner")
+    joined = df.join(
+        maybe_broadcast(dup_vals, BROADCAST_DUP_LIMIT), on=cols, how="inner"
+    )
     observed = (
         F.col(cols[0]).cast("string")
         if len(cols) == 1
@@ -156,17 +165,74 @@ def enumerate_duplicates(
     )
 
 
+def duplicate_group_stats(
+    df: DataFrame, columns: list[str]
+) -> dict[str, tuple[int, int]]:
+    """Exact per-column ``(dup_rows, dup_groups)`` for MANY columns in
+    ONE job — ``dup_rows`` = rows participating in any duplicate group
+    (``duplicated(keep=False).sum()``), ``dup_groups`` = number of
+    distinct duplicated values.
+
+    Plan: melt each row into ``(column, value)`` pairs with one
+    ``explode`` (values rendered to string — injective per column since a
+    column has one type), then a single ``groupBy(column, value)`` count
+    and a per-column re-aggregate. N columns cost one scan + one shuffle
+    instead of N sequential jobs; the shuffle carries only the non-NA
+    melted pairs. Map-side partial aggregation absorbs hot values exactly
+    like the explicit salt in :func:`duplicate_value_counts`.
+    """
+    if not columns:
+        return {}
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.when(~is_na(F.col(c)), F.col(c).cast("string")).alias(
+                            "val"
+                        ),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.val").filter(F.col("val").isNotNull())
+    per_col = (
+        pairs.groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("col")
+        .agg(
+            F.sum("n").alias("dup_rows"),
+            F.count(F.lit(1)).alias("dup_groups"),
+        )
+    )
+    found = {
+        r["col"]: (int(r["dup_rows"]), int(r["dup_groups"]))
+        for r in per_col.collect()
+    }
+    return {c: found.get(c, (0, 0)) for c in columns}
+
+
 def duplicate_counts_for_columns(
     df: DataFrame, columns: list[str]
 ) -> dict[str, int]:
     """Exact keep=False duplicate counts for several columns.
 
-    One salted two-phase aggregate per column — columns are independent
-    shuffles, so Spark schedules them as separate (parallelizable) jobs.
+    Single column → the hash two-phase aggregate (raw-value exact).
+    Multiple columns → fused into ONE melted aggregate
+    (:func:`duplicate_group_stats`) instead of N sequential Spark jobs.
     Only called for columns with an active unique_value rule (the
     verdict-first gating keeps this off the hot path).
     """
-    return {c: duplicate_count(df, [c]) for c in columns}
+    if not columns:
+        return {}
+    if len(columns) == 1:
+        return {columns[0]: duplicate_count(df, [columns[0]])}
+    return {
+        c: rows for c, (rows, _g) in duplicate_group_stats(df, columns).items()
+    }
 
 
 def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:

@@ -30,11 +30,15 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from schema_validata_spark.functions.joins import maybe_broadcast
 from schema_validata_spark.functions.nulls import is_na
 from schema_validata_spark.sources.spec import ForeignKeyRule, IntegrityRule
 
-#: parents with fewer rows than this get an explicit broadcast hint
-BROADCAST_PARENT_ROWS = 50_000_000
+#: plan-size gate (bytes) under which the deduplicated parent-key set
+#: gets an explicit broadcast hint; larger/unknown estimates go unhinted
+#: (AQE decides from actual runtime sizes — an explicit hint is never
+#: demoted, so hinting a fact-to-fact parent would OOM the driver)
+BROADCAST_PARENT_BYTES = 256 * 1024 * 1024
 
 _VAR_RX = re.compile(r"\$\{(\w+)\}")
 
@@ -55,12 +59,17 @@ def fk_violations(
     ``key_cols + (column_name, rule_id, observed_value, level)``.
 
     Join strategy: parent side is pruned to its key columns and
-    deduplicated before the anti-join; ``broadcast_parent=None`` lets the
-    engine hint broadcast (dimension tables — the common case), with AQE
-    falling back/re-planning when statistics disagree.
+    deduplicated before the anti-join. ``broadcast_parent=None`` (the
+    default) size-gates the broadcast hint on Catalyst plan statistics —
+    small dimension parents get the hint, fact-to-fact parents (billions
+    of keys at 100 TB) get none and AQE picks sort-merge with skew
+    splitting (or promotes to broadcast at runtime if the deduplicated
+    key set turns out small). ``True``/``False`` force the choice.
     """
     pk = parent.select(*[F.col(k) for k in parent_keys]).dropDuplicates()
-    if broadcast_parent is None or broadcast_parent:
+    if broadcast_parent is None:
+        pk = maybe_broadcast(pk, BROADCAST_PARENT_BYTES)
+    elif broadcast_parent:
         pk = F.broadcast(pk)
 
     cond = None

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.operators.duplicates import duplicate_group_stats
 from schema_validata_spark.operators.stats import column_stats, stats_agg_df
 
 #: reference max_unique_vals cap for the allowed-value harvest (:1774, :1897)
@@ -146,17 +147,32 @@ def build_data_dictionary(
         for c in ambiguous:
             uniques_exact[c] = int(row[f"__exact_{c}"] or 0)
 
+    # duplicate_count parity: the reference reports duplicated(keep=False)
+    # — ALL rows in duplicate groups ([a,b,a,c] → 2), not the excess
+    # (→ 1). For columns with an exact distinct showing duplicates, one
+    # fused melted aggregate yields the exact keep=False count; columns
+    # known only by HLL estimate keep the excess as a documented
+    # approximation (their counts are approximate either way).
+    need_exact = [
+        c for c in cols
+        if c in uniques_exact and stats[c].nonnull - uniques_exact[c] > 0
+    ]
+    dup_exact = duplicate_group_stats(df, need_exact) if need_exact else {}
+
     out: dict[str, dict] = {}
     for c in cols:
         st = stats[c]
         nonnull = st.nonnull
         distinct = uniques_exact.get(c, st.approx_distinct)
+        dup_rows = (
+            dup_exact[c][0] if c in dup_exact else max(nonnull - distinct, 0)
+        )
         out[c] = {
             "field_name": c,
             "data_type": st.canonical_type,
             "allow_null": st.null_count > 0,
             "null_count": st.null_count,
-            "duplicate_count": max(nonnull - distinct, 0),
+            "duplicate_count": dup_rows,
             "length": st.max_len,
             "range_min": st.min_num,
             "range_max": st.max_num,

@@ -272,12 +272,29 @@ def embedding_near_duplicates(
     n_planes: int = 10,
     n_tables: int = 6,
     max_bucket: int = 2000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(id1, id2, cos_sim)`` ≥
     ``threshold``: LSH buckets → in-bucket self-join (AQE-skew-split,
-    quadratic-bucket guard) → exact cosine verify."""
+    quadratic-bucket guard) → exact cosine verify. ``log_drops`` reports
+    buckets discarded by the guard (one extra aggregate over the tiny
+    bucket-size frame) so coverage loss is never silent."""
     idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
     sizes = idx.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    if log_drops:
+        import logging
+
+        d = (
+            sizes.filter(F.col("_n") > max_bucket)
+            .agg(F.count(F.lit(1)).alias("b"), F.sum("_n").alias("r"))
+            .collect()[0]
+        )
+        if int(d["b"] or 0) > 0:
+            logging.getLogger(__name__).warning(
+                "embedding_near_duplicates: guard dropped %d bucket(s) / "
+                "%d row(s) over max_bucket=%d",
+                int(d["b"]), int(d["r"] or 0), max_bucket,
+            )
     pruned = idx.join(
         sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
         on=["table", "bucket"],

@@ -107,7 +107,6 @@ def rule_agg_columns(df: DataFrame, spec: TableSpec) -> list:
             continue
         c = F.col(cs.field_name)
         ok = ~is_na(c)
-        s = F.trim(c.cast("string"))
         if cs.regex_pattern:
             miss = regex_violation(cs.field_name, cs.regex_pattern)
             aggs.append(
@@ -117,8 +116,13 @@ def rule_agg_columns(df: DataFrame, spec: TableSpec) -> list:
             bad = unallowed_violation(cs.field_name, cs.allowed_value_list)
             aggs.append(F.sum(bad.cast("long")).alias(f"{cs.field_name}::unallowed"))
         if cs.unique_value:
+            # RAW value distinct (reference ``duplicated()`` semantics,
+            # src/schema_validata.py:1868) — must match the raw-column
+            # grouping in operators/duplicates.py, or a column holding
+            # "a" and " a" fails the distinct check while dup_counts
+            # reports 0 and enumeration emits no rows.
             aggs.append(
-                F.count_distinct(F.when(ok, s)).alias(f"{cs.field_name}::distinct")
+                F.count_distinct(F.when(ok, c)).alias(f"{cs.field_name}::distinct")
             )
             aggs.append(F.sum(ok.cast("long")).alias(f"{cs.field_name}::nonnull"))
     return aggs
@@ -150,7 +154,9 @@ def rule_aggregates(
 
     With ``group_by`` set, a ``rollup`` computes the global AND the
     per-partition counters in the same scan (grouping sets ``((g), ())``)
-    — the global row carries key ``None``.
+    — the global row carries key ``None``; a genuine NULL partition value
+    is keyed by the string ``"None"`` (the same ``str()`` sentinel the
+    resume manifests use), so it never collides with the global row.
     """
     aggs = rule_agg_columns(df, spec)
     if not aggs:
@@ -167,7 +173,12 @@ def rule_aggregates(
     out: dict[str | None, dict[str, dict[str, int]]] = {}
     for row in agged.collect():
         if group_by:
-            key = None if row["__is_total"] == 1 else row["__part"]
+            if row["__is_total"] == 1:
+                key = None
+            elif row["__part"] is None:
+                key = "None"  # NULL partition — manifest str() sentinel
+            else:
+                key = row["__part"]
         else:
             key = None
         out[key] = parse_rule_counts(row.asDict())

@@ -141,9 +141,19 @@ def filter_incomplete(
 ) -> DataFrame:
     """Prune completed partitions from the input. When ``partition_col``
     is the physical partition key, Catalyst turns this into partition
-    pruning — completed data is never read, which IS the resume."""
+    pruning — completed data is never read, which IS the resume.
+
+    NULL partition values need an explicit arm: ``~isin(...)`` evaluates
+    to NULL (dropped) for NULL inputs, which would silently exclude
+    NULL-partition rows from recomputation. They are kept unless the
+    ``str()`` sentinel ``"None"`` appears in ``done`` (how the manifest
+    writer keys a NULL partition)."""
     if not done:
         return df
     from pyspark.sql import functions as F
 
-    return df.filter(~F.col(partition_col).cast("string").isin(*sorted(done)))
+    c = F.col(partition_col).cast("string")
+    rest = sorted(done - {"None"})
+    non_null_keep = (c.isNotNull() & ~c.isin(*rest)) if rest else c.isNotNull()
+    null_keep = F.lit(False) if "None" in done else c.isNull()
+    return df.filter(null_keep | non_null_keep)

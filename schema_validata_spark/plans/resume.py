@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from schema_validata_spark.operators.duplicates import duplicate_count
+from schema_validata_spark.operators.duplicates import duplicate_group_stats
 from schema_validata_spark.operators.stats import (
     ColumnStats,
     collect_rollup_stats,
@@ -118,16 +118,22 @@ def resumable_validate_table(
                 if k != "distinct":
                     g[k] = g.get(k, 0) + v
     dup_counts: dict[str, int] = {}
-    for cs in spec.columns:
-        if cs.unique_value and cs.field_name in df.columns:
-            dups = duplicate_count(df, [cs.field_name])
-            dup_counts[cs.field_name] = dups
-            g = global_counts.setdefault(cs.field_name, {})
+    unique_cols = [
+        cs.field_name
+        for cs in spec.columns
+        if cs.unique_value and cs.field_name in df.columns
+    ]
+    if unique_cols:
+        # one fused job for all unique-rule columns; exact distinct is
+        # derived from the dup aggregate: every duplicate group of size n
+        # contributes n rows but 1 distinct value, so
+        #   distinct = nonnull − (Σ dup_n − n_dup_groups).
+        group_stats = duplicate_group_stats(df, unique_cols)
+        for col, (dup_rows, dup_groups) in group_stats.items():
+            dup_counts[col] = dup_rows
+            g = global_counts.setdefault(col, {})
             nonnull = g.get("nonnull", 0)
-            # distinct reconstructed so the verdict sees exact semantics:
-            # dups counts rows in duplicated groups; distinct == nonnull
-            # iff dups == 0.
-            g["distinct"] = nonnull if dups == 0 else nonnull - max(dups // 2, 1)
+            g["distinct"] = nonnull - (dup_rows - dup_groups)
 
     verdicts: list[Verdict] = evaluate_verdicts(
         spec, global_stats, df.columns, global_counts, dup_counts, partition=None

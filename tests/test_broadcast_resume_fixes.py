@@ -1,0 +1,238 @@
+"""Round-2 fixes: size-gated broadcast hints, raw-value unique semantics,
+exact resume distinct reconstruction, NULL-partition handling in the
+rollup rule counters and the resume filter, keep=False duplicate counts
+in the observed data dictionary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.functions.joins import (
+    BROADCAST_HINT_MAX_BYTES,
+    maybe_broadcast,
+    plan_size_bytes,
+)
+from schema_validata_spark.operators.duplicates import (
+    duplicate_count,
+    duplicate_counts_for_columns,
+    duplicate_group_stats,
+    enumerate_duplicates,
+)
+from schema_validata_spark.operators.integrity import fk_violations
+from schema_validata_spark.operators.profile import build_data_dictionary
+from schema_validata_spark.operators.verdicts import rule_aggregates
+from schema_validata_spark.plans.manifest import filter_incomplete
+from schema_validata_spark.plans.resume import resumable_validate_table
+from schema_validata_spark.plans.validate import validate_table
+
+
+def _physical_plan(df) -> str:
+    # pre-execution: with AQE this is the INITIAL plan — exactly what we
+    # must assert on (an explicit broadcast hint shows up here and is
+    # never demoted at runtime).
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _spec(d):
+    return load_spec_dict({"t": d}).tables["t"]
+
+
+def _parquet(spark, tmp_path, name, rows, schema):
+    """Parquet-backed frame: source scans carry REAL file-size plan
+    statistics (createDataFrame frames are RDD-backed → unknown stats →
+    conservatively never hinted, which is the desired behavior but not
+    what the hint-path assertions need)."""
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+# ---------------------------------------------------------------- joins
+
+
+def test_plan_size_estimates(spark, tmp_path):
+    small = _parquet(spark, tmp_path, "small", [(1,)], "v long")
+    big = spark.range(100_000_000).select(F.col("id").alias("v"))
+    unknown = spark.createDataFrame([(1,)], "v long")  # RDD-backed
+    assert plan_size_bytes(small) < 64 * 1024
+    assert plan_size_bytes(big) > BROADCAST_HINT_MAX_BYTES
+    # unknown stats must be treated as too-big-to-hint, never as small
+    assert plan_size_bytes(unknown) > BROADCAST_HINT_MAX_BYTES
+
+
+def test_maybe_broadcast_gates_on_plan_size(spark, tmp_path):
+    base = spark.range(1000).select(F.col("id").alias("v"))
+    small = _parquet(spark, tmp_path, "s", [(1,), (2,)], "v long")
+    big = spark.range(100_000_000).select(F.col("id").alias("v"))
+    hinted = base.join(maybe_broadcast(small), on="v")
+    assert "BroadcastExchange" in _physical_plan(hinted)
+    # big side un-hinted AND base too big for Catalyst's auto-broadcast
+    big_base = spark.range(50_000_000).select(F.col("id").alias("v"))
+    unhinted = big_base.join(maybe_broadcast(big), on="v")
+    assert "BroadcastExchange" not in _physical_plan(unhinted)
+
+
+def test_enumerate_duplicates_large_dupset_plans_smj(spark, tmp_path):
+    """A huge duplicated-value set must NOT be force-broadcast — the
+    initial plan is sort-merge; AQE may still promote at runtime."""
+    df = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    big_dups = spark.range(100_000_000).select(F.col("id").alias("v"))
+    out = enumerate_duplicates(df, ["v"], ["v"], dup_vals=big_dups)
+    plan = _physical_plan(out)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    # tiny (known-size) set: the hint still applies
+    small_dups = _parquet(spark, tmp_path, "dups", [(1,)], "v long")
+    out2 = enumerate_duplicates(df, ["v"], ["v"], dup_vals=small_dups)
+    assert "BroadcastExchange" in _physical_plan(out2)
+    # and results stay correct either way
+    assert out2.count() == 2
+
+
+def test_fk_large_parent_plans_smj(spark, tmp_path):
+    child = spark.createDataFrame([(1,), (5,)], "fk long")
+    big_parent = spark.range(100_000_000).select(F.col("id").alias("pk"))
+    v = fk_violations(child, big_parent, ["fk"], ["pk"], ["fk"])
+    plan = _physical_plan(v)
+    assert "BroadcastExchange" not in plan
+    small_parent = _parquet(spark, tmp_path, "par", [(1,), (2,)], "pk long")
+    v2 = fk_violations(child, small_parent, ["fk"], ["pk"], ["fk"])
+    assert "BroadcastExchange" in _physical_plan(v2)
+    assert [r["observed_value"] for r in v2.collect()] == ["5"]
+
+
+# ------------------------------------------------- raw-value uniqueness
+
+
+def test_unique_rule_raw_value_semantics(spark):
+    """'a' vs ' a' are DISTINCT raw values (reference duplicated()
+    semantics): the verdict must pass and enumeration must emit nothing —
+    the round-1 trim in the distinct counter made these disagree."""
+    spec = _spec({"v": {"required": True, "unique_value": True}})
+    df = spark.createDataFrame([("a",), (" a",), ("b",)], "v string")
+    tv = validate_table(df, spec, key_cols=["v"])
+    uv = [x for x in tv.verdicts if x.rule_id == "unique_value"][0]
+    assert uv.passed and uv.count == 0
+    assert duplicate_count(df, ["v"]) == 0
+    assert tv.violations.filter(F.col("rule_id") == "unique_value").count() == 0
+
+
+def test_unique_rule_true_duplicates_counted_keep_false(spark):
+    spec = _spec({"v": {"required": True, "unique_value": True}})
+    df = spark.createDataFrame([("x",), ("x",), ("x",), ("y",)], "v string")
+    tv = validate_table(df, spec, key_cols=["v"])
+    uv = [x for x in tv.verdicts if x.rule_id == "unique_value"][0]
+    assert not uv.passed
+    assert uv.count == 3  # keep=False: all rows of the duplicated value
+    assert (
+        tv.violations.filter(F.col("rule_id") == "unique_value").count() == 3
+    )
+
+
+# ------------------------------------------------ fused melted dup agg
+
+
+def test_duplicate_group_stats_fused(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "x"), (2, "z"), (3, "y"), (None, None)],
+        "a int, b string",
+    )
+    gs = duplicate_group_stats(df, ["a", "b"])
+    assert gs["a"] == (3, 1)  # value 1 three times → 3 rows, 1 group
+    assert gs["b"] == (4, 2)  # x×2 + y×2
+    # agrees with the independent per-column path
+    fused = duplicate_counts_for_columns(df, ["a", "b"])
+    assert fused == {"a": 3, "b": 4}
+    assert duplicate_count(df, ["a"]) == 3
+    assert duplicate_count(df, ["b"]) == 4
+    assert duplicate_group_stats(df, []) == {}
+
+
+# ------------------------------------- NULL partition key disambiguation
+
+
+def test_rule_aggregates_null_partition_key(spark):
+    spec = _spec(
+        {"v": {"required": True, "regex_pattern": "^ok$"},
+         "part": {"required": True}}
+    )
+    df = spark.createDataFrame(
+        [("ok", "p1"), ("bad", "p1"), ("bad", None), ("bad", None)],
+        "v string, part string",
+    )
+    counts = rule_aggregates(df, spec, group_by="part")
+    # global row keyed None; genuine NULL partition keyed 'None' (str
+    # sentinel) — they must NOT collide
+    assert counts[None]["v"]["regex_miss"] == 3
+    assert counts["p1"]["v"]["regex_miss"] == 1
+    assert counts["None"]["v"]["regex_miss"] == 2
+
+
+def test_filter_incomplete_keeps_null_partition(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "part string, v int"
+    )
+    remaining = filter_incomplete(df, "part", {"a"})
+    assert {r["v"] for r in remaining.collect()} == {2, 3}
+    # NULL partition completed under its str() sentinel → dropped
+    remaining2 = filter_incomplete(df, "part", {"a", "None"})
+    assert {r["v"] for r in remaining2.collect()} == {3}
+    assert filter_incomplete(df, "part", set()).count() == 3
+    # only the sentinel done → non-null partitions all kept
+    remaining3 = filter_incomplete(df, "part", {"None"})
+    assert {r["v"] for r in remaining3.collect()} == {1, 3}
+
+
+# --------------------------------------------- resume exact distinct
+
+
+def test_resume_exact_distinct_with_triple_groups(spark, tmp_path):
+    """Duplicate groups of size ≥ 3: the round-1 reconstruction formula
+    was wrong for these; distinct must now be exact and the resumed
+    verdicts identical to an uninterrupted run."""
+    spec = _spec(
+        {"uid": {"required": True, "unique_value": True},
+         "lang": {"required": True}}
+    )
+    rows = (
+        [("u%d" % i, "py") for i in range(5)]
+        + [("dup3", "py"), ("dup3", "go"), ("dup3", "go")]
+        + [("dup2", "go"), ("dup2", "py")]
+    )
+    df = spark.createDataFrame(rows, "uid string, lang string")
+    # uninterrupted reference run
+    base = validate_table(df, spec, key_cols=["uid"], partition_col="lang",
+                          list_errors=False)
+    resumed = resumable_validate_table(
+        df, spec, "lang", str(tmp_path / "m1"), dataset_token="t1"
+    )
+    b = {(v.partition, v.column, v.rule_id): (v.passed, v.count)
+         for v in base.verdicts}
+    r = {(v.partition, v.column, v.rule_id): (v.passed, v.count)
+         for v in resumed.verdicts}
+    assert b[(None, "uid", "unique_value")] == (False, 5)  # 3 + 2 rows
+    assert r[(None, "uid", "unique_value")] == (False, 5)
+    # second run = pure manifest read; still identical
+    resumed2 = resumable_validate_table(
+        df, spec, "lang", str(tmp_path / "m1"), dataset_token="t1"
+    )
+    r2 = {(v.partition, v.column, v.rule_id): (v.passed, v.count)
+          for v in resumed2.verdicts}
+    assert r2[(None, "uid", "unique_value")] == (False, 5)
+
+
+# --------------------------------------- data dictionary keep=False
+
+
+def test_build_data_dictionary_keep_false_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",)], "v string"
+    )
+    dd = build_data_dictionary(df)
+    # reference duplicated(keep=False).sum(): [a,b,a,c] → 2 (not 1)
+    assert dd["v"]["duplicate_count"] == 2
+    assert dd["v"]["unique_value"] is False
+    df2 = spark.createDataFrame([("a",), ("b",)], "v string")
+    dd2 = build_data_dictionary(df2)
+    assert dd2["v"]["duplicate_count"] == 0
+    assert dd2["v"]["unique_value"] is True

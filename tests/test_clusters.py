@@ -1,0 +1,132 @@
+"""Pair → cluster resolution: connected components over near-dup pairs,
+keep/drop decisions, exact shingle-blocked Jaccard pairs, and the
+quadratic-guard drop logging."""
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    near_dup_clusters,
+    shingle_candidate_pairs,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id1 long, id2 long")
+
+
+def test_connected_components_basic(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6), (10, 11), (12, 11), (12, 13)])
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """Path graph — worst case for propagation; path halving keeps the
+    round count logarithmic and the result exact."""
+    n = 33
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
+    cc = connected_components(pairs).collect()
+    assert len(cc) == n + 1
+    assert {r["cluster_id"] for r in cc} == {0}
+
+
+def test_connected_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id1 string, id2 string"
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_near_dup_clusters_keep_drop(spark):
+    df = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = _pairs(spark, [(1, 2), (2, 3), (6, 7)])
+    out = {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(df, "doc_id", pairs).collect()
+    }
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[6] == (6, True) and out[7] == (6, False)
+    # singletons keep themselves
+    for i in (0, 4, 5):
+        assert out[i] == (i, True)
+    # exactly one keeper per cluster
+    keepers = [i for i, (_, k) in out.items() if k]
+    assert sorted(keepers) == [0, 1, 4, 5, 6]
+
+
+def test_shingle_blocked_jaccard_is_exhaustive(spark):
+    """Blocking on shared shingles is lossless: result equals the full
+    cross-join Jaccard answer."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with no overlap here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "short text"),  # < k tokens → no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = shingle_candidate_pairs(df, "text", "doc_id", k=3)
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(cand, df, "text", "doc_id", k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    # exhaustive baseline via a real cross join on this tiny frame
+    l = df.alias("l")
+    r = df.alias("r")
+    allp = l.crossJoin(r).filter(F.col("l.doc_id") < F.col("r.doc_id")).select(
+        F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2")
+    )
+    want = {
+        (x["id1"], x["id2"]): x["jaccard"]
+        for x in jaccard_pairs(allp, df, "text", "doc_id", k=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_cluster_pipeline_end_to_end(spark):
+    """pairs → components → dedup: exactly one survivor per duplicate
+    group, all uninvolved docs kept."""
+    rows = [
+        (i, f"unique document number {i} with its own words {i * 7}")
+        for i in range(10)
+    ] + [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (102, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(
+        shingle_candidate_pairs(df, "text", "doc_id", k=3),
+        df, "text", "doc_id", k=3,
+    ).filter(F.col("jaccard") >= 0.6)
+    clusters = near_dup_clusters(df, "doc_id", pairs)
+    kept = {r["id"] for r in clusters.filter("keep").collect()}
+    assert kept == set(range(10)) | {100}
+    deduped = df.join(
+        clusters.filter("keep").select(F.col("id").alias("doc_id")),
+        on="doc_id", how="left_semi",
+    )
+    assert deduped.count() == 11
+
+
+def test_prune_bucket_drop_logging(spark, caplog):
+    rows = [(i, "the same boilerplate text repeated everywhere again") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="schema_validata_spark.operators.dedup"):
+        out = minhash_near_duplicates(
+            df, "text", "doc_id", k=3, max_bucket=10, log_drops=True
+        )
+        assert out.count() == 0  # everything dropped by the guard
+    assert any("quadratic-bucket guard dropped" in m for m in caplog.messages)

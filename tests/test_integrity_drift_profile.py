@@ -141,7 +141,9 @@ class TestProfile:
         assert d["cat"]["data_type"] == "String"
         assert sorted(d["cat"]["allowed_value_list"]) == ["a", "b", "c"]
         assert d["cat"]["unique_value"] is False
-        assert d["cat"]["duplicate_count"] == 1  # 4 nonnull, 3 distinct
+        # duplicated(keep=False) parity (reference :1868): ALL rows in
+        # duplicate groups — one value twice → 2, not the excess 1
+        assert d["cat"]["duplicate_count"] == 2
         assert d["num"]["range_min"] == -1.0 and d["num"]["range_max"] == 99.0
         assert d["s"]["unique_value"] is True  # x, y distinct
 
