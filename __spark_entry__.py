@@ -390,15 +390,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(pairs, df, "text", "doc_id", k=3)
 
 
+#: embedding near-dup query parameters — shared by the Spark query and
+#: the generated DuckDB oracle (the oracle replicates the SAME fixed-seed
+#: hyperplane buckets, so both engines compute the identical
+#: LSH-candidates ∩ cosine≥θ set). The synthetic embeddings table has no
+#: planted near-identical pairs (max cosine ≈ 0.51 at sf0.01), so the
+#: threshold targets the real top of its similarity distribution.
+_EMB_PLANES, _EMB_TABLES, _EMB_DIM, _EMB_THR = 4, 4, 64, 0.4
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only:
-    bucketing is not ANSI-SQL-expressible)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH. Oracle-checked:
+    the hyperplanes are a pure function of fixed seeds, so the DuckDB
+    oracle embeds the same plane literals and replicates bucket
+    assignment + exact cosine verification term-for-term (sequential
+    double-precision sums in both engines)."""
     from schema_validata_spark.operators.similarity import embedding_near_duplicates
 
     df = _read(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        df, "embedding", "vec_id", dim=64, threshold=0.8, n_planes=8, n_tables=4
+        df, "embedding", "vec_id", dim=_EMB_DIM, threshold=_EMB_THR,
+        n_planes=_EMB_PLANES, n_tables=_EMB_TABLES,
     )
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair → cluster resolution over the documents table:
+    lossless shingle-blocked exact-Jaccard pairs (any pair with J > 0
+    shares a shingle, so the blocked result equals the cross-join
+    answer), then connected components → ``(id, cluster_id, keep)``.
+    Oracle: the same pairs via list_intersect in DuckDB, transitive
+    closure via a recursive CTE."""
+    from schema_validata_spark.operators.dedup import (
+        jaccard_pairs,
+        near_dup_clusters,
+        shingle_candidate_pairs,
+    )
+
+    df = _read(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        shingle_candidate_pairs(df, "text", "doc_id", k=3, max_posting=100_000),
+        df, "text", "doc_id", k=3,
+    ).filter(F.col("jaccard") >= 0.6)
+    return near_dup_clusters(df, "doc_id", pairs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -424,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -636,6 +671,81 @@ FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2
 """
 
 
+def _embedding_near_dups_sql() -> str:
+    """DuckDB replica of the hyperplane-LSH near-dup query.
+
+    The hyperplanes are a pure function of the fixed seed, so the SAME
+    plane values are emitted here as double literals. Dot products are
+    written as explicit left-associated 64-term sums, matching Spark's
+    sequential ``aggregate`` fold bit-for-bit in double precision; the
+    bucket ids, candidate set, and rounded cosines therefore agree
+    exactly (verified empirically at sf0.001/0.01/0.1).
+    """
+    from schema_validata_spark.operators.similarity import _hyperplanes
+
+    def bucket(t: int) -> str:
+        planes = _hyperplanes(_EMB_DIM, _EMB_PLANES, seed=0xA11CE + 7919 * t)
+        bits = []
+        for i, p in enumerate(planes):
+            dot = " + ".join(
+                f"(CAST(embedding[{j + 1}] AS DOUBLE) * {v!r})"
+                for j, v in enumerate(p)
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    def dot2(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CAST({a}[{j + 1}] AS DOUBLE) * CAST({b}[{j + 1}] AS DOUBLE))"
+            for j in range(_EMB_DIM)
+        )
+
+    buckets = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(_EMB_TABLES))
+    match = " OR ".join(f"a.b{t} = c.b{t}" for t in range(_EMB_TABLES))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {buckets} FROM embeddings)
+SELECT id1, id2, cos_sim FROM (
+  SELECT a.vec_id AS id1, c.vec_id AS id2,
+         round(({dot2('a.embedding', 'c.embedding')}) /
+               (sqrt({dot2('a.embedding', 'a.embedding')}) *
+                sqrt({dot2('c.embedding', 'c.embedding')})), 6) AS cos_sim
+  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({match})
+) WHERE cos_sim >= {_EMB_THR}
+"""
+
+
+def _near_dup_clusters_sql(k: int = 3, thr: float = 0.6) -> str:
+    """Exhaustive pair generation + recursive-CTE transitive closure —
+    the exact baseline for pairs→clusters (fine at sf0.01; the Spark
+    side's shingle blocking is lossless so the pair sets are equal)."""
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    sh = (
+        f"CASE WHEN len({tok}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({tok}, i, i + {k - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {sh} AS s FROM documents),
+e0 AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))), 6) >= {thr}
+),
+edges AS (SELECT id1, id2 FROM e0 UNION SELECT id2, id1 FROM e0),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.id2, reach.r FROM reach JOIN edges e ON e.id1 = reach.id
+)
+SELECT id, min(r) AS cluster_id, (min(r) = id) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -724,6 +834,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_quality_rollup": _lang_quality_rollup_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
-        # minhash_near_dups / simhash_near_dups / embedding_near_dups:
-        # LSH banding is not ANSI-SQL-expressible → rows-only checks.
+        "embedding_near_dups": _embedding_near_dups_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
+        # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding
+        # is not ANSI-SQL-expressible → rows-only checks (their verifier
+        # stages ARE oracle-checked via ngram_jaccard_pairs and
+        # near_dup_clusters' lossless blocked-Jaccard pair set).
     }
