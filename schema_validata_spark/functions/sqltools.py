@@ -1,0 +1,298 @@
+"""Minimal SQL introspection for Data_Integrity rules — vendored
+tokenizer-level resolver used when ``sqlglot`` is not installed.
+
+Reference parity targets (reference src/schema_validata.py):
+
+* ``extract_primary_table`` (:3322–3371) — the earliest *real* table in
+  the statement (CTE names excluded), used when a Data_Integrity row
+  omits the primary table.
+* ``get_all_columns_from_sql`` (:3416–3521) — ordered unique column
+  names/aliases: the final SELECT list (aliases win), ``SELECT *``
+  expanded from the catalog unless ``explicit_only`` (the reference's
+  ``Config.DATA_INTRGTY_EXPL_COLS_ONLY`` flag, :104), CTE bodies
+  recursed first, then every other explicit column reference (WHERE /
+  JOIN ON / GROUP BY / HAVING).
+
+The reference leans on a full SQL parser; rule queries in practice are
+plain SELECT/CTE shapes, so a comment/string-aware tokenizer with
+paren-depth tracking covers them. Known limits (documented, tested):
+window-function internals and quoted identifiers with spaces are passed
+through verbatim; exotic dialect syntax should install sqlglot (the
+callers in operators/integrity.py prefer it when importable).
+"""
+
+from __future__ import annotations
+
+import re
+
+_KEYWORDS = {
+    "select", "from", "where", "group", "order", "by", "having", "join",
+    "inner", "left", "right", "full", "outer", "cross", "on", "and", "or",
+    "not", "in", "exists", "between", "like", "rlike", "ilike", "is",
+    "null", "as", "distinct", "union", "all", "case", "when", "then",
+    "else", "end", "with", "recursive", "limit", "offset", "asc", "desc",
+    "true", "false", "using", "semi", "anti", "interval", "cast", "over",
+    "partition", "rows", "range", "preceding", "following", "current",
+    "row", "unbounded", "filter", "qualify", "values",
+}
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+
+def strip_comments_and_strings(sql: str) -> str:
+    """Blank out string literals and comments (lengths preserved where
+    convenient — positions are not relied upon downstream)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append("'?'")
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i)
+            i = n if j == -1 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _depth_map(sql: str) -> list[int]:
+    d, out = 0, []
+    for c in sql:
+        if c == "(":
+            out.append(d)
+            d += 1
+        elif c == ")":
+            d -= 1
+            out.append(d)
+        else:
+            out.append(d)
+    return out
+
+
+def cte_definitions(sql: str) -> list[tuple[str, str]]:
+    """``[(cte_name, cte_body_sql)]`` for a leading WITH clause."""
+    s = strip_comments_and_strings(sql)
+    m = re.match(r"\s*with\s+(recursive\s+)?", s, flags=re.IGNORECASE)
+    if not m:
+        return []
+    out = []
+    i = m.end()
+    n = len(s)
+    while True:
+        mh = re.match(rf"\s*({_IDENT})\s*(?:\([^)]*\))?\s*as\s*\(", s[i:],
+                      flags=re.IGNORECASE)
+        if not mh:
+            break
+        name = mh.group(1)
+        body_start = i + mh.end()
+        depth = 1
+        j = body_start
+        while j < n and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        out.append((name, sql[body_start : j - 1]))
+        # continue after ')': another CTE if a comma follows
+        mc = re.match(r"\s*,", s[j:])
+        if not mc:
+            break
+        i = j + mc.end()
+    return out
+
+
+def _main_body(sql: str) -> str:
+    """The statement after its WITH clause (the main query)."""
+    s = strip_comments_and_strings(sql)
+    m = re.match(r"\s*with\s+(recursive\s+)?", s, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    i = m.end()
+    n = len(s)
+    while True:
+        mh = re.match(rf"\s*({_IDENT})\s*(?:\([^)]*\))?\s*as\s*\(", s[i:],
+                      flags=re.IGNORECASE)
+        if not mh:
+            return sql[i:]
+        j = i + mh.end()
+        depth = 1
+        while j < n and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        mc = re.match(r"\s*,", s[j:])
+        if not mc:
+            return sql[j:]
+        i = j + mc.end()
+
+
+def tables_in_order(sql: str, include_ctes: bool = False) -> list[str]:
+    """Unique FROM/JOIN targets in textual order; CTE names excluded
+    unless ``include_ctes``. Subqueries contribute their inner tables."""
+    s = strip_comments_and_strings(sql)
+    ctes = {name.lower() for name, _ in cte_definitions(sql)}
+    hits = re.findall(
+        rf"\b(?:from|join)\s+({_IDENT}(?:\.{_IDENT})*)", s, flags=re.IGNORECASE
+    )
+    out: list[str] = []
+    seen = set()
+    for h in hits:
+        base = h.split(".")[-1].lower()
+        if not include_ctes and base in ctes:
+            continue
+        if h.lower() not in seen:
+            seen.add(h.lower())
+            out.append(h)
+    return out
+
+
+def extract_primary_table(sql: str) -> str | None:
+    """Earliest real table referenced by the statement (reference
+    ``extract_primary_table`` :3322–3371 picks the first table in parse
+    order; textual order matches for rule-shaped queries)."""
+    tabs = tables_in_order(sql)
+    return tabs[0] if tabs else None
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _select_list(body: str) -> str | None:
+    """The text between the first top-level SELECT and its FROM."""
+    s = strip_comments_and_strings(body)
+    depth_at = _depth_map(s)
+    msel = None
+    for m in re.finditer(r"\bselect\b", s, flags=re.IGNORECASE):
+        if depth_at[m.start()] == 0:
+            msel = m
+            break
+    if msel is None:
+        return None
+    for m in re.finditer(r"\bfrom\b", s, flags=re.IGNORECASE):
+        if m.start() > msel.end() and depth_at[m.start()] == 0:
+            return body[msel.end() : m.start()]
+    return body[msel.end() :]
+
+
+def _item_name(item: str) -> str | None:
+    """Output name of one select-list item: explicit alias, else the
+    bare/qualified column's final part, else None (expressions without
+    aliases contribute their referenced columns via the generic pass)."""
+    it = item.strip()
+    if it in ("*",) or it.endswith(".*"):
+        return None
+    m = re.search(rf"\bas\s+({_IDENT})\s*$", it, flags=re.IGNORECASE)
+    if m:
+        return m.group(1)
+    if re.fullmatch(rf"{_IDENT}(\.{_IDENT})*", it):
+        return it.split(".")[-1]
+    # trailing implicit alias: `expr name`
+    m = re.fullmatch(rf"(.+?)\s+({_IDENT})", it, flags=re.DOTALL)
+    if m and m.group(2).lower() not in _KEYWORDS and (
+        ")" in m.group(1) or " " in m.group(1)
+    ):
+        return m.group(2)
+    return None
+
+
+def _column_refs(body: str) -> list[str]:
+    """Every explicit column-looking reference, in order: qualified
+    ``t.col`` (→ col) and bare identifiers that are not keywords, not
+    function calls, and not table names."""
+    s = strip_comments_and_strings(body)
+    tables = {t.split(".")[-1].lower() for t in tables_in_order(body, include_ctes=True)}
+    # also alias names bound in FROM/JOIN (e.g. `FROM orders o`)
+    aliases = {
+        m.group(1).lower()
+        for m in re.finditer(
+            rf"\b(?:from|join)\s+{_IDENT}(?:\.{_IDENT})*\s+(?:as\s+)?({_IDENT})",
+            s,
+            flags=re.IGNORECASE,
+        )
+    }
+    skip = _KEYWORDS | tables | aliases
+    out: list[str] = []
+    for m in re.finditer(rf"({_IDENT})(\.({_IDENT}))?\s*(\()?", s):
+        if m.group(4):  # function call
+            continue
+        if m.group(3):  # qualified t.col
+            out.append(m.group(3))
+        else:
+            w = m.group(1)
+            if w.lower() not in skip:
+                out.append(w)
+    return out
+
+
+def referenced_columns(
+    sql: str,
+    catalog_columns=None,
+    explicit_only: bool = False,
+) -> list[str]:
+    """Ordered unique column names/aliases referenced by the statement
+    (reference ``get_all_columns_from_sql`` :3416–3521).
+
+    ``catalog_columns(table_name) -> list[str] | None`` supplies schemas
+    for ``SELECT *`` expansion (pass a ``spark.catalog``-backed callable);
+    with ``explicit_only=True`` stars are NOT expanded — the reference's
+    ``DATA_INTRGTY_EXPL_COLS_ONLY`` behavior. CTE bodies are processed
+    first (recursively), matching the reference's traversal order.
+    """
+    seen: set[str] = set()
+    out: list[str] = []
+
+    def add(name: str | None) -> None:
+        if name and name not in seen:
+            seen.add(name)
+            out.append(name)
+
+    for _name, body in cte_definitions(sql):
+        for c in referenced_columns(body, catalog_columns, explicit_only):
+            add(c)
+
+    main = _main_body(sql)
+    sel = _select_list(main)
+    if sel is not None:
+        items = _split_top_level(sel)
+        has_star = any(i == "*" or i.endswith(".*") for i in items)
+        if has_star and not explicit_only and catalog_columns is not None:
+            for t in tables_in_order(main, include_ctes=True):
+                cols = catalog_columns(t)
+                for c in cols or []:
+                    add(c)
+        for i in items:
+            add(_item_name(i))
+    for c in _column_refs(main):
+        add(c)
+    return out

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 CANONICAL_TYPES = (
     "Null-Unknown",
     "Boolean",
@@ -180,6 +182,10 @@ class TypeVotes:
     # kept so partition-level votes merge exactly (AND) on the driver;
     # dt_full_parse is its != 0 projection.
     dt_mask: int = 0
+    # rows parseable by dateutil's flexible parser (reference F7 fallback
+    # :844–856) — 0 unless the gated fuzzy pass ran for this column
+    # (string type, name-suggestive, strict formats insufficient).
+    dateutil_ok: int = 0
 
 
 def resolve_canonical_type(
@@ -222,11 +228,12 @@ def resolve_canonical_type(
         return "String"
 
     full_parse = votes.dt_full_parse
+    dt_hits = max(votes.dt_any_fmt, votes.dateutil_ok)
     fuzzy = (
         is_likely_datetime_col(colname)
-        and votes.dt_any_fmt / votes.nonnull >= DATETIME_FUZZY_THRESHOLD
+        and dt_hits / votes.nonnull >= DATETIME_FUZZY_THRESHOLD
     )
-    if (full_parse or fuzzy) and votes.dt_any_fmt / votes.nonnull > DATETIME_RATIO_THRESHOLD:
+    if (full_parse or fuzzy) and dt_hits / votes.nonnull > DATETIME_RATIO_THRESHOLD:
         return "Datetime"
 
     if votes.bool_ok == votes.nonnull:
@@ -238,3 +245,36 @@ def resolve_canonical_type(
     if votes.numsym_ok == votes.nonnull:
         return "Float"
     return "String"
+
+
+def dateutil_parse_ok(col):
+    """Per-value flexible-datetime vote via dateutil — the reference's F7
+    fallback (``try_dateutil_parser``, reference src/schema_validata.py:
+    844–852, same ``yearfirst=False, dayfirst=False`` US-style
+    disambiguation).
+
+    Arrow-batched pandas UDF (the parse itself is per-element Python, as
+    in the reference's ``Series.apply``); the SLOW path by design —
+    callers gate it to name-suggestive string columns whose strict-format
+    votes already failed, so it never touches the Stage-A hot loop.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _ok(s: pd.Series) -> pd.Series:
+        from dateutil import parser
+
+        def f(x):
+            if not isinstance(x, str) or not x.strip():
+                return False
+            try:
+                parser.parse(x, yearfirst=False, dayfirst=False)
+                return True
+            except (ValueError, TypeError, OverflowError):
+                return False
+
+        return s.map(f)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ok(c.cast("string"))

@@ -146,8 +146,8 @@ def substitute_sql_variables(sql: str, variables: dict[str, str]) -> str:
 def extract_table_names(sql: str) -> list[str]:
     """Referenced table names, via sqlglot when available (reference
     ``extract_all_table_names`` :3375–3412 uses a sqlglot → sqllineage →
-    sqlparse fallback chain; one parser suffices), else a conservative
-    regex on FROM/JOIN clauses."""
+    sqlparse fallback chain; one parser suffices), else the vendored
+    tokenizer (functions/sqltools.py)."""
     try:
         import sqlglot
         from sqlglot import exp
@@ -158,10 +158,51 @@ def extract_table_names(sql: str) -> list[str]:
             {t.name for t in parsed.find_all(exp.Table) if t.name not in ctes}
         )
     except ImportError:
-        hits = re.findall(
-            r"\b(?:from|join)\s+([A-Za-z_][\w.]*)", sql, flags=re.IGNORECASE
+        from schema_validata_spark.functions.sqltools import tables_in_order
+
+        return sorted({t.split(".")[-1] for t in tables_in_order(sql)})
+
+
+def extract_primary_table(sql: str) -> str | None:
+    """Earliest real table in the statement — used when a Data_Integrity
+    row omits the primary table (reference ``extract_primary_table``
+    :3322–3371: first sqlglot Table node, falling back to the earliest
+    textual hit). sqlglot when importable, else the vendored tokenizer."""
+    try:
+        import sqlglot
+        from sqlglot import exp
+
+        parsed = sqlglot.parse_one(sql, read="spark")
+        ctes = {c.alias_or_name.lower() for c in parsed.find_all(exp.CTE)}
+        for t in parsed.find_all(exp.Table):
+            if t.name.lower() not in ctes:
+                return t.name
+        return None
+    except ImportError:
+        from schema_validata_spark.functions.sqltools import (
+            extract_primary_table as _ept,
         )
-        return sorted(set(hits))
+
+        t = _ept(sql)
+        return t.split(".")[-1] if t else None
+
+
+def referenced_columns_in_rule(
+    spark: SparkSession, sql: str, explicit_only: bool = False
+) -> list[str]:
+    """Ordered unique columns a rule references (reference
+    ``get_all_columns_from_sql`` :3416–3521): final SELECT aliases, CTE
+    bodies recursed, ``SELECT *`` expanded from the Spark catalog unless
+    ``explicit_only`` (the ``DATA_INTRGTY_EXPL_COLS_ONLY`` flag, :104)."""
+    from schema_validata_spark.functions.sqltools import referenced_columns
+
+    def catalog_columns(table: str):
+        try:
+            return spark.table(table).columns
+        except Exception:
+            return None
+
+    return referenced_columns(sql, catalog_columns, explicit_only=explicit_only)
 
 
 def run_integrity_rule(
@@ -169,6 +210,8 @@ def run_integrity_rule(
     rule: IntegrityRule,
     variables: dict[str, str] | None = None,
     check_tables: bool = True,
+    explicit_columns_only: bool = False,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Execute one SQL error-query rule; each returned row is one
     violation (reference ``get_rows_with_condition_spark`` :3676–3766).
@@ -176,6 +219,12 @@ def run_integrity_rule(
     The violation payload is the whole returned row as JSON via
     ``to_json(struct(*))`` — a distributed projection, replacing the
     reference's per-row ``iterrows()`` dict building (:3740–3753).
+
+    ``rule.primary_table`` may be empty: it is inferred from the SQL
+    (reference ``extract_primary_table``). ``explicit_columns_only``
+    mirrors ``Config.DATA_INTRGTY_EXPL_COLS_ONLY`` (:104): the payload
+    keeps only columns the rule explicitly references (stars NOT
+    expanded) plus ``key_cols`` for row reference.
     """
     sql = substitute_sql_variables(rule.sql, variables or {})
     if check_tables:
@@ -184,10 +233,18 @@ def run_integrity_rule(
                 raise ValueError(
                     f"integrity rule references unknown table '{t}': {rule.message!r}"
                 )
+    primary = rule.primary_table or extract_primary_table(sql) or ""
     result = spark.sql(sql)
+    payload_cols = list(result.columns)
+    if explicit_columns_only:
+        explicit = set(
+            referenced_columns_in_rule(spark, sql, explicit_only=True)
+        ) | set(key_cols or [])
+        kept = [c for c in payload_cols if c in explicit]
+        payload_cols = kept or payload_cols
     return result.select(
-        F.lit(rule.primary_table).alias("table"),
-        F.to_json(F.struct(*[F.col(c) for c in result.columns])).alias(
+        F.lit(primary).alias("table"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias(
             "observed_value"
         ),
         F.lit("sql_integrity").alias("rule_id"),
@@ -200,11 +257,17 @@ def run_integrity_rules(
     spark: SparkSession,
     rules: list[IntegrityRule],
     variables: dict[str, str] | None = None,
+    explicit_columns_only: bool = False,
 ) -> DataFrame | None:
     """Run all rules, union violations (reference ``find_errors_with_sql``
     :3848–3917). Rules are independent jobs; the union is lazy so Spark
     schedules the scans when the caller acts on the result."""
-    parts = [run_integrity_rule(spark, r, variables) for r in rules]
+    parts = [
+        run_integrity_rule(
+            spark, r, variables, explicit_columns_only=explicit_columns_only
+        )
+        for r in rules
+    ]
     if not parts:
         return None
     out = parts[0]

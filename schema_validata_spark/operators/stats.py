@@ -452,6 +452,7 @@ def merge_column_stats(parts: list[ColumnStats]) -> ColumnStats:
         dt_any_fmt=sum(p.votes.dt_any_fmt for p in parts),
         numeric_serial_plausible=serial_plausible,
         dt_mask=mask,
+        dateutil_ok=sum(p.votes.dateutil_ok for p in parts),
     )
     return ColumnStats(
         column=first.column,
@@ -464,6 +465,55 @@ def merge_column_stats(parts: list[ColumnStats]) -> ColumnStats:
         max_len=max(lens) if lens else None,
         votes=votes,
     )
+
+
+def fuzzy_datetime_fallback(
+    df: DataFrame, stats: dict[str, ColumnStats]
+) -> dict[str, ColumnStats]:
+    """The reference's F7 flexible-datetime fallback
+    (``infer_datetime_column`` src/schema_validata.py:844–856), gated:
+    only string columns with a date-suggestive NAME whose strict-format
+    votes failed (they currently resolve String) get one extra scan with
+    the Arrow-batched dateutil vote — at 0.98+ parse ratio,
+    :func:`resolve_canonical_type` then yields Datetime.
+
+    Returns an updated copy of ``stats``; no candidates → no Spark job.
+    The gate keeps the per-element Python parser off every hot path: a
+    corpus-scale table with no date-named unresolved string columns pays
+    nothing.
+    """
+    from dataclasses import replace
+
+    from schema_validata_spark.functions.types import (
+        dateutil_parse_ok,
+        is_likely_datetime_col,
+    )
+
+    candidates = [
+        c
+        for c, st in stats.items()
+        if st.spark_type in ("string", "varchar", "char")
+        and st.votes.nonnull > 0
+        and is_likely_datetime_col(c)
+        and st.canonical_type == "String"
+    ]
+    if not candidates:
+        return stats
+    row = (
+        df.agg(
+            *[
+                F.sum(dateutil_parse_ok(F.col(c)).cast("long")).alias(c)
+                for c in candidates
+            ]
+        ).collect()[0]
+    )
+    out = dict(stats)
+    for c in candidates:
+        st = out[c]
+        out[c] = replace(
+            st, votes=replace(st.votes, dateutil_ok=int(row[c] or 0))
+        )
+    return out
 
 
 def merge_partition_stats(

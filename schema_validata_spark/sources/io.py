@@ -5,9 +5,12 @@
 * S6 ``load_files_to_sql`` equivalent: register files as temp views for
   the SQL integrity rule engine (reference src/schema_validata.py:
   3212–3318 — minus its pandas→spark→pandas schema roundtrip, :3282)
+* S2 xlsx DATA reads: every sheet to a string-typed DataFrame via the
+  stdlib zip/XML codec (sources/xlsx.py) — reference
+  ``xlsx_tabs_to_pd_dataframes`` :997–1072 without openpyxl
 * S8/S9 sinks: verdicts + violations as parquet (big, distributed),
-  run summary as JSON (small, driver-side); xlsx report behind an
-  openpyxl import-guard (reference ``write_dataframes_to_xlsx``
+  run summary as JSON (small, driver-side); multi-sheet xlsx report via
+  the same stdlib codec (reference ``write_dataframes_to_xlsx``
   :1986–2070 and ``schema_validation_to_xlsx`` :4110–4220)
 """
 
@@ -30,11 +33,27 @@ def read_table(
     Format inferred from the extension when not given; CSV defaults to
     header+schema-inference OFF (read-as-string, like the reference's
     ``dtype=str`` first read — dtype inference is the engine's job, not
-    the reader's)."""
+    the reader's). xlsx reads one sheet (``sheet_name`` option, default
+    the first) via the stdlib codec; use
+    :func:`schema_validata_spark.sources.xlsx.xlsx_sheets_to_dfs` for
+    every sheet (reference multi-sheet dispatch :1166–1258)."""
     if fmt is None:
         ext = os.path.splitext(path)[1].lower().lstrip(".")
         fmt = {"csv": "csv", "tsv": "csv", "json": "json",
-               "jsonl": "json", "parquet": "parquet"}.get(ext, "parquet")
+               "jsonl": "json", "parquet": "parquet",
+               "xlsx": "xlsx"}.get(ext, "parquet")
+    if fmt == "xlsx":
+        from schema_validata_spark.sources.xlsx import xlsx_sheets_to_dfs
+
+        sheets = xlsx_sheets_to_dfs(spark, path)
+        if not sheets:
+            raise ValueError(f"no sheets in xlsx file: {path}")
+        want = options.get("sheet_name")
+        if want is not None:
+            if want not in sheets:
+                raise ValueError(f"sheet {want!r} not in {sorted(sheets)}")
+            return sheets[want]
+        return next(iter(sheets.values()))
     reader = spark.read
     if fmt == "csv":
         opts = {"header": "true", "inferSchema": "false"}
@@ -102,28 +121,26 @@ def write_validation_outputs(
 
 
 def write_xlsx_report(result, out_path: str) -> str:
-    """Reference-style multi-sheet xlsx report. Guarded: openpyxl may be
-    absent — the parquet/JSON sinks above are the production path."""
-    try:
-        import pandas as pd
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx report requires openpyxl; use write_validation_outputs"
-        ) from e
+    """Reference-style multi-sheet xlsx report (``schema_validation_to_
+    xlsx`` :4110–4220) via the stdlib codec — verdicts sheet plus one
+    errors sheet per table. Reports are driver-sized by design (verdict
+    counts, capped violation rows); the parquet/JSON sinks above are the
+    distributed production path."""
+    from schema_validata_spark.sources.xlsx import write_xlsx
 
-    with pd.ExcelWriter(out_path, engine="openpyxl") as xw:
-        rows = []
-        for name, tv in result.tables.items():
-            for v in tv.verdicts:
-                rows.append(
-                    {"table": name, "partition": v.partition, "column": v.column,
-                     "rule": v.rule_id, "passed": v.passed, "level": v.level,
-                     "message": v.message}
-                )
-        pd.DataFrame(rows).to_excel(xw, sheet_name="verdicts", index=False)
-        for name, tv in result.tables.items():
-            if tv.violations is not None:
-                pdf = tv.violations.limit(1_048_575).toPandas()  # xlsx row cap
-                pdf.to_excel(xw, sheet_name=f"errors_{name}"[:31], index=False)
-    return out_path
+    header = ["table", "partition", "column", "rule", "passed", "level",
+              "message"]
+    verdict_rows = [header] + [
+        [name, v.partition, v.column, v.rule_id, v.passed, v.level, v.message]
+        for name, tv in result.tables.items()
+        for v in tv.verdicts
+    ]
+    sheets: dict[str, list[list]] = {"verdicts": verdict_rows}
+    for name, tv in result.tables.items():
+        if tv.violations is not None:
+            rows = tv.violations.limit(1_048_575).collect()  # xlsx row cap
+            cols = tv.violations.columns
+            sheets[f"errors_{name}"[:31]] = [list(cols)] + [
+                [r[c] for c in cols] for r in rows
+            ]
+    return write_xlsx(out_path, sheets)

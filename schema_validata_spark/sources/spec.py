@@ -16,8 +16,8 @@ arrays, regex strings, bounds) travel to executors, embedded in the
 plan — effectively a broadcast of constants, costing nothing at 100 TB.
 
 Loaders: dict (programmatic), JSON file, CSV (one file per table, same
-columns as the xlsx sheet), and the reference's XLSX template (behind an
-openpyxl import-guard since the lib may be absent).
+columns as the xlsx sheet), and the reference's XLSX template via the
+stdlib zip/XML codec in sources/xlsx.py (no openpyxl dependency).
 """
 
 from __future__ import annotations
@@ -317,31 +317,31 @@ def load_spec_xlsx(path: str) -> RuleSet:
 
     Mirrors ``data_dict_to_json`` + ``xlsx_tabs_to_pd_dataframes``
     (reference src/schema_validata.py:997–1163): one sheet per table,
-    ``Data_Integrity`` sheet → SQL rules. Driver-side, tiny file.
-    Guarded: openpyxl may be absent in this environment.
+    ``Data_Integrity`` sheet → SQL rules. Driver-side, tiny file; reads
+    via the stdlib xlsx codec (sources/xlsx.py) — no openpyxl needed.
     """
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx spec loading requires openpyxl; supply the spec as JSON/dict"
-        ) from e
+    from schema_validata_spark.sources.xlsx import read_xlsx_dicts
 
-    sheets = pd.read_excel(path, sheet_name=None, dtype=str)
+    sheets = read_xlsx_dicts(path)
     spec: dict[str, Any] = {}
-    for sheet, df in sheets.items():
+    for sheet, rows in sheets.items():
         if sheet == "Data_Integrity":
             spec.setdefault("_integrity_rules", [])
-            for _, row in df.iterrows():
+            for row in rows:
                 spec["_integrity_rules"].append(
                     {
-                        "primary_table": row.get("Primary Table"),
-                        "sql": row.get("SQL Error Query"),
-                        "level": row.get("Level", "Error"),
-                        "message": row.get("Message", ""),
+                        "primary_table": row.get("Primary Table") or "",
+                        "sql": row.get("SQL Error Query") or "",
+                        "level": row.get("Level") or "Error",
+                        "message": row.get("Message") or "",
                     }
                 )
+            continue
+        if not any("field_name" in row for row in rows):
+            # not a schema sheet (the reference template ships helper
+            # sheets like 'Lists' / 'Column Descriptions'; the reference
+            # likewise only recognizes sheets with the full DATA_DICT
+            # header as schemas)
             continue
         spec[sheet] = {
             str(row["field_name"]): {
@@ -358,7 +358,7 @@ def load_spec_xlsx(path: str) -> RuleSet:
                     "allowed_value_list",
                 )
             }
-            for _, row in df.iterrows()
+            for row in rows
             if _as_str(row.get("field_name"))
         }
     return load_spec_dict(spec)

@@ -1,0 +1,266 @@
+"""Pure-stdlib xlsx reader/writer (zipfile + xml.etree) — no openpyxl.
+
+Reference parity: ``xlsx_tabs_to_pd_dataframes`` (reference
+src/schema_validata.py:997–1072 — every sheet to a DataFrame) and the
+multi-format dispatch ``read_csv_or_excel_to_df`` (:1166–1258); on the
+sink side ``write_dataframes_to_xlsx`` (:1986–2070). The reference uses
+pandas' openpyxl engine; this environment has no openpyxl, and an xlsx
+file is just a zip of small XML parts, so the engine reads/writes the
+parts directly.
+
+Semantics:
+
+* every cell is surfaced as a STRING (numeric cells keep their raw
+  stored text, e.g. ``42`` / ``3.14``; booleans render ``True``/
+  ``False``; error cells → NULL). This matches the engine's CSV path —
+  dtype inference is Stage A's job (sources/typed.py), not the reader's.
+* date cells in xlsx are stored as serial NUMBERS; they surface as the
+  serial string and the Excel-serial rule (functions/scalars.py
+  ``excel_serial_to_date``, reference :806–824) owns the conversion.
+* spec/report files are driver-sized (the reference's template is a few
+  KB); corpus DATA lives in parquet/Iceberg. The reader materializes
+  rows on the driver, then ``spark.createDataFrame`` distributes —
+  fine for submission workbooks, wrong for 100 TB (use parquet there).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+from xml.sax.saxutils import escape
+
+_NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_NS_REL_DOC = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+)
+_NS_REL_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _cell_col_index(ref: str | None, fallback: int) -> int:
+    """0-based column index from an A1-style reference."""
+    if not ref:
+        return fallback
+    m = re.match(r"([A-Z]+)", ref)
+    if not m:
+        return fallback
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    out = []
+    for si in root.findall(f"{{{_NS_MAIN}}}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{{{_NS_MAIN}}}t")))
+    return out
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """``[(sheet_name, zip_member_path)]`` in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target")
+        for r in rels.findall(f"{{{_NS_REL_PKG}}}Relationship")
+    }
+    out = []
+    sheets = wb.find(f"{{{_NS_MAIN}}}sheets")
+    for sh in sheets.findall(f"{{{_NS_MAIN}}}sheet"):
+        rid = sh.get(f"{{{_NS_REL_DOC}}}id")
+        target = rid_to_target.get(rid, "")
+        if target.startswith("/"):
+            member = target.lstrip("/")
+        elif target.startswith("worksheets/") or not target.startswith("xl/"):
+            member = "xl/" + target
+        else:
+            member = target
+        out.append((sh.get("name"), member))
+    return out
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{{{_NS_MAIN}}}is")
+        if is_el is None:
+            return None
+        return "".join(x.text or "" for x in is_el.iter(f"{{{_NS_MAIN}}}t"))
+    v = c.find(f"{{{_NS_MAIN}}}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        try:
+            return shared[int(v.text)]
+        except (ValueError, IndexError):
+            return None
+    if t == "b":
+        return "True" if v.text.strip() == "1" else "False"
+    if t == "e":  # error cell (#N/A, #DIV/0!, ...)
+        return None
+    return v.text  # n / str: raw stored text
+
+
+def read_xlsx_rows(path: str) -> dict[str, list[list[str | None]]]:
+    """Every sheet's cell grid as strings (see module docstring for the
+    type surface). Rows are padded to the sheet's max width."""
+    out: dict[str, list[list[str | None]]] = {}
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        for name, member in _sheet_targets(zf):
+            root = ET.fromstring(zf.read(member))
+            rows: list[list[str | None]] = []
+            for row in root.iter(f"{{{_NS_MAIN}}}row"):
+                vals: list[str | None] = []
+                next_idx = 0
+                for c in row.findall(f"{{{_NS_MAIN}}}c"):
+                    idx = _cell_col_index(c.get("r"), next_idx)
+                    while len(vals) < idx:
+                        vals.append(None)
+                    vals.append(_cell_value(c, shared))
+                    next_idx = idx + 1
+                rows.append(vals)
+            width = max((len(r) for r in rows), default=0)
+            out[name] = [r + [None] * (width - len(r)) for r in rows]
+    return out
+
+
+def read_xlsx_dicts(path: str) -> dict[str, list[dict[str, str | None]]]:
+    """Header-row form: ``{sheet: [{col: value}]}`` (reference
+    ``xlsx_tabs_to_pd_dataframes`` dict-of-frames shape)."""
+    out: dict[str, list[dict[str, str | None]]] = {}
+    for sheet, rows in read_xlsx_rows(path).items():
+        if not rows:
+            out[sheet] = []
+            continue
+        header = [
+            str(h) if h is not None else f"col_{i}"
+            for i, h in enumerate(rows[0])
+        ]
+        out[sheet] = [dict(zip(header, r)) for r in rows[1:]]
+    return out
+
+
+def xlsx_sheets_to_dfs(spark, path: str) -> dict:
+    """Every sheet as a Spark DataFrame of strings — the engine's
+    ``xlsx_tabs_to_pd_dataframes`` (:997–1072): header row → column
+    names (deduped like the reference's pandas mangling), values read
+    as strings; run the result through sources/typed.py for dtypes,
+    exactly like the CSV path."""
+    from schema_validata_spark.functions.scalars import dedupe_column_names
+
+    out = {}
+    for sheet, rows in read_xlsx_rows(path).items():
+        if not rows:
+            continue
+        header = [
+            str(h) if h is not None else f"col_{i}"
+            for i, h in enumerate(rows[0])
+        ]
+        body = [tuple(r) for r in rows[1:]]
+        schema = ", ".join(f"`{h}` string" for h in header)
+        df = spark.createDataFrame(body, schema) if body else (
+            spark.createDataFrame([], schema)
+        )
+        out[sheet] = dedupe_column_names(df)
+    return out
+
+
+# ------------------------------------------------------------- writer
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{sheet_overrides}
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _sheet_xml(rows: list[list]) -> str:
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
+        f'<worksheet xmlns="{_NS_MAIN}"><sheetData>',
+    ]
+    for ri, row in enumerate(rows, start=1):
+        parts.append(f'<row r="{ri}">')
+        for ci, v in enumerate(row):
+            if v is None:
+                continue
+            ref = f"{_col_letter(ci)}{ri}"
+            if isinstance(v, bool):
+                parts.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+            elif isinstance(v, (int, float)):
+                parts.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                parts.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                    f"{escape(str(v))}</t></is></c>"
+                )
+        parts.append("</row>")
+    parts.append("</sheetData></worksheet>")
+    return "".join(parts)
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list]]) -> str:
+    """Minimal multi-sheet xlsx writer (inline strings, no styles) —
+    the reference's ``write_dataframes_to_xlsx`` (:1986–2070) without
+    its openpyxl dependency. ``sheets``: {name: rows (incl. header)}."""
+    names = list(sheets)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        overrides = "\n".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "[Content_Types].xml",
+            _CONTENT_TYPES.format(sheet_overrides=overrides),
+        )
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        sheet_tags = "".join(
+            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{_NS_MAIN}" xmlns:r="{_NS_REL_DOC}">'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{_NS_REL_DOC}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{_NS_REL_PKG}">{rels}</Relationships>',
+        )
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[n]))
+    return path

@@ -1,0 +1,71 @@
+"""F7: dateutil flexible-datetime fallback for name-suggestive columns
+(reference infer_datetime_column :844–856, 0.98 threshold), gated off the
+hot path."""
+
+from dateutil import parser as dt_parser
+
+from schema_validata_spark.operators.profile import build_data_dictionary
+from schema_validata_spark.operators.stats import (
+    column_stats,
+    fuzzy_datetime_fallback,
+)
+
+FUZZY_DATES = [
+    "3rd of May 2021",
+    "June 1, 1999 at 5pm",
+    "Jan 4 2022 10:30",
+    "2021.07.14",
+    "15 August 2020",
+    "Sept 9 2019",
+]
+
+
+def _pandas_model_ratio(values):
+    """The reference's model: Series.apply(dateutil.parse) success ratio."""
+    ok = 0
+    for v in values:
+        try:
+            dt_parser.parse(v, yearfirst=False, dayfirst=False)
+            ok += 1
+        except (ValueError, TypeError, OverflowError):
+            pass
+    return ok / len(values)
+
+
+def test_fuzzy_dates_resolve_datetime_for_suggestive_name(spark):
+    assert _pandas_model_ratio(FUZZY_DATES) >= 0.98  # oracle premise
+    df = spark.createDataFrame([(v,) for v in FUZZY_DATES], "created_date string")
+    stats = column_stats(df)
+    # strict formats cannot parse these → String before the fallback
+    assert stats["created_date"].canonical_type == "String"
+    stats = fuzzy_datetime_fallback(df, stats)
+    assert stats["created_date"].votes.dateutil_ok == len(FUZZY_DATES)
+    assert stats["created_date"].canonical_type == "Datetime"
+
+
+def test_fuzzy_gate_requires_suggestive_name(spark):
+    df = spark.createDataFrame([(v,) for v in FUZZY_DATES], "notes string")
+    stats = fuzzy_datetime_fallback(df, column_stats(df))
+    # not date-named → never fuzzy-parsed, stays String (reference gate)
+    assert stats["notes"].votes.dateutil_ok == 0
+    assert stats["notes"].canonical_type == "String"
+
+
+def test_fuzzy_below_threshold_stays_string(spark):
+    vals = FUZZY_DATES * 8 + ["not a date", "ACTIVE"]  # 48/50 = 0.96 < 0.98
+    assert _pandas_model_ratio(vals) < 0.98
+    df = spark.createDataFrame([(v,) for v in vals], "updated_at string")
+    stats = fuzzy_datetime_fallback(df, column_stats(df))
+    assert stats["updated_at"].canonical_type == "String"
+
+
+def test_data_dictionary_uses_fuzzy_fallback(spark):
+    df = spark.createDataFrame(
+        [(v, "x") for v in FUZZY_DATES], "created_date string, code string"
+    )
+    dd = build_data_dictionary(df)
+    assert dd["created_date"]["data_type"] == "Datetime"
+    assert dd["code"]["data_type"] == "String"
+    # opt-out restores the strict-only behavior
+    dd2 = build_data_dictionary(df, fuzzy_datetime=False)
+    assert dd2["created_date"]["data_type"] == "String"

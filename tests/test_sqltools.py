@@ -1,0 +1,153 @@
+"""Vendored SQL resolver (functions/sqltools.py) + its integrity-rule
+wiring: primary-table inference, SELECT-* expansion with CTE recursion,
+and the explicit-columns-only payload flag."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.sqltools import (
+    cte_definitions,
+    extract_primary_table,
+    referenced_columns,
+    strip_comments_and_strings,
+    tables_in_order,
+)
+from schema_validata_spark.operators.integrity import (
+    referenced_columns_in_rule,
+    run_integrity_rule,
+)
+from schema_validata_spark.sources.spec import IntegrityRule
+
+
+# ----------------------------------------------------------- tokenizer
+
+
+def test_strip_comments_and_strings():
+    s = strip_comments_and_strings(
+        "SELECT a, 'it''s from x' AS b -- from comment\nFROM t /* join u */"
+    )
+    assert "it" not in s and "comment" not in s and "join u" not in s
+    assert "FROM t" in s
+
+
+def test_tables_in_order_and_primary():
+    sql = "SELECT o.id, c.name FROM orders o JOIN customer c ON o.cid = c.id"
+    assert tables_in_order(sql) == ["orders", "customer"]
+    assert extract_primary_table(sql) == "orders"
+    # schema-qualified
+    assert extract_primary_table("SELECT * FROM db.sch.orders") == "db.sch.orders"
+    assert extract_primary_table("SELECT 1") is None
+
+
+def test_cte_names_excluded_from_tables():
+    sql = (
+        "WITH bad AS (SELECT id FROM orders WHERE total < 0), "
+        "agg AS (SELECT count(*) n FROM bad) "
+        "SELECT * FROM agg JOIN lineitem l ON 1=1"
+    )
+    assert [n for n, _ in cte_definitions(sql)] == ["bad", "agg"]
+    assert tables_in_order(sql) == ["orders", "lineitem"]
+    # primary table = earliest REAL table, not the CTE reference
+    assert extract_primary_table(sql) == "orders"
+    # strings containing FROM don't confuse it
+    assert extract_primary_table(
+        "SELECT 'from fake' AS x FROM real_table"
+    ) == "real_table"
+
+
+# ---------------------------------------------------- referenced columns
+
+
+def test_referenced_columns_aliases_and_where():
+    sql = (
+        "SELECT o_orderkey, o_totalprice * 2 AS double_price "
+        "FROM orders WHERE o_orderstatus = 'X' AND o_custkey > 0 "
+        "GROUP BY o_orderkey ORDER BY double_price"
+    )
+    cols = referenced_columns(sql)
+    assert cols[:2] == ["o_orderkey", "double_price"]
+    assert "o_orderstatus" in cols and "o_custkey" in cols
+    assert "o_totalprice" in cols
+    # no keywords / literals leak through
+    assert not {"select", "where", "X", "orders"} & set(cols)
+
+
+def test_referenced_columns_qualified_refs():
+    sql = (
+        "SELECT o.o_orderkey AS k FROM orders o JOIN customer c "
+        "ON o.o_custkey = c.c_custkey WHERE c.c_acctbal < 0"
+    )
+    cols = referenced_columns(sql)
+    assert cols[0] == "k"
+    assert {"o_custkey", "c_custkey", "c_acctbal", "o_orderkey"} <= set(cols)
+    assert "o" not in cols and "c" not in cols  # table aliases excluded
+
+
+def test_star_expansion_with_catalog_and_flag():
+    catalog = {"orders": ["o_orderkey", "o_total"], "t2": ["a"]}
+    sql = "SELECT * FROM orders WHERE o_total < 0"
+    got = referenced_columns(sql, catalog_columns=catalog.get)
+    assert got[:2] == ["o_orderkey", "o_total"]
+    # explicit_only: star NOT expanded — only explicit refs remain
+    got2 = referenced_columns(sql, catalog_columns=catalog.get, explicit_only=True)
+    assert got2 == ["o_total"]
+
+
+def test_cte_recursion_collects_inner_columns():
+    sql = (
+        "WITH bad AS (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice < 0) "
+        "SELECT o_orderkey FROM bad"
+    )
+    cols = referenced_columns(sql)
+    # CTE body processed first (reference traversal order)
+    assert cols == ["o_orderkey", "o_totalprice"]
+
+
+# ----------------------------------------------------- integrity wiring
+
+
+@pytest.fixture(scope="module")
+def orders_view(spark):
+    df = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "X", -5.0), (3, "O", 7.0)],
+        "o_orderkey long, o_status string, o_total double",
+    )
+    df.createOrReplaceTempView("t_orders")
+    return df
+
+
+def test_primary_table_inferred_when_missing(spark, orders_view):
+    rule = IntegrityRule(
+        primary_table="",  # omitted in the Data_Integrity sheet
+        sql="SELECT o_orderkey, o_total FROM t_orders WHERE o_total < 0",
+        message="negative total",
+    )
+    rows = run_integrity_rule(spark, rule).collect()
+    assert len(rows) == 1
+    assert rows[0]["table"] == "t_orders"
+    assert '"o_orderkey":2' in rows[0]["observed_value"]
+
+
+def test_explicit_columns_only_star_payload(spark, orders_view):
+    rule = IntegrityRule(
+        primary_table="t_orders",
+        sql="SELECT * FROM t_orders WHERE o_total < 0",
+        message="negative total",
+    )
+    # flag off (reference default): star expands — full row payload
+    full = run_integrity_rule(spark, rule).collect()[0]["observed_value"]
+    assert "o_status" in full and "o_orderkey" in full
+    # flag on: only explicitly referenced columns + requested key
+    slim = run_integrity_rule(
+        spark, rule, explicit_columns_only=True, key_cols=["o_orderkey"]
+    ).collect()[0]["observed_value"]
+    assert "o_total" in slim and "o_orderkey" in slim
+    assert "o_status" not in slim
+
+
+def test_referenced_columns_in_rule_uses_catalog(spark, orders_view):
+    cols = referenced_columns_in_rule(
+        spark, "SELECT * FROM t_orders WHERE o_total < 0"
+    )
+    assert cols[:3] == ["o_orderkey", "o_status", "o_total"]
