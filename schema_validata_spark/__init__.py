@@ -44,7 +44,27 @@ from schema_validata_spark.plans.validate import validate_dataset, validate_tabl
 from schema_validata_spark.plans.resume import resumable_validate_table
 from schema_validata_spark.sources.corpus import synthetic_code_corpus
 from schema_validata_spark.sources.typed import apply_inferred_schema, read_typed
-from schema_validata_spark.sources.spec import load_spec_csv
+from schema_validata_spark.sources.spec import load_spec_csv, load_spec_xlsx
+from schema_validata_spark.sources.io import (
+    get_byte_units,
+    get_file_metadata,
+    read_table,
+    write_validation_outputs,
+    write_xlsx_report,
+)
+from schema_validata_spark.sources.xlsx import write_xlsx, xlsx_sheets_to_dfs
+from schema_validata_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_near_duplicates,
+    near_dup_clusters,
+    simhash_near_duplicates,
+)
+from schema_validata_spark.operators.integrity import (
+    extract_primary_table,
+    referenced_columns_in_rule,
+)
+from schema_validata_spark.functions.joins import maybe_broadcast, plan_size_bytes
 
 __all__ = [
     "is_na",
@@ -78,6 +98,23 @@ __all__ = [
     "apply_inferred_schema",
     "read_typed",
     "load_spec_csv",
+    "load_spec_xlsx",
+    "get_byte_units",
+    "get_file_metadata",
+    "read_table",
+    "write_validation_outputs",
+    "write_xlsx_report",
+    "write_xlsx",
+    "xlsx_sheets_to_dfs",
+    "connected_components",
+    "exact_dedup",
+    "minhash_near_duplicates",
+    "near_dup_clusters",
+    "simhash_near_duplicates",
+    "extract_primary_table",
+    "referenced_columns_in_rule",
+    "maybe_broadcast",
+    "plan_size_bytes",
 ]
 
 __version__ = "0.1.0"

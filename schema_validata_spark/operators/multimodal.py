@@ -89,8 +89,6 @@ def image_features(
     def kernel(batches: Iterator) -> Iterator:
         import hashlib
 
-        import pandas as pd
-
         for pdf in batches:
             if strict:
                 raise NotImplementedError(
@@ -98,22 +96,28 @@ def image_features(
                     "container); run with strict=False for the "
                     "deterministic fake decoder"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
-                d = _fake_decode_image(payload)
-                rows.append(
-                    {
-                        **{c: r[c] for c in id_cols},
-                        "content_sha": hashlib.sha256(payload).hexdigest(),
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_bytes": len(payload),
-                        "mean_luma": d["mean_luma"],
-                        "phash": d["phash"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            # columnar batch ops — id/sha/n_bytes columns are Series
+            # operations; Python touches each element only where the
+            # payload itself must be processed (hash/decode), never via
+            # per-row DataFrame iteration.
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b""
+            )
+            out = pdf[list(id_cols)].copy()
+            out["content_sha"] = payloads.map(
+                lambda p: hashlib.sha256(p).hexdigest()
+            )
+            # REPLACE-ME(codec): the only per-payload decode loop — a real
+            # implementation decodes here (Pillow/libvips over `payloads`)
+            decoded = payloads.map(_fake_decode_image)
+            out["width"] = decoded.map(lambda d: d["width"]).astype("int32")
+            out["height"] = decoded.map(lambda d: d["height"]).astype("int32")
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            out["mean_luma"] = decoded.map(lambda d: d["mean_luma"]).astype(
+                "float64"
+            )
+            out["phash"] = decoded.map(lambda d: d["phash"]).astype("int64")
+            yield out[[f.name for f in out_schema.fields]]
 
     pruned = df.select(*id_cols, payload_col)
     return pruned.mapInPandas(kernel, schema=out_schema)

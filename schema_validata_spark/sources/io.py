@@ -144,3 +144,64 @@ def write_xlsx_report(result, out_path: str) -> str:
                 [r[c] for c in cols] for r in rows
             ]
     return write_xlsx(out_path, sheets)
+
+
+def get_byte_units(size_bytes: int) -> str:
+    """Largest-unit byte rendering, reference format ``'<v> : <UNIT>'``
+    (``get_byte_units`` reference src/schema_validata.py:335–357 —
+    decimal 1000-based units, 2-decimal rounding, quirky separator kept
+    verbatim for report parity)."""
+    import math
+
+    if size_bytes == 0:
+        return "0 : B"
+    size_name = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+    i = int(math.floor(math.log(size_bytes, 1000)))
+    s = round(size_bytes / math.pow(1000, i), 2)
+    return f"{s} : {size_name[i]}"
+
+
+def get_file_metadata(spark: SparkSession, file_path: str) -> dict[str, dict]:
+    """Per-sheet/table file metadata (reference
+    ``get_spreadsheet_metadata`` :394–450): size, pretty size, record and
+    column counts, sha256 content hash (the reference used md5; sha256
+    matches the engine's run-UID hashing everywhere else), created and
+    modified timestamps.
+
+    Driver-side by design — submission files are small; corpus-scale
+    inputs identify by Iceberg snapshot-id instead (sources/spec.py run
+    UID). Counts come from the same readers the validation uses.
+    """
+    import hashlib
+    from datetime import datetime
+
+    filename = os.path.basename(file_path)
+    _, ext = os.path.splitext(filename)
+    statinfo = os.stat(file_path)
+    h = hashlib.sha256()
+    with open(file_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+
+    if ext.lower() == ".xlsx":
+        from schema_validata_spark.sources.xlsx import xlsx_sheets_to_dfs
+
+        dfs = xlsx_sheets_to_dfs(spark, file_path)
+    else:
+        dfs = {os.path.splitext(filename)[0]: read_table(spark, file_path)}
+
+    out: dict[str, dict] = {}
+    for sheet, df in dfs.items():
+        out[sheet] = {
+            "file_path": file_path,
+            "file_name": filename,
+            "file_type": ext,
+            "file_size_bytes": f"{statinfo.st_size:,}",
+            "file_size_memory_unit": get_byte_units(int(statinfo.st_size)),
+            "record_qty": f"{df.count():,}",
+            "column_qty": f"{len(df.columns):,}",
+            "file_sha256_hash": h.hexdigest(),
+            "created": datetime.fromtimestamp(statinfo.st_ctime).isoformat(),
+            "modified": datetime.fromtimestamp(statinfo.st_mtime).isoformat(),
+        }
+    return out

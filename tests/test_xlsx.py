@@ -136,3 +136,30 @@ def test_write_xlsx_report(spark, tmp_path, workbook):
     assert "verdicts" in back and "errors_movies" in back
     assert back["verdicts"][0][:3] == ["table", "partition", "column"]
     assert len(back["errors_movies"]) == 2  # header + the one bad rating
+
+
+# ------------------------------------------ S10/F12 file metadata tail
+
+
+def test_get_byte_units():
+    from schema_validata_spark.sources.io import get_byte_units
+
+    # reference format quirks verbatim: '<v> : <UNIT>', 1000-based
+    assert get_byte_units(0) == "0 : B"
+    assert get_byte_units(999) == "999.0 : B"  # float div, as the reference
+    assert get_byte_units(1000) == "1.0 : KB"
+    assert get_byte_units(1_530_000) == "1.53 : MB"
+    assert get_byte_units(200 * 1000**3) == "200.0 : GB"
+
+
+def test_get_file_metadata_xlsx(spark, workbook):
+    from schema_validata_spark.sources.io import get_file_metadata
+
+    meta = get_file_metadata(spark, workbook)
+    assert set(meta) == {"movies", "theaters"}
+    m = meta["movies"]
+    assert m["file_type"] == ".xlsx"
+    assert m["record_qty"] == "3" and m["column_qty"] == "3"
+    assert len(m["file_sha256_hash"]) == 64
+    assert " : " in m["file_size_memory_unit"]
+    assert meta["theaters"]["record_qty"] == "2"
