@@ -543,3 +543,38 @@ def near_dup_clusters(
             "keep"
         ),
     )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    method: str = "minhash",
+    log_drops: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """The full near-dup corpus dedup in one call: candidate pairs
+    (``method``: ``minhash`` | ``simhash`` | ``exact``) → connected
+    components → keep the min-id winner of every cluster. Returns the
+    deduped DataFrame (original schema, one survivor per duplicate
+    group; exact dedup short-circuits to the content-hash path).
+    ``kwargs`` pass through to the pair generator (threshold, bands, k,
+    max_bucket, ...)."""
+    if method == "exact":
+        return exact_dedup(df, text_col, id_col)
+    if method == "minhash":
+        pairs = minhash_near_duplicates(
+            df, text_col, id_col, log_drops=log_drops, **kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_near_duplicates(
+            df, text_col, id_col, log_drops=log_drops, **kwargs
+        )
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
+    keep = (
+        near_dup_clusters(df, id_col, pairs.select("id1", "id2"))
+        .filter("keep")
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")

@@ -132,25 +132,35 @@ def enumerate_duplicates(
     level: str = "Error",
     rule_id: str = "unique_value",
     dup_vals: DataFrame | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Every row of every duplicated value (reference
     ``value_errors_duplicates`` :2704–2749), as violation rows
     ``key_cols + (column_name, rule_id, observed_value, level)``.
 
-    Join strategy: hint broadcast of the duplicated-value set ONLY when
-    Catalyst's plan-size estimate fits ``BROADCAST_DUP_LIMIT`` (an
-    explicit hint is never demoted by AQE, so an unconditional one would
-    OOM on a mostly-duplicated column); otherwise no hint — AQE promotes
-    the sort-merge join to broadcast at runtime when the set turns out
-    small, and splits skewed keys when it doesn't.
+    Join strategy (an explicit broadcast hint is never demoted by AQE,
+    so an unconditional one would OOM on a mostly-duplicated column):
+
+    * ``broadcast=True/False`` — callers that already KNOW the dup-set
+      size (the validate pipeline counts it first) force the choice;
+      an exact count beats any estimate.
+    * ``broadcast=None`` — hint only when Catalyst's plan-size estimate
+      fits ``BROADCAST_DUP_LIMIT``; derived sets usually estimate large
+      → no hint, and AQE promotes the sort-merge join to broadcast at
+      runtime when the set turns out small (skew-splitting otherwise).
+
     ``dup_vals`` — reuse a (persisted) precomputed duplicated-value set.
     """
     if dup_vals is None:
         dup_vals = duplicate_value_counts(df, cols)
     dup_vals = dup_vals.select(*cols)
-    joined = df.join(
-        maybe_broadcast(dup_vals, BROADCAST_DUP_LIMIT), on=cols, how="inner"
-    )
+    if broadcast is None:
+        dup_side = maybe_broadcast(dup_vals, BROADCAST_DUP_LIMIT)
+    elif broadcast:
+        dup_side = F.broadcast(dup_vals)
+    else:
+        dup_side = dup_vals
+    joined = df.join(dup_side, on=cols, how="inner")
     observed = (
         F.col(cols[0]).cast("string")
         if len(cols) == 1

@@ -263,6 +263,42 @@ def ivf_topk(
     )
 
 
+def write_ann_index(
+    index_df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> str:
+    """Persist an ANN index partitioned by its probe key — ``cluster``
+    for IVF (:func:`ivf_index`), ``(table, bucket)`` for hyperplane LSH
+    (:func:`lsh_index`) — so probes become PARTITION-PRUNED scans: a
+    query reads nprobe/k (IVF) or n_tables/2^n_planes (LSH) of the
+    corpus off disk, never filtering post-read. Partition count stays
+    bounded by construction (k clusters / tables × 2^planes)."""
+    cols = partition_cols or (
+        ["cluster"] if "cluster" in index_df.columns else ["table", "bucket"]
+    )
+    index_df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+    return path
+
+
+def read_ivf_probe(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF probe over a persisted partitioned index: centroid ranking is
+    driver-side math, the ``cluster IN (...)`` filter hits the partition
+    columns (``PartitionFilters`` in the scan — plan-tested), and only
+    the probed clusters' files are read."""
+    index_df = spark.read.parquet(path)
+    return ivf_topk(
+        index_df, centroids, query, topk=topk, nprobe=nprobe,
+        exclude_id=exclude_id,
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str,

@@ -51,6 +51,11 @@ from schema_validata_spark.operators.violations import (
 )
 from schema_validata_spark.sources.spec import RuleSet, TableSpec
 
+#: exact dup-set row counts at or under this get the broadcast hint in
+#: the enumeration join (the count is already materialized by the
+#: verdict gating, so the decision is free and never an estimate)
+ENUM_BROADCAST_ROWS = 1_000_000
+
 
 @dataclass
 class TableValidation:
@@ -234,18 +239,27 @@ def validate_table(
             cs = spec.column(col)
             level = "Error" if (cs and cs.required) else "Informational/Warning"
             violations = violations.unionByName(
-                enumerate_duplicates(df, [col], key_cols, level=level)
+                enumerate_duplicates(
+                    df, [col], key_cols, level=level,
+                    # dup_counts[col] is the EXACT duplicated-row count
+                    # (≥ the dup-value-set size): a known-small set gets
+                    # the broadcast hint outright — no estimate, no AQE
+                    # round trip; a huge one is never force-broadcast.
+                    broadcast=dup_counts.get(col, 0) <= ENUM_BROADCAST_ROWS,
+                )
             )
         for combo in spec.unique_together:
-            # persist the (tiny) dup set: reused by the emptiness gate and
+            # persist the (tiny) dup set: reused by the size gate and
             # the lazy enumeration join, so detection shuffles once. Left
             # persisted — it is small and the violations plan references
             # it; Spark evicts LRU.
             dup_vals = duplicate_value_counts(df, list(combo)).persist()
-            if not dup_vals.isEmpty():
+            n_dup_vals = dup_vals.count()
+            if n_dup_vals:
                 violations = violations.unionByName(
                     enumerate_duplicates(
-                        df, list(combo), key_cols, dup_vals=dup_vals
+                        df, list(combo), key_cols, dup_vals=dup_vals,
+                        broadcast=n_dup_vals <= ENUM_BROADCAST_ROWS,
                     )
                 )
         violations = canonical_order(violations, key_cols)

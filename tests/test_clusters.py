@@ -11,6 +11,7 @@ from schema_validata_spark.operators.dedup import (
     connected_components,
     jaccard_pairs,
     minhash_near_duplicates,
+    near_dedup,
     near_dup_clusters,
     shingle_candidate_pairs,
 )
@@ -130,3 +131,27 @@ def test_prune_bucket_drop_logging(spark, caplog):
         )
         assert out.count() == 0  # everything dropped by the guard
     assert any("quadratic-bucket guard dropped" in m for m in caplog.messages)
+
+
+def test_near_dedup_end_to_end(spark):
+    rows = [
+        (i, f"unique document number {i} with distinct content {i * 13}")
+        for i in range(8)
+    ] + [
+        (50, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (51, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (52, "the quick brown fox jumps over the lazy dog again and again today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_dedup(df, "text", "doc_id", method="minhash",
+                     threshold=0.5, num_perm=64, bands=16, k=3)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert set(range(8)) <= kept
+    assert 50 in kept and 51 not in kept and 52 not in kept
+    assert out.columns == df.columns
+    # exact mode: only the byte-identical pair collapses
+    out2 = near_dedup(df, "text", "doc_id", method="exact")
+    kept2 = {r["doc_id"] for r in out2.collect()}
+    assert kept2 == set(range(8)) | {50, 52}
+    with pytest.raises(ValueError):
+        near_dedup(df, "text", "doc_id", method="nope")

@@ -96,3 +96,58 @@ class TestIVF:
         got = [r["id"] for r in ivf_topk(idx, cents, query, topk=5, nprobe=1).collect()]
         # with well-separated clusters, nprobe=1 recovers the exact top-5
         assert got == want
+
+
+class TestPersistedIndex:
+    def test_ivf_probe_is_partition_pruned(self, spark, tmp_path):
+        from schema_validata_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_index,
+            read_ivf_probe,
+            train_ivf_centroids,
+            write_ann_index,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_ivf_centroids(df, "embedding", k=8, iters=2)
+        idx = ivf_index(df, "embedding", "vec_id", cents)
+        path = str(tmp_path / "ivf_index")
+        write_ann_index(idx, path)
+
+        target = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+        probe = read_ivf_probe(
+            spark, path, cents, target, topk=5, nprobe=8, exclude_id=0
+        )
+        # partition pruning: the cluster IN filter must reach the scan's
+        # PartitionFilters (probed clusters' files only, nothing read
+        # then filtered)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and pf[1].split("]")[0].startswith("cluster#")
+        assert " IN (" in pf[1].split("]")[0]
+        # full probe (nprobe = k) equals brute force — the IVF oracle trick
+        want = [r["id"] if "id" in r else r["vec_id"] for r in
+                brute_force_topk(df, "embedding", "vec_id", target, topk=5,
+                                 exclude_id=0).collect()]
+        got = [r["id"] for r in probe.collect()]
+        assert got == [w for w in want]
+
+    def test_lsh_index_partitioned_write(self, spark, tmp_path):
+        from schema_validata_spark.operators.similarity import (
+            lsh_index,
+            lsh_topk,
+            write_ann_index,
+        )
+        import os
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        idx = lsh_index(df, "embedding", "vec_id", dim=64, n_planes=4, n_tables=2)
+        path = str(tmp_path / "lsh_index")
+        write_ann_index(idx, path)
+        assert any(d.startswith("table=") for d in os.listdir(path))
+        target = [float(x) for x in df.filter("vec_id = 1").first()["embedding"]]
+        got = lsh_topk(
+            spark.read.parquet(path), target, topk=3, n_planes=4, n_tables=2,
+            exclude_id=1,
+        ).collect()
+        assert len(got) >= 1
