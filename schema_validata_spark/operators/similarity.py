@@ -198,6 +198,49 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in cent]
 
 
+def train_ivf_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+    sample_rows: int = 5000,
+    seed: int = 0xC3,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations for the IVF coarse quantizer — use
+    when the corpus distribution matters more than the bounded sample
+    (:func:`train_ivf_centroids` stays the cheap default).
+
+    Each iteration is ONE full scan: assignment is the pure-expression
+    argmax (:func:`_nearest_centroid`), per-cluster element sums are
+    ``k × (dim + 1)`` scalar aggregates (``sum(element_at(e, i))`` —
+    codegen'd, map-side combined, no explode/row blowup), and only the
+    ``k × dim`` sums reach the driver to form the next centroid literal
+    set. Deterministic init from the same bounded sample as the
+    driver-side trainer. Empty clusters keep their previous centroid.
+    """
+    cents = train_ivf_centroids(
+        df, vec_col, k=k, sample_rows=sample_rows, iters=0, seed=seed
+    )
+    dim = len(cents[0])
+    for _ in range(iters):
+        e = _as_double_array(F.col(vec_col))
+        assigned = df.select(
+            _nearest_centroid(vec_col, cents).alias("cluster"), e.alias("e")
+        )
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("e"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        for row in agg.collect():
+            c, n = int(row["cluster"]), int(row["n"])
+            if n > 0:
+                cents[c] = [float(row[f"s{i}"]) / n for i in range(dim)]
+    return cents
+
+
 def _nearest_centroid(col: Column | str, centroids: list[list[float]]) -> Column:
     """argmax-cosine cluster id as a pure expression: array of
     (similarity, id) structs, array_max, take the id."""

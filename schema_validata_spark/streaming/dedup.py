@@ -1,0 +1,73 @@
+"""Streaming deduplication — the dedup surface on unbounded input.
+
+No reference counterpart (the reference is batch pandas); these are the
+streaming forms a training-data ingest pipeline needs:
+
+* :func:`streaming_exact_dedup` — content-hash dedup with BOUNDED state:
+  ``dropDuplicatesWithinWatermark`` keys state by the sha256 of the
+  payload and evicts entries once the event-time watermark passes, so
+  state size is (arrival rate × watermark), not corpus size. Exactly
+  Spark's intended scale path for stream dedup.
+* :func:`streaming_near_dedup_foreach_batch` — MinHash/SimHash near-dup
+  is a set operation (banding self-join), so it runs per micro-batch via
+  ``foreachBatch``: each batch is near-deduped against ITSELF with the
+  full batch engine (:func:`schema_validata_spark.operators.dedup.
+  near_dedup`), then handed to the caller's sink. Cross-batch near-dup
+  requires an external LSH-bucket store (the batch `write_ann_index`
+  layout is the natural target) — documented, not silently claimed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    event_time_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact-content dedup on a stream with watermark-bounded state.
+
+    Emits the first arrival of each distinct payload within the
+    watermark horizon; duplicates arriving later than the delay are the
+    documented trade-off of bounded state (same contract as Spark's
+    ``dropDuplicatesWithinWatermark``).
+    """
+    keyed = stream_df.withColumn(
+        "__content_sha", F.sha2(F.col(text_col).cast("string"), 256)
+    ).withWatermark(event_time_col, watermark_delay)
+    return keyed.dropDuplicatesWithinWatermark(["__content_sha"]).drop(
+        "__content_sha"
+    )
+
+
+def streaming_near_dedup_foreach_batch(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sink: Callable[[DataFrame, int], None],
+    method: str = "minhash",
+    **dedup_kwargs,
+):
+    """Per-micro-batch near-dedup: each batch is deduped against itself
+    (pairs → connected components → min-id winner) and the surviving
+    rows are passed to ``sink(batch_df, batch_id)``.
+
+    Returns the ``DataStreamWriter`` (caller starts it). Scope: WITHIN-
+    batch duplicates only — for cross-batch near-dup, persist LSH band
+    buckets to an external store and join each batch against it.
+    """
+    from schema_validata_spark.operators.dedup import near_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = near_dedup(
+            batch_df, text_col, id_col, method=method, **dedup_kwargs
+        )
+        sink(deduped, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -72,3 +72,67 @@ def test_foreach_batch_verdicts(spark, tmp_path):
     assert by_rule[("value", "allow_null")]["passed"] is False
     assert by_rule[("value", "allow_null")]["count"] == 1
     assert all(r["batch_id"] == 0 for r in seen)
+
+
+class TestStreamingDedup:
+    def test_streaming_exact_dedup_bounded_state(self, spark, tmp_path):
+        from schema_validata_spark.streaming.dedup import streaming_exact_dedup
+
+        src = tmp_path / "dedup_src"
+        src.mkdir()
+        rows1 = [(1, "same payload", "2026-01-01 10:00:00"),
+                 (2, "same payload", "2026-01-01 10:00:05"),
+                 (3, "other payload", "2026-01-01 10:00:10")]
+        rows2 = [(4, "same payload", "2026-01-01 10:00:20"),   # dup within watermark
+                 (5, "third payload", "2026-01-01 10:00:30")]
+        schema = "doc_id long, text string, ts_s string"
+        for i, rows in enumerate([rows1, rows2]):
+            spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.col("ts_s").cast("timestamp")
+            ).drop("ts_s").coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+        )
+        out = streaming_exact_dedup(stream, "text", "ts", "10 minutes")
+        q = (out.writeStream.format("memory").queryName("sdedup")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r["text"] for r in spark.sql("SELECT * FROM sdedup").collect()}
+        assert got == {"same payload", "other payload", "third payload"}
+        n = spark.sql("SELECT count(*) n FROM sdedup").collect()[0]["n"]
+        assert n == 3  # duplicates 2 and 4 suppressed, state watermark-bounded
+
+    def test_streaming_near_dedup_foreach_batch(self, spark, tmp_path):
+        from schema_validata_spark.streaming.dedup import (
+            streaming_near_dedup_foreach_batch,
+        )
+
+        src = tmp_path / "near_src"
+        src.mkdir()
+        rows = [(1, "the quick brown fox jumps over the lazy dog tonight ok"),
+                (2, "the quick brown fox jumps over the lazy dog tonight ok"),
+                (3, "completely different text about something else entirely")]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / "f0"))
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src) + "/*"
+        )
+        seen: list = []
+
+        def sink(df, batch_id):
+            seen.extend(r["doc_id"] for r in df.collect())
+
+        q = streaming_near_dedup_foreach_batch(
+            stream, "text", "doc_id", sink, method="minhash",
+            threshold=0.5, num_perm=64, bands=16, k=3,
+        ).option("checkpointLocation", str(tmp_path / "ckpt2")).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+        assert sorted(seen) == [1, 3]  # 2 deduped within the batch

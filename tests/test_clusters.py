@@ -5,6 +5,8 @@ quadratic-guard drop logging."""
 import logging
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schema_validata_spark.operators.dedup import (
@@ -155,3 +157,55 @@ def test_near_dedup_end_to_end(spark):
     assert kept2 == set(range(8)) | {50, 52}
     with pytest.raises(ValueError):
         near_dedup(df, "text", "doc_id", method="nope")
+
+
+class TestConnectedComponentsProperty:
+    """Hypothesis: random edge sets — the Spark connected components must
+    equal a driver-side union-find oracle exactly."""
+
+    @staticmethod
+    def _union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id per component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(members) for r, members in comp.items() for n in members}
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40))
+            .filter(lambda e: e[0] != e[1])
+            .map(lambda e: (min(e), max(e))),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_union_find(self, spark, edges):
+        pairs = spark.createDataFrame(
+            list(set(edges)), "id1 long, id2 long"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        nodes = {n for e in edges for n in e}
+        want = self._union_find(set(edges), nodes)
+        assert got == want

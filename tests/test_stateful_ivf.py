@@ -151,3 +151,55 @@ class TestPersistedIndex:
             exclude_id=1,
         ).collect()
         assert len(got) >= 1
+
+
+class TestDistributedTraining:
+    def test_distributed_lloyd_improves_objective(self, spark):
+        from pyspark.sql import functions as F
+        from schema_validata_spark.operators.similarity import (
+            _nearest_centroid,
+            cosine,
+            _as_double_array,
+            train_ivf_centroids,
+            train_ivf_centroids_distributed,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+        def objective(cents):
+            a = _as_double_array(F.col("embedding"))
+            best = F.array_max(
+                F.array(
+                    *[
+                        cosine(a, F.array(*[F.lit(float(v)) for v in c]))
+                        for c in cents
+                    ]
+                )
+            )
+            return df.agg(F.avg(best).alias("o")).collect()[0]["o"]
+
+        init = train_ivf_centroids(df, "embedding", k=8, iters=0)
+        trained = train_ivf_centroids_distributed(df, "embedding", k=8, iters=3)
+        assert len(trained) == 8 and len(trained[0]) == 64
+        assert objective(trained) > objective(init)
+        # deterministic: same seed, same data -> identical centroids
+        again = train_ivf_centroids_distributed(df, "embedding", k=8, iters=3)
+        assert trained == again
+
+    def test_distributed_centroids_full_probe_equals_brute(self, spark):
+        from schema_validata_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_index,
+            ivf_topk,
+            train_ivf_centroids_distributed,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_ivf_centroids_distributed(df, "embedding", k=8, iters=2)
+        idx = ivf_index(df, "embedding", "vec_id", cents)
+        t = [float(x) for x in df.filter("vec_id = 3").first()["embedding"]]
+        got = [r["id"] for r in ivf_topk(idx, cents, t, topk=5, nprobe=8,
+                                         exclude_id=3).collect()]
+        want = [r["vec_id"] for r in brute_force_topk(
+            df, "embedding", "vec_id", t, topk=5, exclude_id=3).collect()]
+        assert got == want
