@@ -435,6 +435,16 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_len_hist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-length histogram (north-star Stage A member): power-of-two
+    buckets via exact integer comparisons — engine-independent, so
+    directly SQL-oracle-checkable."""
+    from schema_validata_spark.operators.profile import length_histogram
+
+    df = _read(spark, sf_dir, "documents")
+    return length_histogram(df, ["text", "lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -459,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
+        "len_hist_documents": q_len_hist_documents,
     }
 
 
@@ -746,6 +757,28 @@ FROM reach GROUP BY id
 """
 
 
+def _len_hist_sql(cols=("text", "lang"), max_bucket: int = 20) -> str:
+    arms = []
+    for c in cols:
+        na = _na_sql(c)
+        arms.append(
+            f"SELECT '{c}' AS \"column\", CASE WHEN NOT {na} THEN "
+            f"length(CAST({c} AS VARCHAR)) END AS len FROM documents"
+        )
+    bucket = " + ".join(
+        f"CAST(len >= {1 << i} AS INT)" for i in range(1, max_bucket + 1)
+    )
+    return f"""
+WITH pairs AS ({' UNION ALL '.join(arms)}),
+b AS (SELECT "column", ({bucket}) AS bucket FROM pairs WHERE len IS NOT NULL)
+SELECT "column", bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << bucket END AS BIGINT) AS lo,
+       CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY "column", bucket
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -836,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "len_hist_documents": _len_hist_sql(),
         # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding
         # is not ANSI-SQL-expressible → rows-only checks (their verifier
         # stages ARE oracle-checked via ngram_jaccard_pairs and

@@ -133,6 +133,66 @@ def profile_df(
     )
 
 
+def length_histogram(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Value-length histogram per column (north-star Stage A member):
+    long-form ``(column, bucket, lo, hi, n)`` with power-of-two buckets —
+    bucket b holds lengths in ``[2^b, 2^(b+1))`` (0 and 1 share bucket 0),
+    capped at ``max_bucket`` (2^20 ≈ 1M chars covers corpus content).
+
+    The bucket id is a SUM OF INTEGER COMPARISONS
+    (``Σ (len >= 2^i)``), not ``floor(log2)`` — exact in any engine, so
+    the result is directly oracle-checkable. One scan: columns melt via
+    ``explode`` into (column, len) pairs, then a single small groupBy
+    (≤ columns × buckets output rows); map-side combine absorbs the melt.
+    """
+    from schema_validata_spark.functions.nulls import is_na
+
+    cols = columns or df.columns
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.when(
+                            ~is_na(F.col(c)),
+                            F.length(F.col(c).cast("string")),
+                        ).alias("len"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.len").filter(F.col("len").isNotNull())
+    bucket = sum(
+        [
+            (F.col("len") >= F.lit(1 << i)).cast("int")
+            for i in range(1, max_bucket + 1)
+        ],
+        F.lit(0),
+    )
+    return (
+        pairs.withColumn("bucket", bucket)
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "lo",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, bucket)"))
+            .cast("long"),
+        )
+        .withColumn(
+            "hi", F.expr("shiftleft(1, bucket + 1) - 1").cast("long")
+        )
+        .select("column", "bucket", "lo", "hi", "n")
+        .orderBy("column", "bucket")
+    )
+
+
 def build_data_dictionary(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -212,3 +212,28 @@ class TestValidateDatasetStageE:
             if r["rule_id"] == "foreign_key"
         ]
         assert len(fk_rows) == 1 and fk_rows[0]["sid"] == "102"
+
+
+class TestLengthHistogram:
+    def test_power_of_two_buckets(self, spark):
+        from schema_validata_spark.operators.profile import length_histogram
+
+        rows = [("a",), ("bb",), ("ccc",), ("dddd",), ("e" * 17,), (None,),
+                ("N/A",)]  # NA literal excluded like every stat
+        df = spark.createDataFrame(rows, "v string")
+        got = {
+            (r["bucket"], r["lo"], r["hi"]): r["n"]
+            for r in length_histogram(df, ["v"]).collect()
+        }
+        # len 1 → bucket 0 [0,1]; len 2,3 → bucket 1 [2,3];
+        # len 4 → bucket 2 [4,7]; len 17 → bucket 4 [16,31]
+        assert got == {(0, 0, 1): 1, (1, 2, 3): 2, (2, 4, 7): 1, (4, 16, 31): 1}
+
+    def test_multi_column_melt(self, spark):
+        from schema_validata_spark.operators.profile import length_histogram
+
+        df = spark.createDataFrame([("ab", 1234)], "s string, i int")
+        rows = length_histogram(df).collect()
+        by_col = {(r["column"], r["bucket"]): r["n"] for r in rows}
+        assert by_col[("s", 1)] == 1    # len 2
+        assert by_col[("i", 2)] == 1    # '1234' len 4
