@@ -41,7 +41,7 @@ from schema_validata_spark.operators.integrity import (
 )
 from schema_validata_spark.operators.drift import chi_square_drift, drift_report, ks_drift
 from schema_validata_spark.plans.validate import validate_dataset, validate_table
-from schema_validata_spark.plans.resume import resumable_validate_table
+from schema_validata_spark.plans.resume import resumable_validate_table, resumable_violations
 from schema_validata_spark.sources.corpus import synthetic_code_corpus
 from schema_validata_spark.sources.typed import apply_inferred_schema, read_typed
 from schema_validata_spark.sources.spec import load_spec_csv, load_spec_xlsx
@@ -94,6 +94,7 @@ __all__ = [
     "validate_dataset",
     "validate_table",
     "resumable_validate_table",
+    "resumable_violations",
     "synthetic_code_corpus",
     "apply_inferred_schema",
     "read_typed",

@@ -159,6 +159,73 @@ def resumable_validate_table(
     )
 
 
+def resumable_violations(
+    df: DataFrame,
+    spec: TableSpec,
+    key_cols: list[str],
+    partition_col: str,
+    out_dir: str,
+    manifest_dir: str,
+    dataset_token: str = "",
+    failed=None,
+) -> dict:
+    """Stage C with checkpoint/resume: violation rows written as parquet
+    partitioned by ``partition_col``; completed partitions (manifest
+    namespace ``…|violations``) are pruned from the input and their
+    output files left untouched (dynamic partition overwrite), so a
+    re-run after an interrupt extracts only the missing partitions.
+
+    ``failed=None`` extracts every active row-level rule (resume must
+    not depend on global verdicts, which need the full table); pass the
+    verdict-gated pair list to mirror ``validate_table``'s gating.
+    Returns ``{"out_dir", "processed_partitions", "skipped_partitions"}``.
+
+    Crash contract: manifests are written only AFTER the partitioned
+    write commits; a partition whose write died has no manifest and is
+    recomputed (its partial output replaced by the dynamic overwrite).
+    """
+    import hashlib
+    import json
+
+    from schema_validata_spark.operators.violations import extract_violations
+
+    run_uid = (
+        hashlib.sha256(
+            (dataset_token + json.dumps(spec.name)).encode()
+        ).hexdigest()[:16]
+        + "_" + _spec_digest(spec) + "|violations"
+    )
+    done = completed_partitions(manifest_dir, run_uid)
+    remaining = filter_incomplete(df, partition_col, done)
+    todo = [
+        str(r[0])
+        for r in remaining.select(partition_col).distinct().collect()
+    ]
+    if todo:
+        keys = list(key_cols)
+        if partition_col not in keys:
+            keys.append(partition_col)
+        viol = extract_violations(remaining, spec, keys, failed=failed)
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            viol.write.mode("overwrite").partitionBy(partition_col).parquet(
+                out_dir
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for pval in todo:
+            write_partition_manifest(
+                manifest_dir, pval, {}, rule_counts={}, run_uid=run_uid
+            )
+    return {
+        "out_dir": out_dir,
+        "processed_partitions": sorted(todo),
+        "skipped_partitions": sorted(done),
+    }
+
+
 def _spec_digest(spec: TableSpec) -> str:
     import hashlib
 

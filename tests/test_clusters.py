@@ -209,3 +209,15 @@ class TestConnectedComponentsProperty:
         nodes = {n for e in edges for n in e}
         want = self._union_find(set(edges), nodes)
         assert got == want
+
+
+def test_empty_inputs(spark):
+    from schema_validata_spark.operators.profile import length_histogram
+
+    empty_pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert connected_components(empty_pairs).count() == 0
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    out = near_dup_clusters(df, "doc_id", empty_pairs).collect()
+    assert all(r["keep"] and r["cluster_id"] == r["id"] for r in out)
+    empty_docs = spark.createDataFrame([], "v string")
+    assert length_histogram(empty_docs, ["v"]).count() == 0

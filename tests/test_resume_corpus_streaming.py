@@ -211,3 +211,63 @@ class TestPartitionPruning:
         import re
         pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
         assert pf and "lang" in pf.group(1)
+
+
+class TestResumableViolations:
+    def test_resume_skips_done_partitions_and_matches_full(self, spark, tmp_path):
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.operators.violations import extract_violations
+        from schema_validata_spark.plans.resume import resumable_violations
+
+        spec = load_spec_dict({
+            "t": {"v": {"required": True, "range_max": 50},
+                  "lang": {"required": True}}
+        }).tables["t"]
+        rows = [(i, "py" if i % 2 else "go", float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, lang string, v double")
+        out = str(tmp_path / "viol")
+        man = str(tmp_path / "man")
+
+        r1 = resumable_violations(df, spec, ["id"], "lang", out, man,
+                                  dataset_token="snap1")
+        assert sorted(r1["processed_partitions"]) == ["go", "py"]
+        # second run: pure manifest read, nothing recomputed
+        r2 = resumable_violations(df, spec, ["id"], "lang", out, man,
+                                  dataset_token="snap1")
+        assert r2["processed_partitions"] == []
+        assert sorted(r2["skipped_partitions"]) == ["go", "py"]
+
+        got = spark.read.parquet(out)
+        want = extract_violations(
+            df, spec,
+            ["id", "lang"], failed=None,
+        )
+        assert sorted((r["id"], r["rule_id"]) for r in got.collect()) == \
+               sorted((r["id"], r["rule_id"]) for r in want.collect())
+        assert got.count() == 49  # v in 51..99 over range_max
+
+    def test_new_partition_processed_incrementally(self, spark, tmp_path):
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.operators.violations import extract_violations
+        from schema_validata_spark.plans.resume import resumable_violations
+
+        spec = load_spec_dict({
+            "t": {"v": {"required": True, "range_max": 50}}
+        }).tables["t"]
+        out = str(tmp_path / "viol2")
+        man = str(tmp_path / "man2")
+        base = [(i, "py", float(i)) for i in range(80)]
+        df1 = spark.createDataFrame(base, "id long, lang string, v double")
+        resumable_violations(df1, spec, ["id"], "lang", out, man,
+                             dataset_token="s")
+        # a new partition lands (same snapshot token — append-style layout)
+        df2 = spark.createDataFrame(
+            base + [(1000 + i, "rs", 100.0 + i) for i in range(5)],
+            "id long, lang string, v double",
+        )
+        r = resumable_violations(df2, spec, ["id"], "lang", out, man,
+                                 dataset_token="s")
+        assert r["processed_partitions"] == ["rs"]
+        got = spark.read.parquet(out)
+        assert got.filter("lang = 'rs'").count() == 5
+        assert got.count() == 29 + 5  # py: 51..79 plus the 5 rs rows
