@@ -41,8 +41,16 @@ def main() -> None:
     from schema_validata_spark.operators.duplicates import duplicate_value_counts
     from schema_validata_spark.operators.integrity import fk_violations
     from schema_validata_spark.operators.profile import profile_df
-    from schema_validata_spark.operators.dedup import minhash_near_duplicates
-    from schema_validata_spark.operators.similarity import brute_force_topk
+    from schema_validata_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_duplicates,
+        near_dup_clusters,
+        shingle_candidate_pairs,
+    )
+    from schema_validata_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+    )
     from schema_validata_spark.operators.text import text_stats_df
     from schema_validata_spark.operators.violations import extract_violations
     from schema_validata_spark.plans.validate import validate_table
@@ -95,6 +103,19 @@ def main() -> None:
         "ann_topk": lambda: brute_force_topk(
             embeddings, "embedding", "vec_id", target, topk=10
         ).collect(),
+        # round-2 additions (documented in BASELINE.md): pair→cluster
+        # dedup resolution and the LSH embedding near-dup pass
+        "near_dup_clusters": lambda: near_dup_clusters(
+            documents, "doc_id",
+            jaccard_pairs(
+                shingle_candidate_pairs(documents, "text", "doc_id", k=3),
+                documents, "text", "doc_id", k=3,
+            ).filter(F.col("jaccard") >= 0.6),
+        ).count(),
+        "embedding_near_dups": lambda: embedding_near_duplicates(
+            embeddings, "embedding", "vec_id", dim=64, threshold=0.4,
+            n_planes=4, n_tables=4,
+        ).count(),
     }
 
     # Untimed warmup of each EXACT query: local-mode codegen/JIT

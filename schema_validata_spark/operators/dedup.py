@@ -444,23 +444,72 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list:
     ``(id, cluster_id)`` where ``cluster_id`` is the MINIMUM id in the
     component (so the cluster id doubles as the keep-winner).
 
-    Algorithm: iterative min-label propagation with path halving —
-    each round every node takes the min label over itself and its
-    neighbors, then labels are pointer-jumped one level
-    (``label := label(label)``), giving O(log diameter) rounds; LSH
-    duplicate clusters are near-cliques, so 2–3 rounds is typical.
-    Each round is two shuffles over the PAIR set (≪ corpus at 100 TB —
-    only near-dup docs appear here). Labels only ever decrease, so
-    convergence is an any-row-changed probe (``limit(1)`` — stops at the
-    first diff) against the previous round. Rounds are
-    ``localCheckpoint``-ed so the iterative plan/lineage doesn't grow
-    unboundedly. Ids may be any orderable type (numeric, string).
+    Hybrid execution (both paths produce identical output — property-
+    tested against each other):
+
+    * pair sets at or under ``driver_threshold`` rows run UNION-FIND on
+      the driver — the pair list is the output of near-dup detection, so
+      it is almost always tiny relative to the corpus, and a driver pass
+      avoids the iterative loop's per-job scheduling overhead (measured
+      ~4 s of pure overhead on a few-hundred-pair set).
+    * larger sets run distributed min-label propagation with path
+      halving — each round every node takes the min label over itself
+      and its neighbors, then labels are pointer-jumped one level
+      (``label := label(label)``), giving O(log diameter) rounds; LSH
+      duplicate clusters are near-cliques, so 2–3 rounds is typical.
+      Each round is two shuffles over the PAIR set (≪ corpus at
+      100 TB). Labels only ever decrease, so convergence is an
+      any-row-changed probe (``limit(1)``). Rounds are
+      ``localCheckpoint``-ed so lineage doesn't grow unboundedly.
+
+    Ids may be any orderable type (numeric, string).
     """
+    pairs = pairs.select(F.col(id1), F.col(id2)).persist()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema[id1].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        return spark.createDataFrame([], schema)
+    if n_pairs <= driver_threshold:
+        rows = pairs.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in parent]
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema[id1].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        return spark.createDataFrame(out, schema)
     edges = (
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))

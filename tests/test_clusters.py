@@ -29,12 +29,14 @@ def test_connected_components_basic(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
-def test_connected_components_long_chain(spark):
+def test_connected_components_long_chain_distributed(spark):
     """Path graph — worst case for propagation; path halving keeps the
-    round count logarithmic and the result exact."""
+    round count logarithmic and the result exact. driver_threshold=0
+    forces the DISTRIBUTED loop (the driver union-find path is covered
+    by the other tests and the property test compares both)."""
     n = 33
     pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
-    cc = connected_components(pairs).collect()
+    cc = connected_components(pairs, driver_threshold=0).collect()
     assert len(cc) == n + 1
     assert {r["cluster_id"] for r in cc} == {0}
 
@@ -43,8 +45,12 @@ def test_connected_components_string_ids(spark):
     pairs = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y")], "id1 string, id2 string"
     )
-    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
-    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for thr in (0, 2_000_000):  # both execution paths
+        cc = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, driver_threshold=thr).collect()
+        }
+        assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_near_dup_clusters_keep_drop(spark):
@@ -202,13 +208,16 @@ class TestConnectedComponentsProperty:
         pairs = spark.createDataFrame(
             list(set(edges)), "id1 long, id2 long"
         )
-        got = {
-            r["id"]: r["cluster_id"]
-            for r in connected_components(pairs).collect()
-        }
         nodes = {n for e in edges for n in e}
         want = self._union_find(set(edges), nodes)
-        assert got == want
+        for thr in (0, 2_000_000):  # distributed loop AND driver path
+            got = {
+                r["id"]: r["cluster_id"]
+                for r in connected_components(
+                    pairs, driver_threshold=thr
+                ).collect()
+            }
+            assert got == want, f"path driver_threshold={thr}"
 
 
 def test_empty_inputs(spark):
