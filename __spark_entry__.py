@@ -773,7 +773,8 @@ WITH pairs AS ({' UNION ALL '.join(arms)}),
 b AS (SELECT "column", ({bucket}) AS bucket FROM pairs WHERE len IS NOT NULL)
 SELECT "column", bucket,
        CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << bucket END AS BIGINT) AS lo,
-       CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi,
+       CAST(CASE WHEN bucket < {max_bucket} THEN (1 << (bucket + 1)) - 1
+            END AS BIGINT) AS hi,
        CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY "column", bucket
 """

@@ -57,6 +57,7 @@ from schema_validata_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_near_duplicates,
+    near_dedup,
     near_dup_clusters,
     simhash_near_duplicates,
 )
@@ -110,6 +111,7 @@ __all__ = [
     "connected_components",
     "exact_dedup",
     "minhash_near_duplicates",
+    "near_dedup",
     "near_dup_clusters",
     "simhash_near_duplicates",
     "extract_primary_table",

@@ -40,8 +40,10 @@ _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 
 
 def strip_comments_and_strings(sql: str) -> str:
-    """Blank out string literals and comments (lengths preserved where
-    convenient — positions are not relied upon downstream)."""
+    """Blank out string literals and comments with SPACES — strictly
+    LENGTH-PRESERVING, so every index computed on the stripped copy is
+    valid in the original (``cte_definitions``/``_main_body``/
+    ``_select_list`` slice the original text using these indices)."""
     out = []
     i, n = 0, len(sql)
     while i < n:
@@ -55,18 +57,25 @@ def strip_comments_and_strings(sql: str) -> str:
                 if sql[j] == "'":
                     break
                 j += 1
-            out.append("'?'")
-            i = j + 1
+            end = min(j + 1, n)
+            out.append("'" + " " * max(end - i - 2, 0) + ("'" if end - i >= 2 else ""))
+            i = end
         elif c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
-            i = n if j == -1 else j
+            j = n if j == -1 else j
+            out.append(" " * (j - i))
+            i = j
         elif c == "/" and sql[i : i + 2] == "/*":
             j = sql.find("*/", i)
-            i = n if j == -1 else j + 2
+            j = n if j == -1 else j + 2
+            out.append(" " * (j - i))
+            i = j
         else:
             out.append(c)
             i += 1
-    return "".join(out)
+    s = "".join(out)
+    assert len(s) == len(sql)
+    return s
 
 
 def _depth_map(sql: str) -> list[int]:
@@ -229,22 +238,38 @@ def _item_name(item: str) -> str | None:
 def _column_refs(body: str) -> list[str]:
     """Every explicit column-looking reference, in order: qualified
     ``t.col`` (→ col) and bare identifiers that are not keywords, not
-    function calls, and not table names."""
+    function calls, and not table names. Identifiers inside FROM/JOIN
+    target clauses (table names incl. schema-qualified, their aliases)
+    are excluded by SPAN, so ``FROM db.orders o`` contributes nothing."""
     s = strip_comments_and_strings(body)
     tables = {t.split(".")[-1].lower() for t in tables_in_order(body, include_ctes=True)}
-    # also alias names bound in FROM/JOIN (e.g. `FROM orders o`)
-    aliases = {
-        m.group(1).lower()
-        for m in re.finditer(
-            rf"\b(?:from|join)\s+{_IDENT}(?:\.{_IDENT})*\s+(?:as\s+)?({_IDENT})",
-            s,
-            flags=re.IGNORECASE,
-        )
-    }
+    # FROM/JOIN target spans: table (possibly schema-qualified) + alias
+    target_spans = []
+    aliases = set()
+    for m in re.finditer(
+        rf"\b(?:from|join)\s+({_IDENT}(?:\.{_IDENT})*)"
+        rf"(\s+(?:as\s+)?({_IDENT}))?",
+        s,
+        flags=re.IGNORECASE,
+    ):
+        alias = m.group(3)
+        if alias and alias.lower() not in _KEYWORDS:
+            aliases.add(alias.lower())
+            target_spans.append(m.span())
+        else:
+            # the optional alias group may have captured a keyword (e.g.
+            # `FROM t WHERE`): exclude only the table part then
+            target_spans.append((m.start(), m.end(1)))
     skip = _KEYWORDS | tables | aliases
+
+    def in_target(pos: int) -> bool:
+        return any(a <= pos < b for a, b in target_spans)
+
     out: list[str] = []
     for m in re.finditer(rf"({_IDENT})(\.({_IDENT}))?\s*(\()?", s):
         if m.group(4):  # function call
+            continue
+        if in_target(m.start()):
             continue
         if m.group(3):  # qualified t.col
             out.append(m.group(3))

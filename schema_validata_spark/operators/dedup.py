@@ -193,22 +193,26 @@ def _prune_buckets(
     shuffled ONCE and both join sides read the reused exchange
     (ReuseExchange).
 
-    ``log_drops=True`` removes the silent-cap smell: the frame is
-    persisted (both join sides then read the cache instead of the reused
-    exchange — same single upstream computation) and one cheap aggregate
-    reports how many buckets/rows the guard discarded.
+    ``log_drops=True`` removes the silent-cap smell: one extra
+    ``groupBy(band, band_hash)`` aggregate reports how many buckets/rows
+    the guard discarded. It recomputes the upstream once (an explicit
+    aggregate, NOT a persist of the window output: a persisted frame
+    here cannot be unpersisted before the downstream join runs, and
+    streaming callers invoke this per micro-batch — leaked cache blocks
+    would accumulate for the life of the stream).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "band_hash")
     counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
     if log_drops:
-        counted = counted.persist()
         d = (
-            counted.filter(F.col("_n") > max_bucket)
+            bands_df.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
             .agg(
-                F.count_distinct(F.struct("band", "band_hash")).alias("b"),
-                F.count(F.lit(1)).alias("r"),
+                F.count(F.lit(1)).alias("b"),
+                F.sum("_n").alias("r"),
             )
             .collect()[0]
         )
@@ -483,6 +487,8 @@ def connected_components(
         return spark.createDataFrame([], schema)
     if n_pairs <= driver_threshold:
         rows = pairs.collect()
+        pairs.unpersist()  # collected — drop the cache (streaming callers
+        # invoke this per micro-batch; leaked blocks would accumulate)
         parent: dict = {}
 
         def find(x):
@@ -522,6 +528,8 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # edges/labels are materialized checkpoints — the pairs cache is done
+    pairs.unpersist()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])

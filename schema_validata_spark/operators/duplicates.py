@@ -185,14 +185,31 @@ def duplicate_group_stats(
 
     Plan: melt each row into ``(column, value)`` pairs with one
     ``explode`` (values rendered to string — injective per column since a
-    column has one type), then a single ``groupBy(column, value)`` count
-    and a per-column re-aggregate. N columns cost one scan + one shuffle
-    instead of N sequential jobs; the shuffle carries only the non-NA
-    melted pairs. Map-side partial aggregation absorbs hot values exactly
-    like the explicit salt in :func:`duplicate_value_counts`.
+    column has one type). The counting shuffle mirrors
+    :func:`duplicate_value_counts`'s hash protocol: phase 1 groups by
+    ``(column, xxhash64(value))`` so the shuffle carries 10-byte keys
+    instead of raw (possibly multi-KB) values, candidate hash groups
+    (count ≥ 2 — tiny on mostly-unique data) are CONFIRMED against the
+    raw values via a semi-join + exact regroup, so a 64-bit collision
+    can never fabricate a duplicate. N columns cost one scan + the
+    hash-keyed shuffle instead of N sequential jobs; a single column
+    short-circuits to :func:`duplicate_value_counts` directly.
+    Map-side partial aggregation absorbs hot values like the explicit
+    salt does.
     """
     if not columns:
         return {}
+    if len(columns) == 1:
+        c = columns[0]
+        r = (
+            duplicate_value_counts(df, [c])
+            .agg(
+                F.coalesce(F.sum("dup_n"), F.lit(0)).alias("rows"),
+                F.count(F.lit(1)).alias("groups"),
+            )
+            .collect()[0]
+        )
+        return {c: (int(r["rows"]), int(r["groups"]))}
     pairs = df.select(
         F.explode(
             F.array(
@@ -207,9 +224,18 @@ def duplicate_group_stats(
                 ]
             )
         ).alias("p")
-    ).select("p.col", "p.val").filter(F.col("val").isNotNull())
+    ).select(
+        "p.col", "p.val", F.xxhash64("p.col", "p.val").alias("_h")
+    ).filter(F.col("val").isNotNull())
+    cand = (
+        pairs.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h")
+    )
+    confirmed = pairs.join(cand, on="_h", how="left_semi")
     per_col = (
-        pairs.groupBy("col", "val")
+        confirmed.groupBy("col", "val")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .groupBy("col")

@@ -186,7 +186,14 @@ def length_histogram(
             .cast("long"),
         )
         .withColumn(
-            "hi", F.expr("shiftleft(1, bucket + 1) - 1").cast("long")
+            "hi",
+            # the top bucket is open-ended overflow (everything at or
+            # above 2^max_bucket lands in it) — its hi is NULL, not a
+            # fabricated bound
+            F.when(
+                F.col("bucket") < max_bucket,
+                F.expr("shiftleft(1, bucket + 1) - 1"),
+            ).cast("long"),
         )
         .select("column", "bucket", "lo", "hi", "n")
         .orderBy("column", "bucket")

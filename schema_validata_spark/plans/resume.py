@@ -183,12 +183,21 @@ def resumable_violations(
     Crash contract: manifests are written only AFTER the partitioned
     write commits; a partition whose write died has no manifest and is
     recomputed (its partial output replaced by the dynamic overwrite).
+
+    Manifest files are keyed by partition VALUE (one file per partition),
+    so the Stage-C manifests live in a ``violations/`` SUBDIRECTORY of
+    ``manifest_dir`` — sharing the same directory with
+    ``resumable_validate_table`` would silently overwrite the other
+    stage's checkpoints file-by-file (the run_uid namespace only guards
+    reads, not filenames).
     """
     import hashlib
     import json
+    import os
 
     from schema_validata_spark.operators.violations import extract_violations
 
+    manifest_dir = os.path.join(manifest_dir, "violations")
     run_uid = (
         hashlib.sha256(
             (dataset_token + json.dumps(spec.name)).encode()

@@ -51,10 +51,23 @@ from schema_validata_spark.operators.violations import (
 )
 from schema_validata_spark.sources.spec import RuleSet, TableSpec
 
-#: exact dup-set row counts at or under this get the broadcast hint in
-#: the enumeration join (the count is already materialized by the
-#: verdict gating, so the decision is free and never an estimate)
-ENUM_BROADCAST_ROWS = 1_000_000
+#: estimated dup-set SIZE (bytes) at or under which the enumeration join
+#: gets the broadcast hint — rows × per-row width from Stage-A max_len,
+#: both already materialized, so the decision is free. A pure row-count
+#: gate would force-broadcast 1M rows of multi-KB content (driver OOM;
+#: an explicit hint is never demoted by AQE).
+ENUM_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
+def _dup_set_fits_broadcast(
+    n_rows: int, cols: list[str], stats: dict[str, ColumnStats]
+) -> bool:
+    width = 0
+    for c in cols:
+        st = stats.get(c)
+        ml = st.max_len if (st is not None and st.max_len is not None) else 16
+        width += int(ml) * 2 + 16  # UTF-16-ish chars + row overhead
+    return n_rows * width <= ENUM_BROADCAST_BYTES
 
 
 @dataclass
@@ -242,10 +255,13 @@ def validate_table(
                 enumerate_duplicates(
                     df, [col], key_cols, level=level,
                     # dup_counts[col] is the EXACT duplicated-row count
-                    # (≥ the dup-value-set size): a known-small set gets
-                    # the broadcast hint outright — no estimate, no AQE
-                    # round trip; a huge one is never force-broadcast.
-                    broadcast=dup_counts.get(col, 0) <= ENUM_BROADCAST_ROWS,
+                    # (≥ the dup-value-set size) and max_len bounds the
+                    # value width: a known-small set gets the broadcast
+                    # hint outright — no estimate, no AQE round trip; a
+                    # large or wide one is never force-broadcast.
+                    broadcast=_dup_set_fits_broadcast(
+                        dup_counts.get(col, 0), [col], stats
+                    ),
                 )
             )
         for combo in spec.unique_together:
@@ -259,7 +275,9 @@ def validate_table(
                 violations = violations.unionByName(
                     enumerate_duplicates(
                         df, list(combo), key_cols, dup_vals=dup_vals,
-                        broadcast=n_dup_vals <= ENUM_BROADCAST_ROWS,
+                        broadcast=_dup_set_fits_broadcast(
+                            n_dup_vals, list(combo), stats
+                        ),
                     )
                 )
         violations = canonical_order(violations, key_cols)

@@ -242,7 +242,8 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> str:
         )
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         zf.writestr(

@@ -237,3 +237,12 @@ class TestLengthHistogram:
         by_col = {(r["column"], r["bucket"]): r["n"] for r in rows}
         assert by_col[("s", 1)] == 1    # len 2
         assert by_col[("i", 2)] == 1    # '1234' len 4
+
+    def test_overflow_bucket_hi_is_null(self, spark):
+        from schema_validata_spark.operators.profile import length_histogram
+
+        df = spark.createDataFrame([("x" * (1 << 21),), ("ab",)], "v string")
+        rows = {r["bucket"]: r for r in length_histogram(df, ["v"]).collect()}
+        top = rows[20]  # overflow bucket: len 2^21 >= 2^20
+        assert top["lo"] == 1 << 20 and top["hi"] is None and top["n"] == 1
+        assert rows[1]["hi"] == 3

@@ -271,3 +271,33 @@ class TestResumableViolations:
         got = spark.read.parquet(out)
         assert got.filter("lang = 'rs'").count() == 5
         assert got.count() == 29 + 5  # py: 51..79 plus the 5 rs rows
+
+    def test_shared_manifest_dir_with_stage_ab(self, spark, tmp_path):
+        """Stage A/B and Stage C manifests must coexist in ONE manifest
+        dir without clobbering each other (violations use a subdir)."""
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.plans.resume import (
+            resumable_validate_table,
+            resumable_violations,
+        )
+
+        spec = load_spec_dict({
+            "t": {"v": {"required": True, "range_max": 50},
+                  "lang": {"required": True}}
+        }).tables["t"]
+        df = spark.createDataFrame(
+            [(i, "py" if i % 2 else "go", float(i)) for i in range(60)],
+            "id long, lang string, v double",
+        )
+        man = str(tmp_path / "shared_man")
+        resumable_validate_table(df, spec, "lang", man, dataset_token="s")
+        resumable_violations(df, spec, ["id"], "lang",
+                             str(tmp_path / "viol"), man, dataset_token="s")
+        # both resumes see their own completed state
+        r2 = resumable_violations(df, spec, ["id"], "lang",
+                                  str(tmp_path / "viol"), man, dataset_token="s")
+        assert r2["processed_partitions"] == []
+        tv2 = resumable_validate_table(df, spec, "lang", man, dataset_token="s")
+        # pure manifest read: per-partition verdicts carried forward
+        parts = {v.partition for v in tv2.verdicts if v.partition}
+        assert parts == {"py", "go"}

@@ -151,3 +151,33 @@ def test_referenced_columns_in_rule_uses_catalog(spark, orders_view):
         spark, "SELECT * FROM t_orders WHERE o_total < 0"
     )
     assert cols[:3] == ["o_orderkey", "o_status", "o_total"]
+
+
+class TestReviewRegressions:
+    """Cases from the round-2 self-review: index alignment between the
+    stripped copy and the original, and FROM/JOIN span exclusion."""
+
+    def test_cte_body_with_string_literal_intact(self):
+        b = cte_definitions(
+            "WITH c AS (SELECT 'abcdef' AS x, col2 FROM t2) SELECT x FROM c"
+        )
+        assert b[0][0] == "c" and "FROM t2" in b[0][1]
+
+    def test_leading_comment_does_not_shift_main_body(self):
+        cols = referenced_columns(
+            "-- flag orphan orders\nSELECT order_id, customer_id "
+            "FROM orders o WHERE o.total < 0"
+        )
+        assert cols == ["order_id", "customer_id", "total"]
+
+    def test_schema_qualified_table_not_a_column(self):
+        assert referenced_columns("SELECT bad_col FROM db.orders") == ["bad_col"]
+        assert referenced_columns(
+            "SELECT a FROM db.sch.t1 x JOIN db.t2 ON x.a = t2.b"
+        ) == ["a", "b"]
+
+    def test_string_literal_with_from_keyword(self):
+        cols = referenced_columns(
+            "SELECT id, 'copied from x' AS note FROM t WHERE flag = 'from y'"
+        )
+        assert cols == ["id", "note", "flag"]

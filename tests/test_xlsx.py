@@ -163,3 +163,10 @@ def test_get_file_metadata_xlsx(spark, workbook):
     assert len(m["file_sha256_hash"]) == 64
     assert " : " in m["file_size_memory_unit"]
     assert meta["theaters"]["record_qty"] == "2"
+
+
+def test_sheet_name_with_quote_roundtrips(tmp_path):
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(p, {'ab"cd': [["h"], ["v"]]})
+    back = read_xlsx_rows(p)
+    assert list(back) == ['ab"cd'] and back['ab"cd'] == [["h"], ["v"]]
