@@ -53,6 +53,11 @@ from schema_validata_spark.sources.io import (
     write_xlsx_report,
 )
 from schema_validata_spark.sources.xlsx import write_xlsx, xlsx_sheets_to_dfs
+from schema_validata_spark.sources.iceberg import (
+    current_snapshot_id,
+    iceberg_session_conf,
+    read_iceberg,
+)
 from schema_validata_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -108,6 +113,9 @@ __all__ = [
     "write_xlsx_report",
     "write_xlsx",
     "xlsx_sheets_to_dfs",
+    "current_snapshot_id",
+    "iceberg_session_conf",
+    "read_iceberg",
     "connected_components",
     "exact_dedup",
     "minhash_near_duplicates",

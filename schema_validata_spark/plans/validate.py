@@ -265,6 +265,11 @@ def validate_table(
                 )
             )
         for combo in spec.unique_together:
+            if any(c not in df.columns for c in combo):
+                # missing columns are already flagged by the V1
+                # required/optional verdicts; a composite-key check over
+                # absent columns must not break the run
+                continue
             # persist the (tiny) dup set: reused by the size gate and
             # the lazy enumeration join, so detection shuffles once. Left
             # persisted — it is small and the violations plan references

@@ -1,0 +1,110 @@
+"""Iceberg source integration — the north-star production source
+("evaluate every constraint over an Iceberg table at 10^12-file scale",
+"resumable … Iceberg snapshot-id run UID").
+
+This sandbox has no Iceberg runtime jars, so every function degrades
+gracefully and the pure-construction pieces (session config, SQL
+strings, token formatting) are unit-tested without a catalog; on a real
+cluster with ``iceberg-spark-runtime`` on the classpath the same calls
+work unchanged. Parquet paths stand in for Iceberg tables everywhere
+else in the engine (the driver testdata is parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Spark conf entries that enable an Iceberg catalog named ``catalog``
+#: (hadoop-type warehouse; swap type/uri for Hive/REST catalogs).
+ICEBERG_EXTENSION = (
+    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+)
+
+
+def iceberg_session_conf(
+    catalog: str = "ice", warehouse: str = "/tmp/iceberg_warehouse"
+) -> dict[str, str]:
+    """The session conf a cluster job sets to mount an Iceberg catalog —
+    pass to ``SparkSession.builder.config(map=...)`` (requires the
+    iceberg-spark-runtime jar on the classpath)."""
+    return {
+        "spark.sql.extensions": ICEBERG_EXTENSION,
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark extension classes are loadable."""
+    try:
+        spark._jvm.java.lang.Class.forName(ICEBERG_EXTENSION)
+        return True
+    except Exception:
+        return False
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> str | None:
+    """Latest snapshot id of an Iceberg table — THE dataset token for the
+    resume run UID (replaces the reference's file-md5 hashing at corpus
+    scale: a new snapshot invalidates carried-forward manifests exactly
+    like a changed file did). None when the table has no snapshots or
+    Iceberg metadata tables are unavailable."""
+    try:
+        row = (
+            spark.sql(
+                f"SELECT snapshot_id FROM {table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+        )
+        return str(row[0]["snapshot_id"]) if row else None
+    except Exception:
+        return None
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: str | None = None,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Read an Iceberg table, optionally time-traveled — a PINNED
+    snapshot makes a resumed validation read exactly the bytes the
+    interrupted run saw (``VERSION AS OF``), which is what makes the
+    carried-forward manifests sound.
+
+    Raises a clear error when the Iceberg runtime is absent.
+    """
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath — add "
+            "iceberg-spark-runtime to spark.jars.packages and set "
+            "iceberg_session_conf(); parquet paths work everywhere else"
+        )
+    if snapshot_id is not None:
+        return spark.sql(
+            f"SELECT * FROM {table} VERSION AS OF {int(snapshot_id)}"
+        )
+    if as_of is not None:
+        return spark.sql(f"SELECT * FROM {table} TIMESTAMP AS OF '{as_of}'")
+    return spark.table(table)
+
+
+def validation_source(
+    spark: SparkSession,
+    data: str,
+    fmt: str | None = None,
+    snapshot_id: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Resolve a ``--data`` argument to ``(DataFrame, dataset_token)``:
+    Iceberg catalog tables get a pinned-snapshot read + the snapshot id
+    as the resume token; paths fall back to the format-dispatch reader
+    with the path string as token (the caller may supply a better one).
+    """
+    from schema_validata_spark.sources.io import read_table
+
+    looks_like_table = "/" not in data and not data.startswith("file:")
+    if looks_like_table and iceberg_available(spark):
+        token = snapshot_id or current_snapshot_id(spark, data) or ""
+        return read_iceberg(spark, data, snapshot_id=token or None), token
+    return read_table(spark, data, fmt=fmt), data

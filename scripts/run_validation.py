@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     looks_like_table = "/" not in args.data and "\\" not in args.data
     if looks_like_table and spark.catalog.tableExists(args.data):
         df = spark.table(args.data)
+        if not args.dataset_token:
+            # Iceberg tables: the latest snapshot id IS the resume token
+            # (None/'' for non-Iceberg catalog tables — caller supplies one)
+            from schema_validata_spark.sources.iceberg import current_snapshot_id
+
+            args.dataset_token = current_snapshot_id(spark, args.data) or ""
     else:
         df = read_table(spark, args.data, fmt=args.format)
 

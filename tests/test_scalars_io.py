@@ -122,3 +122,36 @@ def test_load_spec_csv(spark, tmp_path):
     assert spec.column("o_totalprice").active_rules() == [
         "data_type", "range_min", "range_max"
     ]
+
+
+class TestIcebergGuarded:
+    """Iceberg jars are absent in this container — the integration must
+    degrade gracefully and its pure-construction pieces must be exact."""
+
+    def test_session_conf_shape(self):
+        from schema_validata_spark.sources.iceberg import iceberg_session_conf
+
+        conf = iceberg_session_conf("ice", "/w")
+        assert conf["spark.sql.catalog.ice.warehouse"] == "/w"
+        assert conf["spark.sql.catalog.ice"].endswith("SparkCatalog")
+        assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+    def test_unavailable_paths_degrade(self, spark):
+        from schema_validata_spark.sources.iceberg import (
+            current_snapshot_id,
+            iceberg_available,
+            read_iceberg,
+            validation_source,
+        )
+        import pytest as _pytest
+
+        assert iceberg_available(spark) is False
+        assert current_snapshot_id(spark, "nope.tbl") is None
+        with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+            read_iceberg(spark, "nope.tbl")
+        # path inputs fall through to the format-dispatch reader
+        df, token = validation_source(
+            spark, "/root/testdata/sf0.001/region.parquet"
+        )
+        assert df.count() == 5
+        assert token == "/root/testdata/sf0.001/region.parquet"

@@ -224,3 +224,15 @@ def test_empty_partitioned_validation(spark, corpus_spec):
     )
     assert tv.partition_stats == {}
     assert any(v.partition is None for v in tv.verdicts)
+
+
+def test_unique_together_missing_columns_does_not_break(spark, corpus_spec):
+    """A dataset missing the composite-key columns must yield V1
+    required_column failures, not an AnalysisException from the
+    unique_together duplicate check."""
+    df = spark.createDataFrame([(1, "x")], "some_id int, other string")
+    tv = validate_table(df, corpus_spec, key_cols=["some_id"])
+    failed = {(v.column, v.rule_id) for v in tv.verdicts if not v.passed}
+    assert ("repo", "required_column") in failed
+    assert tv.violations is not None  # plan builds and runs
+    tv.violations.count()
