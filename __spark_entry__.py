@@ -435,6 +435,27 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_gopher_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set (published heuristics) per doc:
+    repetition, shape, and lexical signals as booleans + the verdict."""
+    df = _read(spark, sf_dir, "documents")
+    g = T.gopher_quality_flags(F.col("text"))
+    return df.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_words"),
+        F.coalesce(T.duplicate_line_fraction(F.col("text")), F.lit(0.0)).alias(
+            "dup_line_frac"
+        ),
+        F.coalesce(T.alpha_word_fraction(F.col("text")), F.lit(0.0)).alias(
+            "alpha_word_frac"
+        ),
+        g["word_count_ok"].alias("word_count_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["dup_line_ok"].alias("dup_line_ok"),
+        g["passes_gopher"].alias("passes_gopher"),
+    )
+
+
 def q_len_hist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-length histogram (north-star Stage A member): power-of-two
     buckets via exact integer comparisons — engine-independent, so
@@ -470,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "len_hist_documents": q_len_hist_documents,
+        "gopher_flags_documents": q_gopher_flags_documents,
     }
 
 
@@ -757,6 +779,67 @@ FROM reach GROUP BY id
 """
 
 
+def _gopher_flags_sql() -> str:
+    """DuckDB mirror of operators/text.py's Gopher rule set — same
+    tokenization as the (passing) text_stats oracle, same line split,
+    same rounding, flags ANDed in the same order."""
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    raw_tok = "string_split_regex(trim(text), '\\s+')"
+    nw = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({raw_tok}) END"
+    lt = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "x -> trim(x)), x -> length(x) > 0)"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST({nw} AS BIGINT) AS n_words,
+         {tok} AS tokl,
+         {lt} AS lt,
+         length(text) - length(replace(text, '#', ''))
+           + len(string_split_regex(text, '(\\.\\.\\.|…)')) - 1 AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+    CASE WHEN len(tokl) > 0 THEN
+      CAST(list_sum(list_transform(tokl, x -> length(x))) AS DOUBLE) / len(tokl)
+    END AS mwl,
+    CASE WHEN n_words > 0 THEN round(CAST(n_sym AS DOUBLE) / n_words, 6) END AS sym_ratio,
+    CASE WHEN len(lt) > 0 THEN
+      round(1.0 - CAST(len(list_distinct(lt)) AS DOUBLE) / len(lt), 6) END AS dup_line,
+    CASE WHEN list_sum(list_transform(lt, x -> length(x))) > 0 THEN
+      round(1.0 - CAST(list_sum(list_transform(list_distinct(lt), x -> length(x))) AS DOUBLE)
+            / list_sum(list_transform(lt, x -> length(x))), 6) END AS dup_char,
+    CASE WHEN len(lt) > 0 THEN
+      round(CAST(len(list_filter(lt, x -> regexp_matches(x, '^(•|-|\\*)'))) AS DOUBLE)
+            / len(lt), 6) END AS bullet,
+    CASE WHEN len(lt) > 0 THEN
+      round(CAST(len(list_filter(lt, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+            / len(lt), 6) END AS ellipsis,
+    CASE WHEN len(tokl) > 0 THEN
+      round(CAST(len(list_filter(tokl, x -> regexp_matches(x, '\\p{{L}}'))) AS DOUBLE)
+            / len(tokl), 6) END AS alpha
+  FROM s
+)
+SELECT doc_id, n_words,
+       coalesce(dup_line, 0.0) AS dup_line_frac,
+       coalesce(alpha, 0.0) AS alpha_word_frac,
+       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+       (coalesce(alpha, 0.0) >= 0.8) AS alpha_ok,
+       (coalesce(dup_line, 0.0) <= 0.3) AS dup_line_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mwl IS NOT NULL AND mwl >= 3.0 AND mwl <= 10.0)
+        AND (coalesce(sym_ratio, 1.0) <= 0.1)
+        AND (coalesce(bullet, 0.0) <= 0.9)
+        AND (coalesce(ellipsis, 0.0) <= 0.3)
+        AND (coalesce(alpha, 0.0) >= 0.8)
+        AND (coalesce(dup_line, 0.0) <= 0.3)
+        AND (coalesce(dup_char, 0.0) <= 0.2)) AS passes_gopher
+FROM m
+"""
+
+
 def _len_hist_sql(cols=("text", "lang"), max_bucket: int = 20) -> str:
     arms = []
     for c in cols:
@@ -871,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "len_hist_documents": _len_hist_sql(),
+        "gopher_flags_documents": _gopher_flags_sql(),
         # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding
         # is not ANSI-SQL-expressible → rows-only checks (their verifier
         # stages ARE oracle-checked via ngram_jaccard_pairs and

@@ -60,6 +60,7 @@ from schema_validata_spark.sources.iceberg import (
 )
 from schema_validata_spark.operators.dedup import (
     connected_components,
+    embedding_near_dedup,
     exact_dedup,
     minhash_near_duplicates,
     near_dedup,
@@ -117,6 +118,7 @@ __all__ = [
     "iceberg_session_conf",
     "read_iceberg",
     "connected_components",
+    "embedding_near_dedup",
     "exact_dedup",
     "minhash_near_duplicates",
     "near_dedup",

@@ -635,3 +635,33 @@ def near_dedup(
         .select(F.col("id").alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Semantic corpus dedup: embedding-cosine near-dup pairs (hyperplane
+    LSH + exact verify) → connected components → keep each cluster's
+    min-id winner. The embedding counterpart of :func:`near_dedup`;
+    ``kwargs`` pass through to
+    :func:`schema_validata_spark.operators.similarity.
+    embedding_near_duplicates` (n_planes, n_tables, max_bucket,
+    log_drops)."""
+    from schema_validata_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    pairs = embedding_near_duplicates(
+        df, vec_col, id_col, dim, threshold=threshold, **kwargs
+    )
+    keep = (
+        near_dup_clusters(df, id_col, pairs.select("id1", "id2"))
+        .filter("keep")
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")

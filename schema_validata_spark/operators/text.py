@@ -146,6 +146,120 @@ def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
 
 
+def lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines (array<string>) — unit for the line-level
+    repetition/shape signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (Gopher/RefinedWeb repetition signal): ``1 − distinct/total``."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n,
+            6,
+        ),
+    )
+
+
+def duplicate_line_char_fraction(col: Column | str) -> Column:
+    """Fraction of line CHARACTERS inside repeated lines — catches a few
+    huge duplicated blocks that the line-count fraction understates."""
+    ls = lines(col)
+    total = F.aggregate(
+        ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dist = F.aggregate(
+        F.array_distinct(ls), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - dist.cast("double") / total.cast("double"), 6),
+    )
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher shape
+    rule: boilerplate/list-scrape detector)."""
+    ls = lines(col)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda x: x.rlike(r"^(•|-|\*)\s*")))
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6))
+
+
+def ellipsis_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines ending with an ellipsis (truncated-scrape
+    detector, Gopher shape rule)."""
+    ls = lines(col)
+    n = F.size(ls)
+    hits = F.size(
+        F.filter(ls, lambda x: x.rlike(r"(\.\.\.|…)$"))
+    )
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6))
+
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one letter (Gopher: ≥ 0.8
+    required — filters symbol/number soup)."""
+    t = tokens(col)
+    n = F.size(t)
+    hits = F.size(F.filter(t, lambda x: x.rlike(r"\p{L}")))
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(# + ellipsis occurrences) / words (Gopher: ≤ 0.1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    hashes = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    ell = F.size(F.split(c, r"(\.\.\.|…)")) - 1
+    return F.when(
+        n > 0, F.round((hashes + ell).cast("double") / n.cast("double"), 6)
+    )
+
+
+def gopher_quality_flags(col: Column | str) -> Column:
+    """The Gopher quality-filter rule set (Rae et al. 2021, table A1 —
+    public heuristics; RefinedWeb uses the same family) as a struct of
+    per-rule booleans plus the conjunction, all pure expressions:
+
+    * 50 ≤ words ≤ 100,000; 3 ≤ mean word length ≤ 10
+    * symbol-to-word ratio ≤ 0.1
+    * ≤ 90 % bullet lines, ≤ 30 % ellipsis lines
+    * ≥ 80 % of words contain a letter
+    * line repetition: duplicate-line fraction ≤ 0.30,
+      duplicate-line char fraction ≤ 0.20
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    mwl = mean_word_length(c)
+    flags = {
+        "word_count_ok": (n >= 50) & (n <= 100_000),
+        "mean_word_len_ok": mwl.isNotNull() & (mwl >= 3.0) & (mwl <= 10.0),
+        "symbol_ratio_ok": F.coalesce(symbol_word_ratio(c), F.lit(1.0)) <= 0.1,
+        "bullet_ok": F.coalesce(bullet_line_fraction(c), F.lit(0.0)) <= 0.9,
+        "ellipsis_ok": F.coalesce(ellipsis_line_fraction(c), F.lit(0.0)) <= 0.3,
+        "alpha_ok": F.coalesce(alpha_word_fraction(c), F.lit(0.0)) >= 0.8,
+        "dup_line_ok": F.coalesce(duplicate_line_fraction(c), F.lit(0.0)) <= 0.3,
+        "dup_char_ok": F.coalesce(duplicate_line_char_fraction(c), F.lit(0.0))
+        <= 0.2,
+    }
+    passes = None
+    for v in flags.values():
+        passes = v if passes is None else (passes & v)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], passes.alias("passes_gopher")
+    )
+
+
 def fingerprint64(col: Column | str) -> Column:
     """64-bit content fingerprint (xxhash64) — the exact-dedup key.
     Collision odds at 10^12 docs ~2.7e-8 per pair-bucket; exact-content

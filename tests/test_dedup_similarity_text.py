@@ -193,3 +193,74 @@ class TestSimilarity:
             threshold=0.99, n_planes=6, n_tables=8,
         ).collect()
         assert {(r["id1"], r["id2"]) for r in pairs} == {(0, 1)}
+
+
+class TestGopherSignals:
+    def test_line_repetition_signals(self, spark):
+        from schema_validata_spark.operators import text as T
+
+        doc = "unique line one\nrepeated line\nrepeated line\nunique two"
+        df = spark.createDataFrame([(doc,)], "text string")
+        r = df.select(
+            T.duplicate_line_fraction(F.col("text")).alias("dl"),
+            T.duplicate_line_char_fraction(F.col("text")).alias("dc"),
+        ).collect()[0]
+        assert r["dl"] == 0.25  # 4 lines, 3 distinct
+        # chars: total 15+13+13+10=51, distinct 38 → 13/51
+        assert abs(r["dc"] - (1 - 38 / 51)) < 1e-6
+
+    def test_shape_and_lexical_signals(self, spark):
+        from schema_validata_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [("- bullet one\n- bullet two\nplain line...",),
+             ("only 123 456 ### tokens",)],
+            "text string",
+        )
+        rows = df.select(
+            T.bullet_line_fraction(F.col("text")).alias("b"),
+            T.ellipsis_line_fraction(F.col("text")).alias("e"),
+            T.alpha_word_fraction(F.col("text")).alias("a"),
+            T.symbol_word_ratio(F.col("text")).alias("s"),
+        ).collect()
+        assert abs(rows[0]["b"] - 2 / 3) < 1e-6
+        assert abs(rows[0]["e"] - 1 / 3) < 1e-6
+        # 5 tokens: only/123/456/###/tokens — 2 contain a letter
+        assert abs(rows[1]["a"] - 2 / 5) < 1e-6
+        assert rows[1]["s"] == 0.6  # 3 '#' over 5 words
+
+    def test_gopher_flags_verdict(self, spark):
+        from schema_validata_spark.operators import text as T
+
+        good = " ".join(f"word{i} the quick brown fox" for i in range(20))
+        degenerate = "spam spam\n" * 40
+        df = spark.createDataFrame([(1, good), (2, degenerate)],
+                                   "doc_id long, text string")
+        rows = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", T.gopher_quality_flags(F.col("text")).alias("g")
+            ).collect()
+        }
+        assert rows[1]["passes_gopher"] is True
+        assert rows[2]["passes_gopher"] is False
+        assert rows[2]["dup_line_ok"] is False  # 40 identical lines
+
+
+def test_embedding_near_dedup(spark):
+    from schema_validata_spark.operators.dedup import embedding_near_dedup
+
+    base = [0.5] * 8
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base]),              # identical → dup of 1
+        (3, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]),
+        (4, [-1.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dedup(
+        df, "embedding", "vec_id", dim=8, threshold=0.99,
+        n_planes=4, n_tables=4,
+    )
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {1, 3, 4}
