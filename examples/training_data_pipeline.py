@@ -1,0 +1,68 @@
+"""End-to-end training-data pipeline example: validate → quality-filter
+→ dedup → profile, all engine operators, one script.
+
+Run (local smoke):
+
+    PYTHONPATH=/root/repo python examples/training_data_pipeline.py \
+        [sf_dir]          # default /root/testdata/sf0.001
+
+On a cluster, swap the parquet reads for Iceberg tables
+(sources/iceberg.py) and add --py-files packaging as in
+scripts/run_validation.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from schema_validata_spark import load_spec_dict, near_dedup, validate_table
+    from schema_validata_spark.operators import text as T
+    from schema_validata_spark.operators.profile import (
+        build_data_dictionary,
+        length_histogram,
+    )
+    from schema_validata_spark.session import get_spark
+
+    spark = get_spark("training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. schema/constraint validation — verdicts gate the pipeline
+    spec = load_spec_dict({
+        "documents": {
+            "doc_id": {"required": True, "allow_null": False, "unique_value": True},
+            "text": {"required": True, "allow_null": False},
+            "lang": {"required": True,
+                     "allowed_value_list": "['en','de','fr','es','und']"},
+        }
+    }).tables["documents"]
+    tv = validate_table(docs, spec, key_cols=["doc_id"], partition_col="lang")
+    blocking = [v for v in tv.failed if v.level == "Error" and v.partition is None]
+    print(f"verdicts: {len(tv.verdicts)}, blocking failures: {len(blocking)}")
+
+    # 2. quality filter — Gopher rule set, one scan
+    flags = T.gopher_quality_flags(F.col("text"))
+    kept = docs.withColumn("g", flags).filter(F.col("g.passes_gopher")).drop("g")
+    print(f"quality filter: {docs.count()} -> {kept.count()} docs")
+
+    # 3. near-dedup — MinHash pairs -> connected components -> winners
+    deduped = near_dedup(kept, "text", "doc_id", method="minhash",
+                         threshold=0.7, num_perm=128, bands=16, k=5)
+    print(f"near-dedup: {kept.count()} -> {deduped.count()} docs")
+
+    # 4. observed profile of the surviving corpus
+    dd = build_data_dictionary(deduped, ["doc_id", "lang"])
+    print("observed lang type:", dd["lang"]["data_type"],
+          "| doc_id unique:", dd["doc_id"]["unique_value"])
+    length_histogram(deduped, ["text"]).show(25, truncate=False)
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or []))
