@@ -58,15 +58,22 @@ _NA_RX = "(?i)" + "|".join(f"(?:{p})" for p in NA_PATTERNS)
 
 
 def _na_sql(expr: str) -> str:
-    s = f"trim(CAST({expr} AS VARCHAR))"
+    # literal match on the UNTRIMMED lowercase value (reference :1686 /
+    # functions/nulls.py is_na); regexes carry their own \s* anchors
+    s = f"CAST({expr} AS VARCHAR)"
     return (
-        f"({expr} IS NULL OR {s} = '' OR lower({s}) IN ({_NA_LOWER}) "
-        f"OR regexp_matches(CAST({expr} AS VARCHAR), '{_NA_RX}'))"
+        f"({expr} IS NULL OR trim({s}) = '' OR lower({s}) IN ({_NA_LOWER}) "
+        f"OR regexp_matches({s}, '{_NA_RX}'))"
     )
 
 
 def _num_sql(expr: str) -> str:
-    return f"TRY_CAST(trim(CAST({expr} AS VARCHAR)) AS DOUBLE)"
+    # NA-gated, mirroring the engine's __num_ prep expression: NA
+    # spellings never contribute numeric observations
+    return (
+        f"CASE WHEN NOT {_na_sql(expr)} THEN "
+        f"TRY_CAST(trim(CAST({expr} AS VARCHAR)) AS DOUBLE) END"
+    )
 
 
 # ------------------------------------------------------------- the spec

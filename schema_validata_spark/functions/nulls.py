@@ -80,10 +80,14 @@ def is_na(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
+    # literal match on the UNTRIMMED lowercase value — the reference's
+    # check_na_value compares value.lower() without stripping (:1686), so
+    # a padded ' nan ' is NOT null (the regex patterns own the padded
+    # forms they intend to catch, e.g. ' n/a ')
     return (
         c.isNull()
         | (F.trim(s) == F.lit(""))
-        | F.lower(F.trim(s)).isin(*_NA_LOWER)
+        | F.lower(s).isin(*_NA_LOWER)
         | s.rlike(_NA_COMBINED_RX)
     )
 
@@ -91,17 +95,21 @@ def is_na(col: Column | str) -> Column:
 def is_na_pretrimmed(col: Column, trimmed: Column, gate_len: int = 256) -> Column:
     """:func:`is_na` for callers that already computed ``trim(col)`` —
     avoids re-trimming (three extra full-string copies per row on multi-KB
-    values). The literal/regex membership checks are gated behind
-    ``length <= gate_len``: the longest NA literal is 13 chars and every
-    NA pattern is a short anchored token (whitespace-only strings of any
-    length are caught by the ``trimmed == ''`` arm), so the gate only
-    skips work that could never match.
+    values). The regex check runs on the trimmed value behind a
+    ``length <= gate_len`` gate (every NA pattern carries its own ``\\s*``
+    anchors, so trimmed vs raw is equivalent; whitespace-only strings are
+    caught by the ``trimmed == ''`` arm). The LITERAL match is on the
+    UNTRIMMED lowercase value (reference :1686 semantics) behind a
+    16-char gate — the longest NA literal is 13 chars, so longer raw
+    values can never match.
     """
+    s = col.cast("string")
+    lit_gate = F.length(s) <= 16
     short = F.length(trimmed) <= gate_len
     return (
         col.isNull()
         | (trimmed == F.lit(""))
-        | (short & F.lower(trimmed).isin(*_NA_LOWER))
+        | (lit_gate & F.lower(s).isin(*_NA_LOWER))
         | (short & trimmed.rlike(_NA_COMBINED_RX))
     )
 

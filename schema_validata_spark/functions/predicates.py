@@ -52,11 +52,14 @@ def length_violation(col: str, max_length: int) -> Column:
 
 
 def range_min_violation(col: str, range_min: float) -> Column:
-    return _num(col) < F.lit(float(range_min))
+    # NA gate: NA spellings that cast to NaN ('NaN', '1.#qnan') rank
+    # GREATEST in Spark comparisons and would flag range_max; pandas'
+    # to_numeric(coerce) NaN compares False. NULL for non-NA non-numeric.
+    return ~is_na(F.col(col)) & (_num(col) < F.lit(float(range_min)))
 
 
 def range_max_violation(col: str, range_max: float) -> Column:
-    return _num(col) > F.lit(float(range_max))
+    return ~is_na(F.col(col)) & (_num(col) > F.lit(float(range_max)))
 
 
 def regex_violation(col: str, pattern: str) -> Column:

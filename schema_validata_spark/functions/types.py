@@ -224,9 +224,11 @@ def resolve_canonical_type(
             return "Datetime"
         return direct
 
-    if votes.leading_zero:
-        return "String"
-
+    # Datetime BEFORE leading-zero: zero-padded strict-format dates
+    # ('01/02/2020') start with '0', but the reference's final
+    # infer_datetime_column pass (:1540–1549) re-converts any string
+    # column that fully parses a strict format even after the
+    # leading-zero rule marked it String.
     full_parse = votes.dt_full_parse
     dt_hits = max(votes.dt_any_fmt, votes.dateutil_ok)
     fuzzy = (
@@ -235,6 +237,9 @@ def resolve_canonical_type(
     )
     if (full_parse or fuzzy) and dt_hits / votes.nonnull > DATETIME_RATIO_THRESHOLD:
         return "Datetime"
+
+    if votes.leading_zero:
+        return "String"
 
     if votes.bool_ok == votes.nonnull:
         return "Boolean"

@@ -56,8 +56,9 @@ def _slim_profile_agg(df: DataFrame, cols: list[str]) -> DataFrame:
         na = is_na_pretrimmed(col, s) if is_str else is_na_typed(col, dtypes[c])
         prep += [
             na.alias(f"__na_{c}"),
-            F.expr(
-                f"try_cast(trim(cast(`{c}` as string)) as double)"
+            F.when(
+                ~na,
+                F.expr(f"try_cast(trim(cast(`{c}` as string)) as double)"),
             ).alias(f"__num_{c}"),
             F.length(col.cast("string")).alias(f"__len_{c}"),
         ]

@@ -36,7 +36,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schema_validata_spark.functions.nulls import is_na, is_na_typed, nullify
+from schema_validata_spark.functions.nulls import is_na_typed, nullify
 from schema_validata_spark.functions.types import (
     BOOL_VALUES,
     DATETIME_FORMATS,
@@ -122,9 +122,15 @@ def _prep_exprs(
         if col in keep_original:
             out.append(c)
         out.append(na.alias(f"__na_{col}"))
-        out.append(F.expr(
-            f"try_cast(trim(cast(`{col}` as string)) as double)"
-        ).alias(f"__num_{col}"))
+        # NA-gated: NA spellings that happen to cast ('NaN', '-nan',
+        # '1.#qnan' → NaN, which Spark ranks GREATEST) must never reach
+        # min/max — the reference masks NA before profiling ranges
+        out.append(
+            F.when(
+                ok,
+                F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)"),
+            ).alias(f"__num_{col}")
+        )
         out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
         if is_str:
             # dtype votes as per-row booleans (see rule 2). Gated behind

@@ -36,7 +36,6 @@ from pyspark.sql import types as T
 
 from schema_validata_spark.functions.nulls import is_na
 from schema_validata_spark.functions.predicates import (
-    anchored,
     regex_violation,
     unallowed_violation,
 )
@@ -68,8 +67,13 @@ MAX_INLINE_DISTINCT = 8
 
 def _fmt_num(v: Any) -> Any:
     """Int-downcast for message formatting (reference ``downcast_ints``
-    src/schema_validata.py:469–498 via msg_vals at :2362–2363)."""
-    if isinstance(v, float) and v == int(v):
+    src/schema_validata.py:469–498 via msg_vals at :2362–2363).
+    Non-finite floats (NaN from an 'NaN'-spelled value, ±inf from
+    '1e999') pass through unchanged — int() on them raises and would
+    kill the whole Stage-B run."""
+    import math
+
+    if isinstance(v, float) and math.isfinite(v) and v == int(v):
         return int(v)
     return v
 
@@ -233,9 +237,13 @@ def evaluate_verdicts(
 
     for cs in spec.columns:
         if cs.field_name not in present:
-            # V1: required/optional column presence (reference :2606–2619)
-            rule = "required_column" if cs.required else "optional_column"
-            add(cs, rule, passed=False)
+            # V1: required/optional column presence (reference :2606–2619).
+            # Presence is a TABLE-level fact — emitted once (global run),
+            # never repeated per partition (the reference reports one
+            # missing-column error, not one per partition value).
+            if partition is None:
+                rule = "required_column" if cs.required else "optional_column"
+                add(cs, rule, passed=False)
             continue
         st = stats.get(cs.field_name)
         if st is None:
@@ -270,10 +278,14 @@ def evaluate_verdicts(
                 expected=_fmt_num(float(cs.length)),
                 observed=None if obs_len is None else _fmt_num(float(obs_len)),
             )
+        # reference schema_validate_range :2317–2367 via get_numeric_range
+        # :1755–1759: pd.to_numeric WITHOUT coerce raises on any
+        # non-numeric value, so a MIXED column ('abc', '5') yields no
+        # numeric observation and the range check is skipped entirely —
+        # only columns whose canonical type resolved numeric are checked.
+        numeric_col = st.canonical_type in ("Integer", "Float")
         if cs.range_min is not None:
-            obs = st.min_num
-            # reference schema_validate_range :2317–2367: only numeric
-            # observations are range-checked (non-numeric → no verdict fail).
+            obs = st.min_num if numeric_col else None
             passed = obs is None or obs >= cs.range_min
             add(
                 cs,
@@ -283,7 +295,7 @@ def evaluate_verdicts(
                 observed=None if obs is None else _fmt_num(obs),
             )
         if cs.range_max is not None:
-            obs = st.max_num
+            obs = st.max_num if numeric_col else None
             passed = obs is None or obs <= cs.range_max
             add(
                 cs,

@@ -77,6 +77,10 @@ def extract_violations(
         for (col, rule) in pairs
         if rule not in ignore and spec.column(col) is not None
     ]
+    # a partitioned run's Verdict.failed repeats each (column, rule) once
+    # per failing partition — dedupe or every violation row is emitted
+    # once per duplicate pair
+    pairs = list(dict.fromkeys(pairs))
 
     spark = df.sparkSession
     empty = spark.createDataFrame(

@@ -24,7 +24,6 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from schema_validata_spark.operators.duplicates import (
     duplicate_counts_for_columns,
@@ -42,7 +41,6 @@ from schema_validata_spark.operators.verdicts import (
     evaluate_verdicts,
     parse_rule_counts,
     rule_agg_columns,
-    verdicts_to_df,
 )
 from schema_validata_spark.operators.violations import (
     DEFAULT_IGNORE,
@@ -192,15 +190,29 @@ def validate_table(
         ).collect()
         stats, part_stats = {}, {}
         counts_global = {}
+        found_total = False
         stat_cols = [c for c in spec_cols]
         for row in rollup:
             d = {c: _row_to_stats(c, dtypes[c], row[c]) for c in stat_cols}
             counts = parse_rule_counts(row.asDict())
             if row["_is_total"] == 1:
                 stats, counts_global = d, counts
+                found_total = True
             else:
                 part_stats[row["__part"]] = d
                 counts_by_part[row["__part"]] = counts
+        if not found_total:
+            # rollup over ZERO rows emits no grand-total row (unlike a
+            # plain agg, which returns one n=0 row) — an empty table must
+            # still produce the full global verdict set, same as the
+            # non-partitioned path and the reference's Null-Unknown
+            # profiling
+            agged = stats_agg_df(
+                df, spec_cols, with_approx_distinct=False, extra_aggs=rule_cols,
+                keep_cols=raw_needed,
+            ).collect()[0]
+            stats = {c: _row_to_stats(c, dtypes[c], agged[c]) for c in spec_cols}
+            counts_global = parse_rule_counts(agged.asDict())
     else:
         agged = stats_agg_df(
             df, spec_cols, with_approx_distinct=False, extra_aggs=rule_cols,

@@ -1,0 +1,102 @@
+"""Regression tests for the second self-review round: NaN handling in
+ranges, empty partitioned tables, mixed-column range gating, violation
+pair dedupe, single V1 emission, untrimmed NA-literal parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.functions.predicates import range_max_violation
+from schema_validata_spark.operators.stats import column_stats
+from schema_validata_spark.operators.verdicts import _fmt_num
+from schema_validata_spark.operators.violations import extract_violations
+from schema_validata_spark.plans.validate import validate_table
+
+
+def _spec(d):
+    return load_spec_dict({"t": d}).tables["t"]
+
+
+def test_fmt_num_nonfinite():
+    assert _fmt_num(float("nan")) != _fmt_num(5.0)  # no crash
+    assert _fmt_num(float("inf")) == float("inf")
+    assert _fmt_num(5.0) == 5
+
+
+def test_nan_spelled_values_never_reach_ranges(spark):
+    """'NaN' is an NA literal: it must count as null AND stay out of
+    min/max and range verdicts/violations (Spark ranks NaN greatest;
+    pandas NaN comparisons are False)."""
+    df = spark.createDataFrame([("5",), ("NaN",), ("7",)], "x string")
+    st = column_stats(df)["x"]
+    assert st.null_count == 1
+    assert st.max_num == 7.0  # NOT NaN
+    spec = _spec({"x": {"required": True, "range_max": 10}})
+    tv = validate_table(df, spec, key_cols=["x"])
+    rm = [v for v in tv.verdicts if v.rule_id == "range_max"][0]
+    assert rm.passed
+    hits = df.filter(range_max_violation("x", 10.0)).collect()
+    assert hits == []
+
+
+def test_empty_table_partitioned_still_yields_verdicts(spark):
+    spec = _spec({"x": {"required": True, "allow_null": False,
+                        "data_type": "Integer"}})
+    empty = spark.createDataFrame([], "x string, p string")
+    tv_global = validate_table(empty, spec, key_cols=["x"])
+    tv_part = validate_table(empty, spec, key_cols=["x"], partition_col="p")
+    g = {(v.column, v.rule_id) for v in tv_global.verdicts}
+    p = {(v.column, v.rule_id) for v in tv_part.verdicts if v.partition is None}
+    assert g == p and ("x", "data_type") in p
+    # Null-Unknown observed type is cast-compatible → passes, like the
+    # non-partitioned path
+    assert {v.passed for v in tv_part.verdicts} == {True}
+
+
+def test_mixed_column_skips_range_check(spark):
+    """['abc','5'] with range_min=10: the reference's get_numeric_range
+    raises on 'abc' → no numeric observation → check skipped."""
+    spec = _spec({"x": {"required": True, "range_min": 10}})
+    df = spark.createDataFrame([("abc",), ("5",)], "x string")
+    tv = validate_table(df, spec, key_cols=["x"], list_errors=False)
+    rm = [v for v in tv.verdicts if v.rule_id == "range_min"][0]
+    assert rm.passed and rm.observed is None
+    # an actually-numeric column still fails
+    df2 = spark.createDataFrame([("5",), ("6",)], "x string")
+    tv2 = validate_table(df2, spec, key_cols=["x"], list_errors=False)
+    assert not [v for v in tv2.verdicts if v.rule_id == "range_min"][0].passed
+
+
+def test_extract_violations_dedupes_pairs(spark):
+    spec = _spec({"x": {"required": True, "regex_pattern": "^ok$"}})
+    df = spark.createDataFrame([("bad", "p1"), ("ok", "p2")], "x string, p string")
+    tv = validate_table(df, spec, key_cols=["x"], partition_col="p",
+                        list_errors=False)
+    failed = tv.failed  # global + per-partition repeats of the same pair
+    assert len([v for v in failed if v.rule_id == "regex_pattern"]) >= 2
+    rows = extract_violations(df, spec, ["x"], failed).collect()
+    assert len(rows) == 1  # the one bad row, once
+
+
+def test_missing_column_verdict_emitted_once(spark):
+    spec = _spec({"x": {"required": True}, "p": {"required": True}})
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, p string"
+    )
+    tv = validate_table(df, spec, key_cols=["id"], partition_col="p")
+    v1 = [v for v in tv.verdicts if v.rule_id == "required_column"]
+    assert len(v1) == 1 and v1[0].partition is None
+
+
+def test_padded_na_literal_is_not_null(spark):
+    """Reference check_na_value compares the UNTRIMMED lowercase value:
+    ' nan ' is NOT null; padded ' N/A ' IS (its regex pattern owns the
+    padded form)."""
+    df = spark.createDataFrame(
+        [(" nan ",), ("nan",), (" N/A ",), (" missing ",)], "x string"
+    )
+    got = [r["na"] for r in df.select(is_na(F.col("x")).alias("na")).collect()]
+    assert got == [False, True, True, False]
+    # the stats path (pretrimmed variant) agrees
+    assert column_stats(df)["x"].null_count == 2
