@@ -546,7 +546,8 @@ FROM orders WHERE NOT {na_prio}
 
 
 def _text_stats_sql() -> str:
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     n_tok = (
         "CASE WHEN length(trim(text)) = 0 THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
@@ -577,7 +578,8 @@ FROM t
 def _lang_id_sql() -> str:
     from schema_validata_spark.operators.text import LANG_MARKERS
 
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     encoded = []
     for lang, marks in LANG_MARKERS.items():
         inlist = ", ".join(f"'{m}'" for m in marks)
@@ -636,7 +638,8 @@ SELECT {t} AS threshold,
 def _quality_sql_expr() -> str:
     """The quality_score expression in DuckDB SQL (mirrors
     operators/text.py::quality_score op-for-op)."""
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     n_tok = (
         "CASE WHEN length(trim(text)) = 0 THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
@@ -658,7 +661,8 @@ def _quality_sql_expr() -> str:
 def _lang_pred_sql_expr() -> str:
     from schema_validata_spark.operators.text import LANG_MARKERS
 
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     encoded = []
     for lang, marks in LANG_MARKERS.items():
         inlist = ", ".join(f"'{m}'" for m in marks)
@@ -691,7 +695,8 @@ FROM per_doc GROUP BY lang_pred
 
 
 def _ngram_jaccard_sql() -> str:
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     sh = (
         f"CASE WHEN len({tok}) >= 3 THEN "
         f"list_distinct(list_transform(range(1, len({tok}) - 1), "
@@ -758,7 +763,8 @@ def _near_dup_clusters_sql(k: int = 3, thr: float = 0.6) -> str:
     """Exhaustive pair generation + recursive-CTE transitive closure —
     the exact baseline for pairs→clusters (fine at sf0.01; the Spark
     side's shingle blocking is lossless so the pair sets are equal)."""
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     sh = (
         f"CASE WHEN len({tok}) >= {k} THEN "
         f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), "
@@ -790,7 +796,8 @@ def _gopher_flags_sql() -> str:
     """DuckDB mirror of operators/text.py's Gopher rule set — same
     tokenization as the (passing) text_stats oracle, same line split,
     same rounding, flags ANDed in the same order."""
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")  # empty-token filter = text.tokens()
     raw_tok = "string_split_regex(trim(text), '\\s+')"
     nw = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({raw_tok}) END"
     lt = (

@@ -362,8 +362,15 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
     any pair with hamming ≤ 7 shares a band) → verify exact hamming via
-    ``bit_count(xor)`` ≤ ``max_hamming``. Returns (id1, id2, hamming)."""
-    sim = df.select(
+    ``bit_count(xor)`` ≤ ``max_hamming``. Returns (id1, id2, hamming).
+
+    Docs with < k tokens have NO shingles and all fold to simhash 0 —
+    they would verify as hamming-0 "duplicates" of each other despite
+    unrelated content, so they are excluded up front (same guard as
+    ``minhash_bands``)."""
+    from schema_validata_spark.operators.text import token_count
+
+    sim = df.filter(token_count(F.col(text_col)) >= k).select(
         F.col(id_col).alias("id"), simhash64(text_col, k).alias("sh")
     )
     bands_df = sim.select(
@@ -484,6 +491,7 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
         )
+        pairs.unpersist()  # the common per-micro-batch case — must not leak
         return spark.createDataFrame([], schema)
     if n_pairs <= driver_threshold:
         rows = pairs.collect()

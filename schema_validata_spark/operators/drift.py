@@ -146,28 +146,19 @@ def chi_square_drift(
         .join(base.withColumnRenamed("n", "n_base"), on="value", how="full_outer")
         .fillna(0, subset=["n_cur", "n_base"])
     )
-    totals = joined.agg(
-        F.sum("n_cur").alias("tc"),
-        F.sum("n_base").alias("tb"),
-        F.count(F.lit(1)).alias("k"),
-    ).collect()[0]
-    tc, tb, k = int(totals["tc"] or 0), int(totals["tb"] or 0), int(totals["k"])
+    # the joined per-value counts are driver-small (k categories) —
+    # collect ONCE and finish on the driver; a second Spark aggregate
+    # would re-scan both snapshots (2 scans of 100 TB instead of 1 each)
+    rows = joined.collect()
+    tc = sum(int(r["n_cur"]) for r in rows)
+    tb = sum(int(r["n_base"]) for r in rows)
+    k = len(rows)
     if tc == 0 or tb == 0 or k < 2:
         return DriftResult(col, "chi_square", float("nan"), float("nan"), tc, tb, False)
-    stat_row = joined.select(
-        F.sum(
-            F.pow(
-                F.col("n_cur")
-                - F.lit(tc) * F.col("n_base").cast("double") / F.lit(tb),
-                2,
-            )
-            / F.greatest(
-                F.lit(tc) * F.col("n_base").cast("double") / F.lit(tb),
-                F.lit(0.5),
-            )
-        ).alias("stat")
-    ).collect()[0]
-    stat = float(stat_row["stat"])
+    stat = 0.0
+    for r in rows:
+        expected = tc * float(r["n_base"]) / tb
+        stat += (float(r["n_cur"]) - expected) ** 2 / max(expected, 0.5)
     p = chi2_sf(stat, k - 1)
     return DriftResult(col, "chi_square", stat, p, tc, tb, p < alpha)
 

@@ -302,10 +302,11 @@ def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:
             return 2
         return 3
 
+    # near-uniqueness gate FIRST (approx_count_distinct error ~2%) —
+    # gating only the tier-winner would let a non-unique uuid-shaped
+    # column shadow a perfectly unique lower-tier column
     candidates = sorted(
-        df.columns,
+        (c for c in df.columns if row[f"{c}::d"] / n >= 0.95),
         key=lambda c: (tier(c), -(row[f"{c}::d"] / n)),
     )
-    best = candidates[0]
-    # require near-uniqueness (approx_count_distinct error ~2%)
-    return best if row[f"{best}::d"] / n >= 0.95 else None
+    return candidates[0] if candidates else None

@@ -48,7 +48,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs: under ANSI mode (Spark 4 default) a
+    plain division would THROW DIVIDE_BY_ZERO and kill the whole query
+    the moment one all-zero embedding appears in the corpus; NULLs sort
+    last and fail similarity thresholds, which is the wanted behavior."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_to_literal(col: Column | str, vec: list[float]) -> Column:
@@ -74,6 +78,10 @@ def brute_force_topk(
     out = df.select(F.col(id_col), sim)
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
+    # all-zero embeddings (failed/padded embedding jobs) yield 0/0 = NaN,
+    # which Spark's descending sort ranks ABOVE every real score — drop
+    # them or they occupy rank 1 of every query
+    out = out.filter(~F.isnan(F.col("cos_sim")))
     return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(topk)
 
 
@@ -159,6 +167,7 @@ def lsh_topk(
             "id",
             F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
         )
+        .filter(~F.isnan(F.col("cos_sim")))  # zero vectors rank above all
         .orderBy(F.desc("cos_sim"), F.col("id"))
         .limit(topk)
     )
@@ -301,6 +310,7 @@ def ivf_topk(
             "id",
             F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
         )
+        .filter(~F.isnan(F.col("cos_sim")))  # zero vectors rank above all
         .orderBy(F.desc("cos_sim"), F.col("id"))
         .limit(topk)
     )
@@ -404,4 +414,8 @@ def embedding_near_duplicates(
         F.round(cosine(_as_double_array(F.col("e1")), _as_double_array(F.col("e2"))), 6).alias(
             "cos_sim"
         ),
-    ).filter(F.col("cos_sim") >= threshold)
+    ).filter(
+        # NaN >= threshold is TRUE in Spark (NaN ranks greatest): a pair
+        # involving a zero vector must not pass the similarity gate
+        ~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= threshold)
+    )

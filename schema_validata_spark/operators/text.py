@@ -36,9 +36,13 @@ _WS = r"\s+"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed, lowercased text."""
+    """Whitespace tokens of the trimmed, lowercased text. Empty tokens
+    filtered: Spark's split('') yields [''] (size 1), which would defeat
+    the n > 0 empty-doc guards in every ratio function downstream."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), _WS)
+    return F.filter(
+        F.split(F.lower(F.trim(c)), _WS), lambda x: F.length(x) > 0
+    )
 
 
 def token_count(col: Column | str) -> Column:

@@ -101,10 +101,20 @@ def validation_source(
     as the resume token; paths fall back to the format-dispatch reader
     with the path string as token (the caller may supply a better one).
     """
+    import os
+
     from schema_validata_spark.sources.io import read_table
 
-    looks_like_table = "/" not in data and not data.startswith("file:")
+    ext = os.path.splitext(data)[1].lower()
+    looks_like_table = (
+        "/" not in data
+        and not data.startswith("file:")
+        and ext not in (".parquet", ".csv", ".tsv", ".json", ".jsonl", ".xlsx")
+    )
     if looks_like_table and iceberg_available(spark):
-        token = snapshot_id or current_snapshot_id(spark, data) or ""
-        return read_iceberg(spark, data, snapshot_id=token or None), token
+        try:
+            token = snapshot_id or current_snapshot_id(spark, data) or ""
+            return read_iceberg(spark, data, snapshot_id=token or None), token
+        except Exception:
+            pass  # not a catalog table after all — treat as a path
     return read_table(spark, data, fmt=fmt), data

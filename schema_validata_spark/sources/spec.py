@@ -89,7 +89,12 @@ def _as_list(v: Any) -> list | None:
         return None
     try:
         parsed = ast.literal_eval(s)
-        if isinstance(parsed, (list, tuple, set)):
+        if isinstance(parsed, set):
+            # set iteration order varies with PYTHONHASHSEED across
+            # interpreter runs — it feeds spec_hash() (the resume run
+            # UID), so it must be deterministic
+            return sorted(parsed, key=repr)
+        if isinstance(parsed, (list, tuple)):
             return list(parsed)
         return [parsed]
     except (ValueError, SyntaxError):

@@ -77,16 +77,31 @@ def violation_streaks(
             streak, total_v, total_n = state.get
         else:
             streak, total_v, total_n = 0, 0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("__ord", kind="mergesort")
+        # Arrow hands a group's batch data as MULTIPLE chunks (split at
+        # maxRecordsPerBatch) in arbitrary shuffle order — each chunk is
+        # internally unordered too. Concatenate and sort ONCE; sorting
+        # chunks independently would fold runs out of chronological
+        # order and corrupt the streak.
+        chunks = [pdf for pdf in pdfs]
+        max_streak = 0  # highest streak REACHED during this batch
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("__ord", kind="mergesort")
             flags = pdf["__viol"].fillna(False).to_numpy()
             total_n += len(flags)
             total_v += int(flags.sum())
             # streak continues from carried state; any clean record resets
             for run_is_viol, run_len in _runs(flags):
-                streak = streak + run_len if run_is_viol else 0
+                if run_is_viol:
+                    streak = streak + run_len
+                    max_streak = max(max_streak, streak)
+                else:
+                    streak = 0
         state.update((int(streak), int(total_v), int(total_n)))
-        alert = streak >= threshold
+        # alert on the MAX streak reached within the batch: a streak that
+        # crossed the threshold mid-batch and was then reset by a clean
+        # record is still an incident (end-of-batch streak alone would
+        # silently miss it)
+        alert = max_streak >= threshold
         if alert or emit_all:
             yield pd.DataFrame(
                 [{

@@ -100,3 +100,97 @@ def test_padded_na_literal_is_not_null(spark):
     assert got == [False, True, True, False]
     # the stats path (pretrimmed variant) agrees
     assert column_stats(df)["x"].null_count == 2
+
+
+# ---------------------------------------------- third review round
+
+
+def test_simhash_excludes_short_docs(spark):
+    from schema_validata_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "goodbye"), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    # 1-token docs have no 2-shingles: simhash would be 0 for both and
+    # they'd falsely verify as hamming-0 duplicates
+    pairs = simhash_near_duplicates(df, "text", "doc_id", k=2).collect()
+    assert pairs == []
+
+
+def test_topk_ignores_zero_vectors(spark):
+    from schema_validata_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+    )
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]  # zero vector → NaN cosine
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in brute_force_topk(
+        df, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], topk=2).collect()]
+    assert got == [1, 2]  # NaN must not occupy rank 1
+    pairs = embedding_near_duplicates(
+        df, "embedding", "vec_id", dim=4, threshold=0.5, n_planes=2, n_tables=2
+    ).collect()
+    assert all(3 not in (r["id1"], r["id2"]) for r in pairs)
+
+
+def test_best_uid_gate_before_tier(spark):
+    from schema_validata_spark.operators.duplicates import best_uid_column
+
+    uuid = "123e4567-e89b-12d3-a456-4266141740{:02d}"
+    rows = [(i, uuid.format(i % 3)) for i in range(60)]  # uuid col 3 distinct
+    df = spark.createDataFrame(rows, "id long, session_uuid string")
+    # non-unique uuid-shaped column must not shadow the unique int id
+    assert best_uid_column(df) == "id"
+
+
+def test_streak_alert_fires_mid_batch(spark, tmp_path):
+    from schema_validata_spark.streaming.stateful import violation_streaks
+
+    src = tmp_path / "streak_src"
+    src.mkdir()
+    rows = [("a", 1, 500.0), ("a", 2, 501.0), ("a", 3, 502.0), ("a", 4, 5.0)]
+    schema = "k string, seq long, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = violation_streaks(
+        stream, F.col("value") > 400, key_col="k", order_col="seq",
+        threshold=3, emit_all=True,
+    )
+    q = (out.writeStream.format("memory").queryName("midbatch")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    r = spark.sql("SELECT * FROM midbatch").collect()[0]
+    # the 3-violation streak happened INSIDE the batch even though a
+    # clean record reset it before the batch ended
+    assert r["alert"] is True and r["streak"] == 0
+
+
+def test_set_literal_allowed_values_deterministic():
+    from schema_validata_spark import load_spec_dict
+
+    rs1 = load_spec_dict({"t": {"x": {"allowed_value_list": "{'py','go','rs'}"}}})
+    assert rs1.tables["t"].column("x").allowed_value_list == ["go", "py", "rs"]
+    assert rs1.spec_hash() == load_spec_dict(
+        {"t": {"x": {"allowed_value_list": "{'rs','py','go'}"}}}
+    ).spec_hash()
+
+
+def test_tokens_empty_text(spark):
+    from schema_validata_spark.operators import text as T
+
+    df = spark.createDataFrame([("",), ("   ",), ("one two",)], "x string")
+    rows = df.select(
+        F.size(T.tokens(F.col("x"))).alias("n"),
+        T.repetition_ratio(F.col("x")).alias("rep"),
+        T.mean_word_length(F.col("x")).alias("mwl"),
+    ).collect()
+    assert [r["n"] for r in rows] == [0, 0, 2]
+    assert rows[0]["rep"] is None and rows[0]["mwl"] is None
