@@ -48,11 +48,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """NULL for zero-norm inputs: under ANSI mode (Spark 4 default) a
-    plain division would THROW DIVIDE_BY_ZERO and kill the whole query
-    the moment one all-zero embedding appears in the corpus; NULLs sort
-    last and fail similarity thresholds, which is the wanted behavior."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """NULL for zero-norm or NaN-bearing inputs: under ANSI mode (Spark 4
+    default) a plain division THROWS DIVIDE_BY_ZERO the moment one
+    all-zero embedding appears; NaN inputs would RANK ABOVE every real
+    score in a descending sort. try_divide nulls the 0-denominator case
+    and nanvl nulls NaN products — NULLs sort last and fail similarity
+    thresholds, so downstream needs no extra guards (an extra isnan
+    FILTER would inline the interpreted cosine fold a second time per
+    row — measured 2× on the pair-verify stage)."""
+    return F.nanvl(
+        F.try_divide(dot(a, b), norm(a) * norm(b)),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_to_literal(col: Column | str, vec: list[float]) -> Column:
@@ -78,10 +85,9 @@ def brute_force_topk(
     out = df.select(F.col(id_col), sim)
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
-    # all-zero embeddings (failed/padded embedding jobs) yield 0/0 = NaN,
-    # which Spark's descending sort ranks ABOVE every real score — drop
-    # them or they occupy rank 1 of every query
-    out = out.filter(~F.isnan(F.col("cos_sim")))
+    # zero-vector/NaN embeddings get NULL cos_sim (see cosine()) — the
+    # descending sort puts NULLs last; drop them from the top-k outright
+    out = out.filter(F.col("cos_sim").isNotNull())
     return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(topk)
 
 
@@ -167,7 +173,7 @@ def lsh_topk(
             "id",
             F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
         )
-        .filter(~F.isnan(F.col("cos_sim")))  # zero vectors rank above all
+        .filter(F.col("cos_sim").isNotNull())  # zero/NaN vectors → NULL
         .orderBy(F.desc("cos_sim"), F.col("id"))
         .limit(topk)
     )
@@ -310,7 +316,7 @@ def ivf_topk(
             "id",
             F.round(cosine_to_literal("embedding", query), 6).alias("cos_sim"),
         )
-        .filter(~F.isnan(F.col("cos_sim")))  # zero vectors rank above all
+        .filter(F.col("cos_sim").isNotNull())  # zero/NaN vectors → NULL
         .orderBy(F.desc("cos_sim"), F.col("id"))
         .limit(topk)
     )
@@ -415,7 +421,7 @@ def embedding_near_duplicates(
             "cos_sim"
         ),
     ).filter(
-        # NaN >= threshold is TRUE in Spark (NaN ranks greatest): a pair
-        # involving a zero vector must not pass the similarity gate
-        ~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= threshold)
+        # zero/NaN vectors yield NULL cos_sim (cosine()) — NULL >= t is
+        # NULL, so they fail the gate without an extra inlined predicate
+        F.col("cos_sim") >= threshold
     )
