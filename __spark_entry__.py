@@ -429,16 +429,14 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same pairs via list_intersect in DuckDB, transitive
     closure via a recursive CTE."""
     from schema_validata_spark.operators.dedup import (
-        jaccard_pairs,
         near_dup_clusters,
-        shingle_candidate_pairs,
+        shingle_jaccard_pairs,
     )
 
     df = _read(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        shingle_candidate_pairs(df, "text", "doc_id", k=3, max_posting=100_000),
-        df, "text", "doc_id", k=3,
-    ).filter(F.col("jaccard") >= 0.6)
+    pairs = shingle_jaccard_pairs(
+        df, "text", "doc_id", k=3, min_jaccard=0.6, max_posting=100_000
+    )
     return near_dup_clusters(df, "doc_id", pairs)
 
 

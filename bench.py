@@ -42,10 +42,9 @@ def main() -> None:
     from schema_validata_spark.operators.integrity import fk_violations
     from schema_validata_spark.operators.profile import profile_df
     from schema_validata_spark.operators.dedup import (
-        jaccard_pairs,
         minhash_near_duplicates,
         near_dup_clusters,
-        shingle_candidate_pairs,
+        shingle_jaccard_pairs,
     )
     from schema_validata_spark.operators.similarity import (
         brute_force_topk,
@@ -107,10 +106,8 @@ def main() -> None:
         # dedup resolution and the LSH embedding near-dup pass
         "near_dup_clusters": lambda: near_dup_clusters(
             documents, "doc_id",
-            jaccard_pairs(
-                shingle_candidate_pairs(documents, "text", "doc_id", k=3),
-                documents, "text", "doc_id", k=3,
-            ).filter(F.col("jaccard") >= 0.6),
+            shingle_jaccard_pairs(documents, "text", "doc_id", k=3,
+                                  min_jaccard=0.6),
         ).count(),
         "embedding_near_dups": lambda: embedding_near_duplicates(
             embeddings, "embedding", "vec_id", dim=64, threshold=0.4,

