@@ -65,6 +65,7 @@ from schema_validata_spark.operators.dedup import (
     minhash_near_duplicates,
     near_dedup,
     near_dup_clusters,
+    shingle_jaccard_pairs,
     simhash_near_duplicates,
 )
 from schema_validata_spark.operators.integrity import (
@@ -123,6 +124,7 @@ __all__ = [
     "minhash_near_duplicates",
     "near_dedup",
     "near_dup_clusters",
+    "shingle_jaccard_pairs",
     "simhash_near_duplicates",
     "extract_primary_table",
     "referenced_columns_in_rule",
