@@ -394,7 +394,13 @@ def embedding_near_duplicates(
         sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
         on=["table", "bucket"],
         how="left_semi",
-    )
+        # norm is a per-DOCUMENT quantity: fold it once per index row
+        # (n_tables folds per doc) instead of twice per candidate pair —
+        # at 469k pairs from 2k docs that is 938k interpreted folds
+        # replaced by 8k. The division below multiplies the two
+        # precomputed norms, so cos_sim values are bit-equal to
+        # cosine()'s norm(a)*norm(b) (same fold, same order).
+    ).withColumn("_nrm", norm(_as_double_array(F.col("embedding"))))
     l = pruned.alias("l")
     r = pruned.alias("r")
     pairs = (
@@ -411,17 +417,29 @@ def embedding_near_duplicates(
             F.col("r.id").alias("id2"),
             F.col("l.embedding").alias("e1"),
             F.col("r.embedding").alias("e2"),
+            F.col("l._nrm").alias("_n1"),
+            F.col("r._nrm").alias("_n2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
     return pairs.select(
         "id1",
         "id2",
-        F.round(cosine(_as_double_array(F.col("e1")), _as_double_array(F.col("e2"))), 6).alias(
-            "cos_sim"
-        ),
+        F.round(
+            # NULL/NaN semantics identical to cosine(): zero norms →
+            # try_divide NULL, NaN-bearing vectors → NaN dot/norm →
+            # nanvl NULL; either way the >= threshold gate drops them.
+            F.nanvl(
+                F.try_divide(
+                    dot(_as_double_array(F.col("e1")), _as_double_array(F.col("e2"))),
+                    F.col("_n1") * F.col("_n2"),
+                ),
+                F.lit(None).cast("double"),
+            ),
+            6,
+        ).alias("cos_sim"),
     ).filter(
-        # zero/NaN vectors yield NULL cos_sim (cosine()) — NULL >= t is
-        # NULL, so they fail the gate without an extra inlined predicate
+        # zero/NaN vectors yield NULL cos_sim — NULL >= t is NULL, so
+        # they fail the gate without an extra inlined predicate
         F.col("cos_sim") >= threshold
     )
