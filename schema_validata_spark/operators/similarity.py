@@ -64,10 +64,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_to_literal(col: Column | str, vec: list[float]) -> Column:
     """Cosine of each row's embedding against a driver-side query vector
-    (embedded as an array literal — broadcast by constant folding)."""
+    (embedded as an array literal — broadcast by constant folding).
+
+    The QUERY norm is a constant, but Catalyst does not constant-fold an
+    ``aggregate`` lambda — ``cosine()`` would re-fold it per row. It is
+    computed here in Python instead: ``sum()`` is the same
+    left-associated IEEE-double reduction as the Spark fold, so the
+    scalar (and therefore every cos_sim) is bit-equal while the per-row
+    work drops from three folds to two. NULL/NaN semantics match
+    cosine(): zero query norm → try_divide NULL; NaN anywhere → NaN dot
+    or NaN product → nanvl NULL."""
     a = _as_double_array(col)
     q = F.array(*[F.lit(float(v)) for v in vec])
-    return cosine(a, q)
+    qn = math.sqrt(sum(float(v) * float(v) for v in vec))
+    return F.nanvl(
+        F.try_divide(dot(a, q), norm(a) * F.lit(qn)),
+        F.lit(None).cast("double"),
+    )
 
 
 def brute_force_topk(
