@@ -440,6 +440,18 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span (chunk-level) dedup: consecutive 10-token
+    chunks; any chunk text occurring in > 1 distinct documents is
+    scrubbed from every document (CCNet/RefinedWeb boilerplate-removal
+    shape). Exact-SQL semantics — the oracle replays the same chunking
+    with string_split + string_agg."""
+    from schema_validata_spark.operators.dedup import chunk_dedup
+
+    df = _read(spark, sf_dir, "documents")
+    return chunk_dedup(df, "text", "doc_id", window=10, max_docs=1)
+
+
 def q_gopher_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rule set (published heuristics) per doc:
     repetition, shape, and lexical signals as booleans + the verdict."""
@@ -495,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
+        "chunk_dedup_documents": q_chunk_dedup_documents,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -757,6 +770,49 @@ SELECT id1, id2, cos_sim FROM (
 """
 
 
+def _chunk_dedup_sql(window: int = 10, max_docs: int = 1) -> str:
+    """DuckDB replay of chunk_dedup: identical tokenization (the
+    documents table is single-space separated, so string_split(' ')
+    equals the engine's \\s+ split — the convention every text oracle
+    here uses), identical chunking arithmetic, string_agg ORDER BY for
+    the deterministic rebuild. The WHERE length(trim(text)) > 0 arm
+    mirrors tokens() returning an EMPTY array for empty text where
+    DuckDB's string_split('') would yield ['']."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS i
+  ) t
+  WHERE length(trim(text)) > 0
+), chunks AS (
+  SELECT doc_id, CAST(floor((i-1)/{window}) AS BIGINT) AS c,
+         string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM toks GROUP BY doc_id, CAST(floor((i-1)/{window}) AS BIGINT)
+), freq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+), kept AS (
+  SELECT c2.doc_id, c2.c, c2.chunk
+  FROM chunks c2 JOIN freq f USING (chunk) WHERE f.nd <= {max_docs}
+), rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY c) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(t.n_chunks, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def _near_dup_clusters_sql(k: int = 3, thr: float = 0.6) -> str:
     """Exhaustive pair generation + recursive-CTE transitive closure —
     the exact baseline for pairs→clusters (fine at sf0.01; the Spark
@@ -965,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "chunk_dedup_documents": _chunk_dedup_sql(),
         "len_hist_documents": _len_hist_sql(),
         "gopher_flags_documents": _gopher_flags_sql(),
         # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding

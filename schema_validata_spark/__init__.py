@@ -59,6 +59,7 @@ from schema_validata_spark.sources.iceberg import (
     read_iceberg,
 )
 from schema_validata_spark.operators.dedup import (
+    chunk_dedup,
     connected_components,
     embedding_near_dedup,
     exact_dedup,
@@ -121,6 +122,7 @@ __all__ = [
     "connected_components",
     "embedding_near_dedup",
     "exact_dedup",
+    "chunk_dedup",
     "minhash_near_duplicates",
     "near_dedup",
     "near_dup_clusters",

@@ -742,3 +742,113 @@ def embedding_near_dedup(
         .select(F.col("id").alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------- chunk-level dedup
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    max_docs: int = 1,
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Cross-corpus SPAN dedup (CCNet/RefinedWeb-style boilerplate
+    removal), the complement of the document-level paths above: split
+    each document's token stream into consecutive ``window``-token
+    chunks, and scrub every chunk whose exact text occurs in more than
+    ``max_docs`` DISTINCT documents. Returns one row per input document:
+    ``(id, clean_text, n_chunks, n_removed)`` where ``clean_text`` is
+    the surviving chunks re-joined in order (token-normalized — lowered,
+    whitespace-collapsed — like every text operator here).
+
+    Plan shape (scale notes): tokenize + chunk are per-row expressions
+    (the token array is bound ONCE via the ``transform(array(...))``
+    wrapper — interpreted HOFs have no CSE, an unbound reference would
+    re-split per chunk); chunk frequencies are one shuffle keyed by
+    chunk text with a partial (map-side) count_distinct; the frequent
+    set is by construction tiny (boilerplate), so the scrub is a
+    size-gated broadcast ANTI-join (``maybe_broadcast`` — no skewed
+    shuffle on the hottest keys, no forced-broadcast OOM if an
+    adversarial corpus makes the set huge); the rebuild is one shuffle
+    keyed by doc id. No quadratic stage anywhere.
+
+    Documents whose every chunk was scrubbed (and empty/NULL inputs)
+    come back with ``clean_text = ''`` via the final left join on the
+    original ids.
+    """
+    from schema_validata_spark.functions.joins import (
+        BROADCAST_HINT_MAX_BYTES,
+        maybe_broadcast,
+    )
+    from schema_validata_spark.operators.text import tokens
+
+    W = int(window)
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    # bind the token array once; n_chunks = ceil(n/W) → sequence upper
+    # bound floor((n-1)/W) is only valid for n > 0 (sequence(0, -1)
+    # throws: start > stop needs a negative step)
+    chunked = F.transform(
+        F.array(toks),
+        lambda t: F.when(
+            F.size(t) > F.lit(0),
+            F.transform(
+                F.sequence(
+                    F.lit(0), ((F.size(t) - F.lit(1)) / F.lit(W)).cast("int")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i * F.lit(W) + F.lit(1), F.lit(W))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunked).alias("c", "chunk"),
+    )
+    frequent = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct(F.col("id")).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(
+        maybe_broadcast(
+            frequent,
+            BROADCAST_HINT_MAX_BYTES
+            if broadcast_max_bytes is None
+            else broadcast_max_bytes,
+        ),
+        on="chunk",
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        ids.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias(
+                "n_chunks"
+            ),
+            (
+                F.coalesce(F.col("n_chunks"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Chunk-level (span) dedup: consecutive W-token chunks, cross-document
+frequency scrub, order-preserving rebuild, and the DuckDB oracle replay
+used by the chunk_dedup_documents driver query."""
+
+import duckdb
+import pytest
+
+from schema_validata_spark.operators.dedup import chunk_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collect(df):
+    return {r["id"]: (r["clean_text"], r["n_chunks"], r["n_removed"]) for r in df.collect()}
+
+
+def test_shared_chunk_scrubbed_everywhere(spark):
+    boiler = " ".join(f"b{i}" for i in range(4))
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " alpha beta"),
+            (2, boiler + " gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+    )
+    out = _collect(chunk_dedup(docs, "text", "doc_id", window=4, max_docs=1))
+    # the 4-token boilerplate chunk appears in docs 1 and 2 → scrubbed
+    # from both; the unique 2-token tails survive
+    assert out[1] == ("alpha beta", 2, 1)
+    assert out[2] == ("gamma delta", 2, 1)
+    assert out[3] == ("epsilon zeta eta theta", 1, 0)
+
+
+def test_order_preserved_and_internal_repeat(spark):
+    # doc 1 repeats the shared chunk internally: BOTH instances scrubbed;
+    # surviving chunks re-join in original order
+    docs = _docs(
+        spark,
+        [
+            (1, "s1 s2 u1 u2 s1 s2 u3 u4"),
+            (2, "s1 s2 x1 x2"),
+        ],
+    )
+    out = _collect(chunk_dedup(docs, "text", "doc_id", window=2, max_docs=1))
+    assert out[1] == ("u1 u2 u3 u4", 4, 2)
+    assert out[2] == ("x1 x2", 2, 1)
+
+
+def test_fully_scrubbed_empty_null_and_short_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "dup dup dup dup"),
+            (2, "dup dup dup dup"),
+            (3, ""),
+            (4, None),
+            (5, "tiny"),  # shorter than the window → one short chunk
+        ],
+    )
+    out = _collect(chunk_dedup(docs, "text", "doc_id", window=4, max_docs=1))
+    assert out[1] == ("", 1, 1)
+    assert out[2] == ("", 1, 1)
+    assert out[3] == ("", 0, 0)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("tiny", 1, 0)
+
+
+def test_max_docs_threshold(spark):
+    docs = _docs(
+        spark,
+        [(i, "shared pair uniq%d tail%d" % (i, i)) for i in range(3)],
+    )
+    # chunk "shared pair" is in 3 docs: kept at max_docs=3, dropped at 2
+    keep = _collect(chunk_dedup(docs, "text", "doc_id", window=2, max_docs=3))
+    drop = _collect(chunk_dedup(docs, "text", "doc_id", window=2, max_docs=2))
+    assert keep[0][2] == 0 and drop[0][2] == 1
+    assert drop[0][0] == "uniq0 tail0"
+
+
+def test_matches_duckdb_oracle_on_driver_table(spark):
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    got = sorted(
+        tuple(r)
+        for r in entry.queries()["chunk_dedup_documents"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(entry.oracle_sql()["chunk_dedup_documents"]).fetchall()
+    )
+    assert got == want
+    assert any(r[3] > 0 for r in got)  # the planted dups actually scrub
