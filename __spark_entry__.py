@@ -440,6 +440,16 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary by term frequency with exact document
+    frequency — deterministic cut via the total (tf DESC, token ASC)
+    ordering."""
+    from schema_validata_spark.operators.text import vocab_stats
+
+    df = _read(spark, sf_dir, "documents")
+    return vocab_stats(df, "text", "doc_id", top_k=50)
+
+
 def q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus span (chunk-level) dedup: consecutive 10-token
     chunks; any chunk text occurring in > 1 distinct documents is
@@ -508,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_dedup_documents": q_chunk_dedup_documents,
+        "vocab_stats_documents": q_vocab_stats_documents,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -1022,6 +1033,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "chunk_dedup_documents": _chunk_dedup_sql(),
+        "vocab_stats_documents": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT 50
+""",
         "len_hist_documents": _len_hist_sql(),
         "gopher_flags_documents": _gopher_flags_sql(),
         # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding

@@ -317,3 +317,36 @@ def text_stats_df(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame
         lang_id(c).alias("lang_pred"),
         fingerprint64(c).alias("fingerprint"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary statistics: ``(token, tf, df)`` for the
+    ``top_k`` tokens by term frequency — the distribution check run
+    before/after filtering steps in a training-data pipeline (vocabulary
+    drift, boilerplate token blowup, tokenizer sanity).
+
+    One explode + one shuffle keyed by token with map-side partial
+    aggregation; ``df`` (document frequency) is an exact count_distinct
+    inside the same aggregate. Top-k via ``orderBy(...).limit(k)`` plans
+    TakeOrderedAndProject — per-partition heaps + driver merge, never a
+    global sort. The (tf DESC, token ASC) ordering is total, so the cut
+    is deterministic even with tied frequencies.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("id")).alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.col("token"))
+        .limit(top_k)
+    )

@@ -100,3 +100,26 @@ def test_matches_duckdb_oracle_on_driver_table(spark):
     )
     assert got == want
     assert any(r[3] > 0 for r in got)  # the planted dups actually scrub
+
+
+# ---------------------------------------------------------- vocab stats
+
+def test_vocab_stats_topk_and_ties(spark):
+    from schema_validata_spark.operators.text import vocab_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry  cherry"),
+            (3, ""),
+            (4, None),
+        ],
+    )
+    rows = [tuple(r) for r in vocab_stats(docs, "text", "doc_id", top_k=2).collect()]
+    # apple tf=3 first; banana/cherry tie at... cherry tf=2 beats banana tf=1
+    assert rows == [("apple", 3, 2), ("cherry", 2, 1)]
+    # tie-break: equal tf → lexicographic token order decides the cut
+    docs2 = _docs(spark, [(1, "zeta alpha"), (2, "zeta alpha")])
+    rows2 = [tuple(r) for r in vocab_stats(docs2, "text", "doc_id", top_k=1).collect()]
+    assert rows2 == [("alpha", 2, 2)]
