@@ -440,6 +440,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the eval
+    set; the remaining 475 are the training corpus. A training doc is
+    contaminated when any of its 5-token shingles appears in the eval
+    shingle set (planted near-dups straddle the split, so the flag set
+    is non-trivial)."""
+    from schema_validata_spark.operators.dedup import contamination_check
+
+    df = _read(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 20 == 0)
+    train = df.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(train, "text", "doc_id", bench, k=5)
+
+
 def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary by term frequency with exact document
     frequency — deterministic cut via the total (tf DESC, token ASC)
@@ -519,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "vocab_stats_documents": q_vocab_stats_documents,
+        "contamination_documents": q_contamination_documents,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -1033,6 +1048,38 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "chunk_dedup_documents": _chunk_dedup_sql(),
+        "contamination_documents": """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS i
+  ) t
+  WHERE length(trim(text)) > 0
+), win AS (
+  SELECT a.doc_id, a.i AS s, string_agg(b.tok, ' ' ORDER BY b.i) AS sh
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 4
+  GROUP BY a.doc_id, a.i HAVING COUNT(*) = 5
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM win
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+), train_sh AS (
+  SELECT * FROM sh WHERE doc_id % 20 <> 0
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id
+), shared AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM train_sh t JOIN bench b USING (sh) GROUP BY t.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(shared.n_shared, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN shared ON shared.doc_id = d.doc_id
+""",
         "vocab_stats_documents": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token

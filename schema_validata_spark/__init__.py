@@ -60,6 +60,7 @@ from schema_validata_spark.sources.iceberg import (
 )
 from schema_validata_spark.operators.dedup import (
     chunk_dedup,
+    contamination_check,
     connected_components,
     embedding_near_dedup,
     exact_dedup,
@@ -123,6 +124,7 @@ __all__ = [
     "embedding_near_dedup",
     "exact_dedup",
     "chunk_dedup",
+    "contamination_check",
     "minhash_near_duplicates",
     "near_dedup",
     "near_dup_clusters",

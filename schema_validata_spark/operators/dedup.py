@@ -852,3 +852,76 @@ def chunk_dedup(
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+# ------------------------------------------- benchmark decontamination
+
+def contamination_check(
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_df: DataFrame,
+    bench_text_col: str | None = None,
+    k: int = 8,
+    min_shared: int = 1,
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination flags for a training corpus: one row per
+    training document — ``(id, n_shingles, n_shared, contaminated)`` —
+    where ``n_shared`` counts the doc's distinct k-token shingles that
+    also appear anywhere in ``bench_df`` (the eval/benchmark set), and
+    ``contaminated`` is ``n_shared >= min_shared``. This is the
+    decontamination step every LLM training pipeline runs before
+    training: drop (or audit) documents that leak evaluation data.
+
+    Plan shape (scale notes): the benchmark shingle set is DISTINCT and
+    typically tiny relative to the corpus (eval sets are thousands of
+    docs, the corpus is billions), so membership is a size-gated
+    broadcast LEFT SEMI join (``maybe_broadcast`` — a huge benchmark
+    falls back to a shuffle join chosen by AQE rather than OOMing the
+    driver); the train side is one explode + one groupBy(id). No
+    pairwise stage at all — cost is linear in total shingles. Shingles
+    join on their STRING form so the semantics are exactly replayable in
+    ANSI SQL; at extreme scale swap both sides to ``shingle_hashes``
+    (identical plan, 8-byte keys, same fixed seed on both corpora).
+    """
+    from schema_validata_spark.functions.joins import (
+        BROADCAST_HINT_MAX_BYTES,
+        maybe_broadcast,
+    )
+    from schema_validata_spark.operators.text import shingles
+
+    bcol = bench_text_col or text_col
+    tr_sh = train_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    bench_sh = bench_df.select(
+        F.explode(shingles(F.col(bcol), k)).alias("sh")
+    ).distinct()
+    shared = (
+        tr_sh.join(
+            maybe_broadcast(
+                bench_sh,
+                BROADCAST_HINT_MAX_BYTES
+                if broadcast_max_bytes is None
+                else broadcast_max_bytes,
+            ),
+            on="sh",
+            how="left_semi",
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    totals = train_df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(F.col(text_col), k)).cast("long").alias("n_shingles"),
+    )
+    return totals.join(shared, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (
+            F.coalesce(F.col("_n_shared"), F.lit(0)) >= F.lit(min_shared)
+        ).alias("contaminated"),
+    )

@@ -123,3 +123,40 @@ def test_vocab_stats_topk_and_ties(spark):
     docs2 = _docs(spark, [(1, "zeta alpha"), (2, "zeta alpha")])
     rows2 = [tuple(r) for r in vocab_stats(docs2, "text", "doc_id", top_k=1).collect()]
     assert rows2 == [("alpha", 2, 2)]
+
+
+# --------------------------------------------------- decontamination
+
+def test_contamination_check_planted(spark):
+    from schema_validata_spark.operators.dedup import contamination_check
+
+    leak = " ".join(f"w{i}" for i in range(8))
+    train = _docs(
+        spark,
+        [
+            (1, leak + " extra tail tokens here"),       # leaks the bench doc
+            (2, "totally different content with no benchmark overlap at all here"),
+            (3, "short"),                                 # < k tokens → 0 shingles
+        ],
+    )
+    bench = _docs(spark, [(100, leak)])
+    out = {
+        r["id"]: (r["n_shingles"], r["n_shared"], r["contaminated"])
+        for r in contamination_check(train, "text", "doc_id", bench, k=8).collect()
+    }
+    assert out[1][1] == 1 and out[1][2] is True
+    assert out[2] == (out[2][0], 0, False) and out[2][0] > 0
+    assert out[3] == (0, 0, False)
+
+
+def test_contamination_min_shared_threshold(spark):
+    from schema_validata_spark.operators.dedup import contamination_check
+
+    text = "a b c d e f"
+    train = _docs(spark, [(1, text)])
+    bench = _docs(spark, [(9, text)])
+    # doc 1 shares ALL its 4 three-token shingles with bench
+    strict = contamination_check(train, "text", "doc_id", bench, k=3, min_shared=5)
+    loose = contamination_check(train, "text", "doc_id", bench, k=3, min_shared=4)
+    assert strict.collect()[0]["contaminated"] is False
+    assert loose.collect()[0]["contaminated"] is True
