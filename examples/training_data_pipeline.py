@@ -1,5 +1,6 @@
 """End-to-end training-data pipeline example: validate → quality-filter
-→ dedup → profile, all engine operators, one script.
+→ near-dedup → span scrub → decontaminate → profile, all engine
+operators, one script.
 
 Run (local smoke):
 
@@ -22,7 +23,13 @@ from pyspark.sql import functions as F
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    from schema_validata_spark import load_spec_dict, near_dedup, validate_table
+    from schema_validata_spark import (
+        chunk_dedup,
+        contamination_check,
+        load_spec_dict,
+        near_dedup,
+        validate_table,
+    )
     from schema_validata_spark.operators import text as T
     from schema_validata_spark.operators.profile import (
         build_data_dictionary,
@@ -56,6 +63,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     deduped = near_dedup(kept, "text", "doc_id", method="minhash",
                          threshold=0.7, num_perm=128, bands=16, k=5)
     print(f"near-dedup: {kept.count()} -> {deduped.count()} docs")
+
+    # 3b. span scrub — chunks occurring in >1 distinct surviving docs
+    # (cross-document boilerplate the document-level dedup keeps)
+    scrubbed = chunk_dedup(deduped, "text", "doc_id", window=10, max_docs=1)
+    n_scrub = scrubbed.filter(F.col("n_removed") > 0).count()
+    print(f"span scrub: boilerplate chunks removed from {n_scrub} docs")
+
+    # 3c. decontamination — drop docs leaking the held-out eval split
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    flags2 = contamination_check(
+        deduped.filter(F.col("doc_id") % 20 != 0), "text", "doc_id", bench, k=5
+    )
+    clean = deduped.join(
+        flags2.filter(F.col("contaminated")).select("id"),
+        deduped["doc_id"] == F.col("id"),
+        "left_anti",
+    )
+    print(f"decontamination: {deduped.count()} -> {clean.count()} docs")
 
     # 4. observed profile of the surviving corpus
     dd = build_data_dictionary(deduped, ["doc_id", "lang"])
