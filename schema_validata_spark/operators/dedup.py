@@ -805,10 +805,17 @@ def chunk_dedup(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )[0]
-    ids = df.select(F.col(id_col).alias("id")).distinct()
     chunks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(chunked).alias("c", "chunk"),
+    )
+    # per-doc totals are the SIZE of the per-row chunk array — no
+    # explode, no groupBy(id) shuffle; this frame also carries every
+    # doc (0-chunk/empty/NULL included), so no separate distinct-ids
+    # frame is needed for the final left join
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(chunked).cast("long").alias("n_chunks"),
     )
     frequent = (
         chunks.groupBy("chunk")
@@ -836,21 +843,13 @@ def chunk_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    totals = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return (
-        ids.join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias(
-                "n_chunks"
-            ),
-            (
-                F.coalesce(F.col("n_chunks"), F.lit(0))
-                - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
-        )
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_chunks"),
+        (
+            F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed"),
     )
 
 
