@@ -440,6 +440,18 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota cap (40 docs per lang by doc_id
+    order) — the corpus-construction subset step; row_number windows are
+    exactly replayable in SQL."""
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    df = _read(spark, sf_dir, "documents")
+    return quota_sample(df, "lang", 40, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the eval
     set; the remaining 475 are the training corpus. A training doc is
@@ -534,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "vocab_stats_documents": q_vocab_stats_documents,
         "contamination_documents": q_contamination_documents,
+        "quota_sample_documents": q_quota_sample_documents,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -1079,6 +1092,13 @@ SELECT d.doc_id AS id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN shared ON shared.doc_id = d.doc_id
+""",
+        "quota_sample_documents": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 40
 """,
         "vocab_stats_documents": """
 WITH toks AS (

@@ -75,6 +75,7 @@ from schema_validata_spark.operators.integrity import (
     referenced_columns_in_rule,
 )
 from schema_validata_spark.functions.joins import maybe_broadcast, plan_size_bytes
+from schema_validata_spark.operators.sampling import quota_sample
 
 __all__ = [
     "is_na",
@@ -133,6 +134,7 @@ __all__ = [
     "extract_primary_table",
     "referenced_columns_in_rule",
     "maybe_broadcast",
+    "quota_sample",
     "plan_size_bytes",
 ]
 

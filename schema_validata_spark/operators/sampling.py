@@ -1,0 +1,44 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+No reference counterpart: these are the subset-construction steps a
+pipeline runs after validation/filtering — per-language (per-source)
+quota capping, reproducible across runs and resumes because selection
+is a pure function of the data, never of RNG or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str | Column,
+    n_per_stratum: int,
+    order_col: str | Column,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, chosen as the FIRST
+    rows by ``order_col`` within each stratum — the per-language /
+    per-source quota cap of corpus construction. Deterministic: the
+    (stratum, order_col) ranking is a total order when ``order_col`` is
+    unique (use the doc id), so every run, resume, and repartitioning
+    selects the identical subset — unlike ``df.sample``, whose output
+    depends on partition layout.
+
+    Plan shape: one hash-partition by stratum + per-stratum sort for the
+    ``row_number`` window. Strata counts are typically few and large;
+    with a HOT stratum at 10^12-row scale, pre-gate with a cheap
+    deterministic hash-mod filter (``pmod(xxhash64(id), k) = 0`` with
+    ``k`` sized from an approx count so ≳ quota rows survive) and window
+    the survivors — same output when the gate keeps ≥ n_per_stratum
+    rows of the stratum's prefix; this helper stays exact and simple.
+    """
+    sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(sc).orderBy(oc)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n_per_stratum))
+        .drop("__rn")
+    )

@@ -160,3 +160,23 @@ def test_contamination_min_shared_threshold(spark):
     loose = contamination_check(train, "text", "doc_id", bench, k=3, min_shared=4)
     assert strict.collect()[0]["contaminated"] is False
     assert loose.collect()[0]["contaminated"] is True
+
+
+# -------------------------------------------------------- quota sample
+
+def test_quota_sample_deterministic(spark):
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(df, "lang", 3, "doc_id")
+    got = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    assert got == [("de", 1), ("de", 3), ("de", 5), ("en", 0), ("en", 2), ("en", 4)]
+    # repartitioning must not change the selection
+    got2 = sorted(
+        (r["lang"], r["doc_id"])
+        for r in quota_sample(df.repartition(7), "lang", 3, "doc_id").collect()
+    )
+    assert got2 == got
+    # quota larger than a stratum keeps the whole stratum
+    assert quota_sample(df, "lang", 100, "doc_id").count() == 20
