@@ -440,6 +440,27 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, column) Tukey-fence outlier counts — exact
+    percentile quantiles are bit-equal to DuckDB quantile_cont, so the
+    whole operator oracles exactly. events.value is long-tailed, so the
+    fences catch ~500 genuine outliers at sf0.01 (non-degenerate)."""
+    from schema_validata_spark.operators.drift import iqr_outlier_counts
+
+    df = _read(spark, sf_dir, "events")
+    out = iqr_outlier_counts(df, ["value"], partition_col="event_type")
+    return out.select(
+        "event_type",
+        "column_name",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        "n_nonnull",
+        "n_below",
+        "n_above",
+        "n_outliers",
+    )
+
+
 def q_quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota cap (40 docs per lang by doc_id
     order) — the corpus-construction subset step; row_number windows are
@@ -547,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_documents": q_vocab_stats_documents,
         "contamination_documents": q_contamination_documents,
         "quota_sample_documents": q_quota_sample_documents,
+        "iqr_outliers_events": q_iqr_outliers_events,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -1092,6 +1114,27 @@ SELECT d.doc_id AS id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN shared ON shared.doc_id = d.doc_id
+""",
+        "iqr_outliers_events": """
+WITH m AS (
+  SELECT event_type, 'value' AS column_name, CAST(value AS DOUBLE) AS v
+  FROM events
+), b AS (
+  SELECT event_type, column_name,
+         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM m GROUP BY event_type, column_name
+), f AS (
+  SELECT *, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM b
+)
+SELECT m.event_type, m.column_name,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       CAST(COUNT(m.v) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN m.v < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN m.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(SUM(CASE WHEN m.v < f.lo OR m.v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM m JOIN f USING (event_type, column_name)
+GROUP BY m.event_type, m.column_name, f.q1, f.q3
 """,
         "quota_sample_documents": """
 SELECT doc_id, lang, n_chars FROM (

@@ -39,7 +39,12 @@ from schema_validata_spark.operators.integrity import (
     fk_violations,
     run_integrity_rules,
 )
-from schema_validata_spark.operators.drift import chi_square_drift, drift_report, ks_drift
+from schema_validata_spark.operators.drift import (
+    chi_square_drift,
+    drift_report,
+    iqr_outlier_counts,
+    ks_drift,
+)
 from schema_validata_spark.plans.validate import validate_dataset, validate_table
 from schema_validata_spark.plans.resume import resumable_validate_table, resumable_violations
 from schema_validata_spark.sources.corpus import synthetic_code_corpus
@@ -135,6 +140,7 @@ __all__ = [
     "referenced_columns_in_rule",
     "maybe_broadcast",
     "quota_sample",
+    "iqr_outlier_counts",
     "plan_size_bytes",
 ]
 

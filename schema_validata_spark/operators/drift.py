@@ -231,3 +231,76 @@ def drift_report(
     out = [chi_square_drift(current, baseline, c, alpha) for c in categorical]
     out += [ks_drift(current, baseline, c, alpha) for c in numeric]
     return out
+
+
+# ------------------------------------------------------- IQR outliers
+
+def iqr_outlier_counts(
+    df: DataFrame,
+    value_cols: list[str],
+    partition_col: str | None = None,
+    k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-(partition, column) Tukey-fence outlier counts: rows with
+    value < Q1 − k·IQR or > Q3 + k·IQR. Output one row per
+    (partition?, column_name): ``q1, q3, lo, hi, n_nonnull, n_below,
+    n_above, n_outliers`` — the anomaly companion to the drift checks
+    (a partition whose outlier fraction jumps is the first symptom of an
+    upstream schema/unit change that still passes range rules).
+
+    Two passes by necessity (fences derive from the quantiles): melt →
+    one grouped quantile aggregate (the bounds frame is
+    partitions × columns — tiny), then the bounds broadcast back
+    (size-gated) onto the melted scan for conditional counts. With
+    ``exact=True`` quantiles use ``percentile`` — a per-group sort,
+    exactly matching DuckDB's ``quantile_cont`` (bit-equal, verified) so
+    the operator is SQL-oracle-checkable; at corpus scale pass
+    ``exact=False`` for ``approx_percentile`` (t-digest, one pass, no
+    sort) and accept approximate fences.
+    """
+    from schema_validata_spark.functions.joins import maybe_broadcast
+
+    n = len(value_cols)
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in value_cols
+    )
+    cols = [F.col(partition_col).alias("__part")] if partition_col else []
+    melted = df.select(
+        *cols,
+        F.expr(f"stack({n}, {stack_args})").alias("column_name", "v"),
+    )
+    keys = (["__part"] if partition_col else []) + ["column_name"]
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, 10_000)
+    )
+    bounds = melted.groupBy(*keys).agg(
+        pct(F.col("v"), F.lit(0.25)).alias("q1"),
+        pct(F.col("v"), F.lit(0.75)).alias("q3"),
+    )
+    bounds = bounds.select(
+        *keys,
+        "q1",
+        "q3",
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = (
+        melted.join(maybe_broadcast(bounds), on=keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.count("v").alias("n_nonnull"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_above"),
+        )
+        .withColumn("n_outliers", F.col("n_below") + F.col("n_above"))
+    )
+    if partition_col:
+        out = out.withColumnRenamed("__part", partition_col)
+    return out

@@ -180,3 +180,29 @@ def test_quota_sample_deterministic(spark):
     assert got2 == got
     # quota larger than a stratum keeps the whole stratum
     assert quota_sample(df, "lang", 100, "doc_id").count() == 20
+
+
+# ------------------------------------------------------- IQR outliers
+
+def test_iqr_outliers_planted(spark):
+    from schema_validata_spark.operators.drift import iqr_outlier_counts
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    rows += [(100 + i, "b", float(i)) for i in range(10)]  # no outliers
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["g"]: (r["n_nonnull"], r["n_below"], r["n_above"], r["n_outliers"])
+        for r in iqr_outlier_counts(df, ["v"], partition_col="g").collect()
+    }
+    assert out["a"] == (9, 0, 1, 1)   # the planted 100 is above the fence
+    assert out["b"] == (10, 0, 0, 0)
+
+
+def test_iqr_outliers_global_and_nulls(spark):
+    from schema_validata_spark.operators.drift import iqr_outlier_counts
+
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, -50])]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = iqr_outlier_counts(df, ["v"]).collect()[0]
+    assert r["n_nonnull"] == 5 and r["n_below"] == 1 and r["n_above"] == 0
