@@ -440,6 +440,21 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(df, "doc_id", pairs)
 
 
+def q_minhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL MinHash-LSH pipeline under the SQL-replicable hash family
+    (rolling-hash shingles, raw comma-joined band keys): the oracle
+    replays signature minimisation, banding, candidate generation AND
+    the exact-Jaccard verify — closing the evidence gap where only the
+    verifier stages of the xxhash paths could be oracle-checked."""
+    from schema_validata_spark.operators.dedup import minhash_near_duplicates
+
+    df = _read(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        df, "text", "doc_id", threshold=0.5, num_perm=32, bands=8, k=5,
+        max_bucket=100_000, portable=True,
+    )
+
+
 def q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(event_type, column) Tukey-fence outlier counts — exact
     percentile quantiles are bit-equal to DuckDB quantile_cont, so the
@@ -569,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "quota_sample_documents": q_quota_sample_documents,
         "iqr_outliers_events": q_iqr_outliers_events,
+        "minhash_portable_near_dups": q_minhash_portable_near_dups,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -874,6 +890,79 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _minhash_portable_sql(
+    num_perm: int = 32, bands: int = 8, k: int = 5, thr: float = 0.5
+) -> str:
+    """DuckDB replay of the ENTIRE portable MinHash pipeline: rolling-
+    hash shingles (list_reduce fold — verified bit-equal to the Spark
+    aggregate), the same (a,b) permutation constants as literals, MIN
+    per permutation, comma-joined band keys via string_agg ORDER BY
+    (identical to Spark's concat_ws over the signature slice), shared-
+    band candidate pairs, exact-Jaccard verify on the k-shingle sets."""
+    from schema_validata_spark.operators.dedup import _MERSENNE, _perm_constants
+
+    consts = _perm_constants(num_perm)
+    a_arr = "[" + ", ".join(str(a) for a, _ in consts) + "]"
+    b_arr = "[" + ", ".join(str(b) for _, b in consts) + "]"
+    rows = num_perm // bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS i
+  ) t
+  WHERE length(trim(text)) > 0
+), win AS (
+  SELECT a.doc_id, a.i AS s, string_agg(b.tok, ' ' ORDER BY b.i) AS sh
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + {k - 1}
+  GROUP BY a.doc_id, a.i HAVING COUNT(*) = {k}
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM win
+), h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(string_split_regex(sh, ''), c -> CAST(ascii(c) AS BIGINT)),
+           (acc, c) -> (acc * 31 + c) % {_MERSENNE}
+         ) AS h
+  FROM sh
+), perms AS (
+  SELECT CAST(t.i AS INTEGER) AS i,
+         ({a_arr})[t.i + 1] AS a, ({b_arr})[t.i + 1] AS b
+  FROM range({num_perm}) t(i)
+), sigs AS (
+  SELECT h.doc_id, p.i, MIN((h.h * p.a + p.b) % {_MERSENNE}) AS m
+  FROM h CROSS JOIN perms p GROUP BY h.doc_id, p.i
+), bnd AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, i // {rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bnd l JOIN bnd r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS x
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY c.id1, c.id2
+)
+SELECT c.id1, c.id2,
+       round(CAST(COALESCE(i.x, 0) AS DOUBLE)
+             / CAST(z1.n + z2.n - COALESCE(i.x, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+JOIN sizes z1 ON z1.doc_id = c.id1
+JOIN sizes z2 ON z2.doc_id = c.id2
+WHERE round(CAST(COALESCE(i.x, 0) AS DOUBLE)
+            / CAST(z1.n + z2.n - COALESCE(i.x, 0) AS DOUBLE), 6) >= {thr}
+"""
+
+
 def _near_dup_clusters_sql(k: int = 3, thr: float = 0.6) -> str:
     """Exhaustive pair generation + recursive-CTE transitive closure —
     the exact baseline for pairs→clusters (fine at sf0.01; the Spark
@@ -1115,6 +1204,7 @@ FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN shared ON shared.doc_id = d.doc_id
 """,
+        "minhash_portable_near_dups": _minhash_portable_sql(),
         "iqr_outliers_events": """
 WITH m AS (
   SELECT event_type, 'value' AS column_name, CAST(value AS DOUBLE) AS v

@@ -66,6 +66,7 @@ from schema_validata_spark.sources.iceberg import (
 from schema_validata_spark.operators.dedup import (
     chunk_dedup,
     contamination_check,
+    minhash_bands,
     connected_components,
     embedding_near_dedup,
     exact_dedup,
@@ -131,6 +132,7 @@ __all__ = [
     "exact_dedup",
     "chunk_dedup",
     "contamination_check",
+    "minhash_bands",
     "minhash_near_duplicates",
     "near_dedup",
     "near_dup_clusters",

@@ -95,7 +95,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # -------------------------------------------------------------- MinHash
 
 def minhash_signature(
-    col: Column | str, num_perm: int = 128, k: int = 5
+    col: Column | str, num_perm: int = 128, k: int = 5,
+    portable: bool = False,
 ) -> Column:
     """MinHash signature (array<long>, length ``num_perm``) from k-token
     shingles — ONE ``aggregate`` fold over the shingle hashes that
@@ -111,13 +112,25 @@ def minhash_signature(
     Docs with no shingles (< k tokens) return the all-sentinel signature
     (every entry = the modulus); callers must filter them out before
     banding (``minhash_bands`` does) or they'd all bucket together.
+
+    ``portable=True`` swaps xxhash64 shingle hashing for the
+    SQL-replicable polynomial rolling hash
+    (:func:`~schema_validata_spark.operators.text.
+    portable_shingle_hashes`) — same signature algebra, different hash
+    family; exists so the whole pipeline can be oracle-checked.
     """
     consts = _perm_constants(num_perm)
     A = F.array(*[F.lit(a).cast("long") for a, _ in consts])
     B = F.array(*[F.lit(b).cast("long") for _, b in consts])
-    hashes = F.transform(
-        shingle_hashes(col, k), lambda h: F.pmod(h, F.lit(_MERSENNE))
-    )
+    if portable:
+        from schema_validata_spark.operators.text import (
+            portable_shingle_hashes,
+        )
+
+        raw = portable_shingle_hashes(col, k)  # already in [0, MERSENNE)
+    else:
+        raw = shingle_hashes(col, k)
+    hashes = F.transform(raw, lambda h: F.pmod(h, F.lit(_MERSENNE)))
     return F.aggregate(
         hashes,
         F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm),
@@ -136,6 +149,7 @@ def minhash_bands(
     num_perm: int = 128,
     bands: int = 16,
     k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """``(id, band, band_hash)`` — one row per (doc, band).
 
@@ -149,7 +163,7 @@ def minhash_bands(
     every one of the ``bands`` hash expressions.
     """
     rows = num_perm // bands
-    sig = minhash_signature(text_col, num_perm, k)
+    sig = minhash_signature(text_col, num_perm, k, portable=portable)
     bands_arr = F.flatten(
         F.transform(
             F.array(sig),
@@ -157,13 +171,20 @@ def minhash_bands(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.struct(
                     i.cast("int").alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(s, i * F.lit(rows) + F.lit(1), F.lit(rows)),
-                                lambda x: x.cast("string"),
-                            ),
+                    # portable mode keeps the RAW comma-joined band key
+                    # (a string both engines produce identically);
+                    # production hashes it to an 8-byte shuffle key
+                    (
+                        (lambda key: key if portable else F.xxhash64(key))(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        s, i * F.lit(rows) + F.lit(1), F.lit(rows)
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
                         )
                     ).alias("band_hash"),
                 ),
@@ -292,11 +313,17 @@ def minhash_near_duplicates(
     k: int = 5,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup pairs ``(id1, id2, jaccard)`` with
     exact-Jaccard verification ≥ ``threshold``. ``log_drops`` reports
-    buckets discarded by the quadratic guard (one extra cheap aggregate)."""
-    bands_df = minhash_bands(df, text_col, id_col, num_perm, bands, k)
+    buckets discarded by the quadratic guard (one extra cheap aggregate).
+    ``portable=True`` runs the SQL-replicable hash family end-to-end
+    (see :func:`minhash_signature`) so the banding itself — not just the
+    verifier — is oracle-checkable."""
+    bands_df = minhash_bands(
+        df, text_col, id_col, num_perm, bands, k, portable=portable
+    )
     cand = _candidate_pairs(bands_df, max_bucket, log_drops=log_drops)
     return jaccard_pairs(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold

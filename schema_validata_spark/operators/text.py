@@ -361,3 +361,26 @@ def vocab_stats(
         .orderBy(F.desc("tf"), F.col("token"))
         .limit(top_k)
     )
+
+
+def portable_shingle_hashes(col: Column | str, k: int = 5) -> Column:
+    """Polynomial rolling hash (base 31, mod 2^31−1) of each k-shingle —
+    a SQL-replicable alternative to :func:`shingle_hashes`: the per-char
+    fold ``h = (31·h + codepoint) % M`` is expressible in DuckDB as
+    ``list_reduce(list_transform(string_split_regex(sh,''), ascii), …)``
+    and verified bit-equal, which makes the FULL MinHash banding
+    pipeline oracle-checkable (xxhash64 is not reproducible outside the
+    JVM). Production paths should prefer ``shingle_hashes`` — xxhash64
+    is stronger and cheaper (one JVM call vs a per-char interpreted
+    fold); this variant exists for cross-engine verification and for
+    corpora that need engine-portable signatures."""
+    # same modulus as dedup._MERSENNE (minhash permutation field)
+    M = (1 << 31) - 1
+    return F.transform(
+        shingles(col, k),
+        lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * 31 + c, F.lit(M)),
+        ),
+    )

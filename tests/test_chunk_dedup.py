@@ -206,3 +206,44 @@ def test_iqr_outliers_global_and_nulls(spark):
     df = spark.createDataFrame(rows, "id long, v double")
     r = iqr_outlier_counts(df, ["v"]).collect()[0]
     assert r["n_nonnull"] == 5 and r["n_below"] == 1 and r["n_above"] == 0
+
+
+# --------------------------------------------- portable MinHash parity
+
+def test_portable_rolling_hash_matches_duckdb():
+    import duckdb
+    # pure-python model of the Spark fold, cross-checked against DuckDB
+    M = (1 << 31) - 1
+    def pyhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % M
+        return h
+    con = duckdb.connect()
+    for s in ["abc xy", "value table", "a", "spark graft big corpus"]:
+        got = con.execute(
+            "SELECT list_reduce(list_transform(string_split_regex(?, ''),"
+            " c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % 2147483647)",
+            [s],
+        ).fetchone()[0]
+        assert got == pyhash(s)
+
+
+def test_portable_minhash_finds_planted_pairs(spark):
+    from schema_validata_spark.operators.dedup import minhash_near_duplicates
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " tail variation here"),   # near-dup of 1
+            (3, " ".join(f"other{i}" for i in range(40))),
+        ],
+    )
+    out = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5, num_perm=32, bands=8, k=5,
+        max_bucket=10_000, portable=True,
+    ).collect()
+    pairs = {(r["id1"], r["id2"]) for r in out}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
