@@ -455,6 +455,19 @@ def q_minhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL SimHash pipeline under the portable 62-bit hash family
+    (two rolling hashes packed): bit-vote signature, byte-band
+    bucketing, candidate join and hamming verify all replay in SQL."""
+    from schema_validata_spark.operators.dedup import simhash_near_duplicates
+
+    df = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        df, "text", "doc_id", max_hamming=3, k=2, max_bucket=100_000,
+        portable=True,
+    )
+
+
 def q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(event_type, column) Tukey-fence outlier counts — exact
     percentile quantiles are bit-equal to DuckDB quantile_cont, so the
@@ -585,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample_documents": q_quota_sample_documents,
         "iqr_outliers_events": q_iqr_outliers_events,
         "minhash_portable_near_dups": q_minhash_portable_near_dups,
+        "simhash_portable_near_dups": q_simhash_portable_near_dups,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
     }
@@ -1205,6 +1219,57 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN shared ON shared.doc_id = d.doc_id
 """,
         "minhash_portable_near_dups": _minhash_portable_sql(),
+        "simhash_portable_near_dups": """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS i
+  ) t
+  WHERE length(trim(text)) > 0
+), win AS (
+  SELECT a.doc_id, a.i AS s, string_agg(b.tok, ' ' ORDER BY b.i) AS sh
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 1
+  GROUP BY a.doc_id, a.i HAVING COUNT(*) = 2
+), shd AS (
+  SELECT DISTINCT doc_id, sh FROM win
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(sh, ''),
+             c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*37+b) % 2147483647)
+           * 2147483648
+         + list_reduce(list_transform(string_split_regex(sh, ''),
+             c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % 2147483647) AS h
+  FROM shd
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (h.h >> CAST(b.i AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN range(62) b(i) GROUP BY doc_id, b.i
+), sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0
+                  THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                  ELSE 0 END) AS sh
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.i AS band,
+         (sh >> CAST(b.i * 8 AS INTEGER)) & 255 AS band_hash
+  FROM sim CROSS JOIN range(8) b(i)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT c.id1, c.id2,
+       CAST(bit_count(xor(s1.sh, s2.sh)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sim s1 ON s1.doc_id = c.id1
+JOIN sim s2 ON s2.doc_id = c.id2
+WHERE bit_count(xor(s1.sh, s2.sh)) <= 3
+""",
+
         "iqr_outliers_events": """
 WITH m AS (
   SELECT event_type, 'value' AS column_name, CAST(value AS DOUBLE) AS v

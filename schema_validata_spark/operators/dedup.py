@@ -332,7 +332,21 @@ def minhash_near_duplicates(
 
 # -------------------------------------------------------------- SimHash
 
-def simhash64(col: Column | str, k: int = 2) -> Column:
+def _portable_hash62(col: Column | str, k: int) -> Column:
+    """62-bit SQL-replicable shingle hash: two polynomial rolling hashes
+    (bases 31 and 37, each 31 bits) packed ``h37·2^31 + h31`` — enough
+    populated bits for SimHash voting; bits 62–63 are always 0, so the
+    vote sum for them is −n and they never set (identically in SQL)."""
+    from schema_validata_spark.operators.text import portable_shingle_hashes
+
+    h31 = portable_shingle_hashes(col, k, base=31)
+    h37 = portable_shingle_hashes(col, k, base=37)
+    return F.zip_with(
+        h37, h31, lambda a, b: a * F.lit(1 << 31).cast("long") + b
+    )
+
+
+def simhash64(col: Column | str, k: int = 2, portable: bool = False) -> Column:
     """64-bit SimHash over k-token shingle hashes — sign of the per-bit
     vote sum, assembled as a bigint.
 
@@ -343,7 +357,7 @@ def simhash64(col: Column | str, k: int = 2) -> Column:
     mask-array dot product for bits 0–62 plus an explicit sign-bit term,
     staying inside signed-long range (ANSI overflow-safe).
     """
-    hashes = shingle_hashes(col, k)
+    hashes = _portable_hash62(col, k) if portable else shingle_hashes(col, k)
     masks = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign
     MASKS = F.array(*[F.lit(m).cast("long") for m in masks])
     POW2 = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
@@ -386,6 +400,7 @@ def simhash_near_duplicates(
     k: int = 2,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
     any pair with hamming ≤ 7 shares a band) → verify exact hamming via
@@ -398,7 +413,8 @@ def simhash_near_duplicates(
     from schema_validata_spark.operators.text import token_count
 
     sim = df.filter(token_count(F.col(text_col)) >= k).select(
-        F.col(id_col).alias("id"), simhash64(text_col, k).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash64(text_col, k, portable=portable).alias("sh"),
     )
     bands_df = sim.select(
         "id",

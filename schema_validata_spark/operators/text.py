@@ -363,7 +363,9 @@ def vocab_stats(
     )
 
 
-def portable_shingle_hashes(col: Column | str, k: int = 5) -> Column:
+def portable_shingle_hashes(
+    col: Column | str, k: int = 5, base: int = 31
+) -> Column:
     """Polynomial rolling hash (base 31, mod 2^31−1) of each k-shingle —
     a SQL-replicable alternative to :func:`shingle_hashes`: the per-char
     fold ``h = (31·h + codepoint) % M`` is expressible in DuckDB as
@@ -381,6 +383,6 @@ def portable_shingle_hashes(col: Column | str, k: int = 5) -> Column:
         lambda s: F.aggregate(
             F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
             F.lit(0).cast("long"),
-            lambda acc, c: F.pmod(acc * 31 + c, F.lit(M)),
+            lambda acc, c: F.pmod(acc * base + c, F.lit(M)),
         ),
     )

@@ -247,3 +247,23 @@ def test_portable_minhash_finds_planted_pairs(spark):
     ).collect()
     pairs = {(r["id1"], r["id2"]) for r in out}
     assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+def test_portable_simhash_finds_planted_pairs(spark):
+    from schema_validata_spark.operators.dedup import simhash_near_duplicates
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base.replace("tok30", "changed")),  # tiny perturbation
+            (3, " ".join(f"other{i}" for i in range(60))),
+        ],
+    )
+    out = simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=8, k=2, max_bucket=10_000,
+        portable=True,
+    ).collect()
+    pairs = {(r["id1"], r["id2"]) for r in out}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
