@@ -1,0 +1,97 @@
+"""Property tests for the round-2 pipeline operators: chunk_dedup,
+contamination_check, and quota_sample each checked against a pure-Python
+model over randomized small corpora (the same model-based strategy the
+NA/violation property tests use)."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from schema_validata_spark.operators.dedup import chunk_dedup, contamination_check
+from schema_validata_spark.operators.sampling import quota_sample
+
+# small vocab → collisions/shared chunks actually happen
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _py_chunks(text, w):
+    toks = text.strip().lower().split() if text and text.strip() else []
+    return [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_corpus, w=st.sampled_from([2, 3]), max_docs=st.sampled_from([1, 2]))
+def test_chunk_dedup_matches_python_model(spark, docs, w, max_docs):
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    chunks = {i: _py_chunks(t, w) for i, t in rows}
+    from collections import Counter
+
+    docfreq = Counter()
+    for i, cs in chunks.items():
+        for c in set(cs):
+            docfreq[c] += 1
+    frequent = {c for c, n in docfreq.items() if n > max_docs}
+    want = {
+        i: (
+            " ".join(c for c in cs if c not in frequent),
+            len(cs),
+            sum(1 for c in cs if c in frequent),
+        )
+        for i, cs in chunks.items()
+    }
+
+    got = {
+        r["id"]: (r["clean_text"], r["n_chunks"], r["n_removed"])
+        for r in chunk_dedup(df, "text", "doc_id", window=w, max_docs=max_docs).collect()
+    }
+    assert got == want
+
+
+def _py_shingles(text, k):
+    toks = text.strip().lower().split() if text and text.strip() else []
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(train=_corpus, bench=_corpus, k=st.sampled_from([2, 3]))
+def test_contamination_matches_python_model(spark, train, bench, k):
+    tr = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+    be = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    bench_sh = set().union(*(_py_shingles(t, k) for t in bench)) if bench else set()
+    want = {
+        i: (len(_py_shingles(t, k)), len(_py_shingles(t, k) & bench_sh))
+        for i, t in enumerate(train)
+    }
+    got = {
+        r["id"]: (r["n_shingles"], r["n_shared"])
+        for r in contamination_check(tr, "text", "doc_id", be, k=k).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["x", "y", "z"])),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    n=st.sampled_from([1, 2, 3]),
+)
+def test_quota_sample_matches_python_model(spark, rows, n):
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = set()
+    for lang in {l for _, l in rows}:
+        ids = sorted(i for i, l in rows if l == lang)
+        want.update((i, lang) for i in ids[:n])
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in quota_sample(df, "lang", n, "doc_id").collect()
+    }
+    assert got == want
