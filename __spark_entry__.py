@@ -515,6 +515,15 @@ def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, "text", "doc_id", bench, k=5)
 
 
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram mean log-probability + perplexity per doc —
+    the LM-perplexity quality-filter shape with an exact SQL oracle."""
+    from schema_validata_spark.operators.text import unigram_logprob
+
+    df = _read(spark, sf_dir, "documents")
+    return unigram_logprob(df, "text", "doc_id")
+
+
 def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary by term frequency with exact document
     frequency — deterministic cut via the total (tf DESC, token ASC)
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "vocab_stats_documents": q_vocab_stats_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "contamination_documents": q_contamination_documents,
         "quota_sample_documents": q_quota_sample_documents,
         "iqr_outliers_events": q_iqr_outliers_events,
@@ -1297,6 +1307,30 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn <= 40
+""",
+        "unigram_logprob_documents": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+), tot AS (
+  SELECT SUM(tf) AS t FROM vocab
+), per_doc AS (
+  SELECT toks.doc_id,
+         COUNT(*) AS n_tokens,
+         round(AVG(ln(CAST(v.tf AS DOUBLE) / CAST(tot.t AS DOUBLE))), 6)
+           AS avg_logprob,
+         round(exp(-AVG(ln(CAST(v.tf AS DOUBLE) / CAST(tot.t AS DOUBLE)))), 6)
+           AS perplexity
+  FROM toks JOIN vocab v USING (token) CROSS JOIN tot
+  GROUP BY toks.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.avg_logprob, p.perplexity
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
 """,
         "vocab_stats_documents": """
 WITH toks AS (

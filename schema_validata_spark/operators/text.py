@@ -386,3 +386,57 @@ def portable_shingle_hashes(
             lambda acc, c: F.pmod(acc * base + c, F.lit(M)),
         ),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability and perplexity — the
+    expression-level stand-in for the LM-perplexity quality filter every
+    training pipeline runs (swap the unigram table for real LM scores at
+    deploy time; the Spark plumbing is identical).
+
+    ``(id, n_tokens, avg_logprob, perplexity)`` where ``p(tok) =
+    tf/total`` from ``vocab_df`` (``token, tf``) or, by default, from
+    the corpus itself (self-perplexity — surfaces outlier documents).
+    Out-of-vocabulary tokens get the floor probability ``1/total``.
+
+    Plan shape: one explode + token-keyed vocab aggregate (or the
+    supplied table), the vocab broadcast size-gated back onto the token
+    stream (vocabularies are tiny relative to any corpus), one
+    groupBy(id). The corpus-total token count is a one-row aggregate
+    collected driver-side and folded in as a literal — deterministic,
+    no second scan of the wide table.
+    """
+    from schema_validata_spark.functions.joins import maybe_broadcast
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    if vocab_df is None:
+        vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    else:
+        vocab = vocab_df.select("token", "tf")
+    total = vocab.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 1
+    scored = toks.join(maybe_broadcast(vocab), "token", "left").select(
+        "id",
+        F.log(
+            F.coalesce(F.col("tf"), F.lit(1)).cast("double") / F.lit(float(total))
+        ).alias("lp"),
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        "avg_logprob",
+        "perplexity",
+    )

@@ -267,3 +267,31 @@ def test_portable_simhash_finds_planted_pairs(spark):
     ).collect()
     pairs = {(r["id1"], r["id2"]) for r in out}
     assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+# ----------------------------------------------------- unigram logprob
+
+def test_unigram_logprob_model(spark):
+    import math
+    from schema_validata_spark.operators.text import unigram_logprob
+
+    docs = _docs(spark, [(1, "a a b"), (2, "b c"), (3, ""), (4, None)])
+    # corpus: a×2 b×2 c×1, total 5
+    out = {r["id"]: r for r in unigram_logprob(docs, "text", "doc_id").collect()}
+    exp1 = (math.log(2 / 5) * 2 + math.log(2 / 5)) / 3
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_logprob"] - round(exp1, 6)) < 1e-9
+    assert abs(out[1]["perplexity"] - round(math.exp(-exp1), 6)) < 1e-6
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] is None
+    assert out[4]["n_tokens"] == 0
+
+
+def test_unigram_logprob_external_vocab_oov_floor(spark):
+    import math
+    from schema_validata_spark.operators.text import unigram_logprob
+
+    docs = _docs(spark, [(1, "known unknown")])
+    vocab = spark.createDataFrame([("known", 9)], "token string, tf long")
+    r = unigram_logprob(docs, "text", "doc_id", vocab_df=vocab).collect()[0]
+    exp = (math.log(9 / 9) + math.log(1 / 9)) / 2  # OOV floor = 1/total
+    assert abs(r["avg_logprob"] - round(exp, 6)) < 1e-9
