@@ -1,6 +1,6 @@
 """End-to-end training-data pipeline example: validate → quality-filter
-→ near-dedup → span scrub → decontaminate → profile, all engine
-operators, one script.
+→ near-dedup → span scrub → decontaminate → quota-sample → perplexity
+audit → training shards → profile, all engine operators, one script.
 
 Run (local smoke):
 
@@ -82,7 +82,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"decontamination: {deduped.count()} -> {clean.count()} docs")
 
-    # 4. observed profile of the surviving corpus
+    # 4. per-language quota, perplexity audit, and the final shards
+    from schema_validata_spark import quota_sample, write_training_shards
+    from schema_validata_spark.operators.text import unigram_logprob
+    import tempfile
+
+    capped = quota_sample(clean, "lang", 200, "doc_id")
+    ppl = unigram_logprob(capped, "text", "doc_id")
+    row = ppl.agg(F.round(F.avg("perplexity"), 2).alias("p")).collect()[0]
+    print(f"quota cap: {clean.count()} -> {capped.count()} docs; "
+          f"mean self-perplexity {row['p']}")
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    write_training_shards(capped, shard_dir, shard_rows=100, order_col="doc_id")
+    import glob
+    print(f"shards: {len(glob.glob(shard_dir + '/*.parquet'))} files -> {shard_dir}")
+
+    # 5. observed profile of the surviving corpus
     dd = build_data_dictionary(deduped, ["doc_id", "lang"])
     print("observed lang type:", dd["lang"]["data_type"],
           "| doc_id unique:", dd["doc_id"]["unique_value"])

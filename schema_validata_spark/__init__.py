@@ -54,6 +54,7 @@ from schema_validata_spark.sources.io import (
     get_byte_units,
     get_file_metadata,
     read_table,
+    write_training_shards,
     write_validation_outputs,
     write_xlsx_report,
 )
@@ -120,6 +121,7 @@ __all__ = [
     "get_byte_units",
     "get_file_metadata",
     "read_table",
+    "write_training_shards",
     "write_validation_outputs",
     "write_xlsx_report",
     "write_xlsx",

@@ -205,3 +205,41 @@ def get_file_metadata(spark: SparkSession, file_path: str) -> dict[str, dict]:
             "modified": datetime.fromtimestamp(statinfo.st_mtime).isoformat(),
         }
     return out
+
+
+def write_training_shards(
+    df,
+    path: str,
+    fmt: str = "parquet",
+    shard_rows: int = 100_000,
+    order_col: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write a cleaned corpus as bounded training shards — the terminal
+    step of the pipeline (validate → filter → dedup → sample → SHARDS).
+
+    ``shard_rows`` bounds every output file via
+    ``spark.sql.files.maxRecordsPerFile`` (loaders stream fixed-size
+    shards without straggler files); ``order_col`` range-repartitions and
+    sorts so shard CONTENTS are a pure function of the data, not of the
+    upstream partitioning — reruns and resumes produce identical shards
+    for identical input, which is what makes a training run's data
+    provenance auditable. ``partition_by`` adds hive-style directory
+    partitioning (e.g. by ``lang``) for partition-pruned reads.
+
+    Formats: ``parquet`` (default) or ``json`` (newline-delimited — the
+    common text-corpus interchange). Returns ``path``.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {fmt}")
+    out = df
+    if order_col is not None:
+        import math as _math
+
+        n = max(1, _math.ceil(out.count() / shard_rows))
+        out = out.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
+    writer = out.write.mode("overwrite").option("maxRecordsPerFile", shard_rows)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+    return path

@@ -295,3 +295,41 @@ def test_unigram_logprob_external_vocab_oov_floor(spark):
     r = unigram_logprob(docs, "text", "doc_id", vocab_df=vocab).collect()[0]
     exp = (math.log(9 / 9) + math.log(1 / 9)) / 2  # OOV floor = 1/total
     assert abs(r["avg_logprob"] - round(exp, 6)) < 1e-9
+
+
+# -------------------------------------------------------- shard writer
+
+def test_write_training_shards_roundtrip_and_bounds(spark, tmp_path):
+    from schema_validata_spark.sources.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 == 0 else "de") for i in range(1000)],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(df, p, shard_rows=100, order_col="doc_id")
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(1000))
+    import glob
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) >= 10  # 1000 rows / 100 per shard
+    # every file respects the bound
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
+
+    # deterministic shard contents: same data, shuffled partitioning
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(13), p2, shard_rows=100, order_col="doc_id")
+    a = [tuple(sorted(r["doc_id"] for r in spark.read.parquet(f).collect()))
+         for f in sorted(glob.glob(p + "/*.parquet"))]
+    b = [tuple(sorted(r["doc_id"] for r in spark.read.parquet(f).collect()))
+         for f in sorted(glob.glob(p2 + "/*.parquet"))]
+    assert sorted(a) == sorted(b)
+
+    # json + hive partitioning
+    p3 = str(tmp_path / "shards_json")
+    write_training_shards(df, p3, fmt="json", shard_rows=400, partition_by=["lang"])
+    back3 = spark.read.json(p3)
+    assert back3.count() == 1000
+    assert set(r["lang"] for r in back3.select("lang").distinct().collect()) == {"en", "de"}
