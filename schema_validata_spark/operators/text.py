@@ -410,6 +410,13 @@ def unigram_logprob(
     groupBy(id). The corpus-total token count is a one-row aggregate
     collected driver-side and folded in as a literal — deterministic,
     no second scan of the wide table.
+
+    Self-training the vocab inside this call re-derives it in both the
+    total-count aggregate and the scoring join (three corpus scans in
+    all — Spark does not share unpersisted subplans). At corpus scale
+    pass ``vocab_df`` from a persisted table (one ``vocab_stats``-style
+    job) and the whole operator is a single scan of the corpus — the
+    same persisted-baseline pattern the drift checks use.
     """
     from schema_validata_spark.functions.joins import maybe_broadcast
 

@@ -333,3 +333,16 @@ def test_write_training_shards_roundtrip_and_bounds(spark, tmp_path):
     back3 = spark.read.json(p3)
     assert back3.count() == 1000
     assert set(r["lang"] for r in back3.select("lang").distinct().collect()) == {"en", "de"}
+
+
+def test_quota_sample_null_stratum_and_order(spark):
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    rows = [(1, "en"), (2, None), (3, None), (4, None), (5, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sorted(
+        ((r["lang"] or "", r["doc_id"]))
+        for r in quota_sample(df, "lang", 2, "doc_id").collect()
+    )
+    # NULL strata form their own partition and obey the quota
+    assert out == [("", 2), ("", 3), ("en", 1), ("en", 5)]
