@@ -489,6 +489,16 @@ def q_iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document packing via the two-phase distributed
+    prefix sum — the oracle is the single-partition global window cumsum
+    the scalable formulation must equal exactly."""
+    from schema_validata_spark.operators.sampling import pack_documents
+
+    df = _read(spark, sf_dir, "documents")
+    return pack_documents(df, "text", "doc_id", token_budget=2048, n_buckets=16)
+
+
 def q_quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota cap (40 docs per lang by doc_id
     order) — the corpus-construction subset step; row_number windows are
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "contamination_documents": q_contamination_documents,
         "quota_sample_documents": q_quota_sample_documents,
+        "pack_documents": q_pack_documents,
         "iqr_outliers_events": q_iqr_outliers_events,
         "minhash_portable_near_dups": q_minhash_portable_near_dups,
         "simhash_portable_near_dups": q_simhash_portable_near_dups,
@@ -1300,6 +1311,23 @@ SELECT m.event_type, m.column_name,
          AS n_outliers
 FROM m JOIN f USING (event_type, column_name)
 GROUP BY m.event_type, m.column_name, f.q1, f.q3
+""",
+        "pack_documents": """
+WITH t AS (
+  SELECT doc_id AS id,
+         CASE WHEN length(trim(text)) = 0 OR text IS NULL THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS pack_id
+FROM c
 """,
         "quota_sample_documents": """
 SELECT doc_id, lang, n_chars FROM (

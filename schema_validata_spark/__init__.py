@@ -82,7 +82,7 @@ from schema_validata_spark.operators.integrity import (
     referenced_columns_in_rule,
 )
 from schema_validata_spark.functions.joins import maybe_broadcast, plan_size_bytes
-from schema_validata_spark.operators.sampling import quota_sample
+from schema_validata_spark.operators.sampling import pack_documents, quota_sample
 
 __all__ = [
     "is_na",
@@ -143,6 +143,7 @@ __all__ = [
     "extract_primary_table",
     "referenced_columns_in_rule",
     "maybe_broadcast",
+    "pack_documents",
     "quota_sample",
     "iqr_outlier_counts",
     "plan_size_bytes",

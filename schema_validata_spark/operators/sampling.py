@@ -42,3 +42,78 @@ def quota_sample(
         .filter(F.col("__rn") <= int(n_per_stratum))
         .drop("__rn")
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs:
+    ``(id, n_tokens, start_offset, pack_id)`` where ``start_offset`` is
+    the exclusive prefix sum of token counts in ``id`` order (numeric
+    ids) and ``pack_id = start_offset // token_budget`` — the
+    deterministic "concatenate into ~budget-token sequences" step of
+    corpus construction (docs are never split; a doc belongs to the
+    pack where it starts).
+
+    The naive formulation is a GLOBAL window cumsum — a single-partition
+    sort that cannot scale. This is the two-phase prefix sum instead:
+
+    1. bucket boundaries = exact id percentiles, collected once and
+       folded back as LITERALS (so the bucketing is a pure function of
+       the data — a ``spark_partition_id()``-after-``repartitionByRange``
+       formulation was rejected because the range sampler may bucket
+       differently when the plan re-executes for the output job);
+    2. per-bucket window cumsum — parallel across ``n_buckets``;
+    3. bucket totals (n_buckets rows) collected driver-side, exclusive
+       prefix folded back as a literal map.
+
+    ``local_cumsum + prefix(earlier buckets)`` equals the global prefix
+    sum exactly because buckets are id-disjoint and ordered.
+    """
+    from pyspark.sql import Window
+
+    from schema_validata_spark.operators.text import token_count
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.select(
+        F.percentile(F.col(id_col).cast("double"), F.lit(qs)).alias("q")
+    ).collect()[0]["q"] or []
+    b_expr = F.lit(0)
+    for t in bounds:
+        b_expr = b_expr + F.when(
+            F.col("id").cast("double") > F.lit(float(t)), 1
+        ).otherwise(0)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        # NULL text counts as 0 tokens — a NULL would poison the prefix
+        # sum (sum() skips it, leaving the doc's offset undefined)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
+    ).withColumn("_b", b_expr)
+    w = Window.partitionBy("_b").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = sorted(
+        (r["_b"], r["t"])
+        for r in local.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    prefix, acc = {}, 0
+    for b, t in totals:
+        prefix[b] = acc
+        acc += int(t or 0)
+    pmap = (
+        F.create_map(*[F.lit(x) for bt in prefix.items() for x in bt])
+        if prefix
+        else F.create_map()
+    )
+    off = F.col("_cum") - F.col("n_tokens") + pmap[F.col("_b")]
+    return local.select(
+        "id",
+        "n_tokens",
+        off.cast("long").alias("start_offset"),
+        F.floor(off / F.lit(int(token_budget))).cast("long").alias("pack_id"),
+    )

@@ -346,3 +346,30 @@ def test_quota_sample_null_stratum_and_order(spark):
     )
     # NULL strata form their own partition and obey the quota
     assert out == [("", 2), ("", 3), ("en", 1), ("en", 5)]
+
+
+# ------------------------------------------------------- doc packing
+
+def test_pack_documents_prefix_sum_model(spark):
+    from schema_validata_spark.operators.sampling import pack_documents
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"t{j}" for j in range(3 + i % 5))) for i in range(60)]
+        + [(100, ""), (101, None)],
+    )
+    toks = {i: 3 + i % 5 for i in range(60)}
+    toks[100] = 0
+    toks[101] = 0
+    cum, want = 0, {}
+    for i in sorted(toks):
+        want[i] = (toks[i], cum, cum // 10)
+        cum += toks[i]
+    for nb in (1, 4, 16):  # bucketing must never change the result
+        got = {
+            r["id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+            for r in pack_documents(
+                docs, "text", "doc_id", token_budget=10, n_buckets=nb
+            ).collect()
+        }
+        assert got == want
