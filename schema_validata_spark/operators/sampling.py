@@ -79,13 +79,18 @@ def pack_documents(
     from schema_validata_spark.operators.text import token_count
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.select(
-        F.percentile(F.col(id_col).cast("double"), F.lit(qs)).alias("q")
-    ).collect()[0]["q"] or []
+    raw_bounds = df.select(
+        F.percentile(F.col(id_col).try_cast("double"), F.lit(qs)).alias("q")
+    ).collect()[0]["q"]
+    # non-numeric ids cast to NULL → no usable boundaries → everything
+    # lands in one bucket: still CORRECT (the single-bucket case is the
+    # plain global window), just not parallel — numeric ids recommended
+    bounds = [t for t in (raw_bounds or []) if t is not None]
     b_expr = F.lit(0)
     for t in bounds:
+        # try_cast: ANSI mode THROWS on a plain cast of non-numeric ids
         b_expr = b_expr + F.when(
-            F.col("id").cast("double") > F.lit(float(t)), 1
+            F.col("id").try_cast("double") > F.lit(float(t)), 1
         ).otherwise(0)
     base = df.select(
         F.col(id_col).alias("id"),

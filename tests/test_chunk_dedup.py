@@ -373,3 +373,17 @@ def test_pack_documents_prefix_sum_model(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_pack_documents_string_ids_degrade_gracefully(spark):
+    from schema_validata_spark.operators.sampling import pack_documents
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q"), ("c", "m")], "doc_id string, text string"
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+        for r in pack_documents(docs, "text", "doc_id", token_budget=4).collect()
+    }
+    # single bucket, id (string) order a < b < c
+    assert got == {"a": (3, 0, 0), "b": (2, 3, 0), "c": (1, 5, 1)}
