@@ -1,6 +1,6 @@
 """End-to-end training-data pipeline example: validate → quality-filter
 → near-dedup → span scrub → decontaminate → quota-sample → perplexity
-audit → training shards → profile, all engine operators, one script.
+audit → token packing → training shards → profile, all engine operators, one script.
 
 Run (local smoke):
 
@@ -92,6 +92,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     row = ppl.agg(F.round(F.avg("perplexity"), 2).alias("p")).collect()[0]
     print(f"quota cap: {clean.count()} -> {capped.count()} docs; "
           f"mean self-perplexity {row['p']}")
+    from schema_validata_spark import pack_documents
+
+    packs = pack_documents(capped, "text", "doc_id", token_budget=4096)
+    n_packs = packs.agg(F.max("pack_id")).collect()[0][0] + 1
+    print(f"packing: {capped.count()} docs -> {n_packs} x 4096-token packs")
     shard_dir = tempfile.mkdtemp(prefix="shards_")
     write_training_shards(capped, shard_dir, shard_rows=100, order_col="doc_id")
     import glob
