@@ -162,6 +162,13 @@ def minhash_bands(
     project collapsing would inline the full signature aggregate into
     every one of the ``bands`` hash expressions.
     """
+    if not (1 <= bands <= num_perm) or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands}): bands > num_perm degenerates every band "
+            "key to the empty slice, and a non-divisor silently drops "
+            "trailing permutations"
+        )
     rows = num_perm // bands
     sig = minhash_signature(text_col, num_perm, k, portable=portable)
     bands_arr = F.flatten(
@@ -294,9 +301,15 @@ def jaccard_pairs(
         .select(
             "id1",
             "id2",
+            # try_divide: a pair where both docs have ZERO shingles
+            # (possible when callers pass arbitrary pairs) would give
+            # 0/0 = NaN, and NaN >= threshold is TRUE in Spark — NULL
+            # fails the gate instead
             F.round(
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2")).cast("double"),
+                F.try_divide(
+                    F.size(F.array_intersect("sh1", "sh2")).cast("double"),
+                    F.size(F.array_union("sh1", "sh2")).cast("double"),
+                ),
                 6,
             ).alias("jaccard"),
         )

@@ -98,9 +98,14 @@ def pack_documents(
         # sum (sum() skips it, leaving the doc's offset undefined)
         F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
     ).withColumn("_b", b_expr)
-    w = Window.partitionBy("_b").orderBy("id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the window MUST order by the SAME key the buckets were cut on
+    # (the double cast), else numeric-valued STRING ids would bucket
+    # numerically but cumsum lexicographically — offsets would change
+    # with n_buckets; raw id breaks ties (and orders the all-NULL-cast
+    # single-bucket fallback)
+    w = Window.partitionBy("_b").orderBy(
+        F.col("id").try_cast("double"), "id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = base.withColumn("_cum", F.sum("n_tokens").over(w))
     totals = sorted(
         (r["_b"], r["t"])

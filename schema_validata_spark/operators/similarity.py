@@ -225,8 +225,15 @@ def train_ivf_centroids(
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
     for _ in range(iters):
-        norm_s = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-        norm_c = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        # zero-vector guard: a zero embedding picked as an init centroid
+        # would make its norm column NaN, and np.argmax returns the index
+        # of the FIRST NaN — every point would collapse into that cluster
+        ns = np.linalg.norm(sample, axis=1, keepdims=True)
+        nc = np.linalg.norm(cent, axis=1, keepdims=True)
+        ns[ns == 0] = 1.0
+        nc[nc == 0] = 1.0
+        norm_s = sample / ns
+        norm_c = cent / nc
         assign = (norm_s @ norm_c.T).argmax(axis=1)
         for j in range(len(cent)):
             members = sample[assign == j]

@@ -35,19 +35,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _WS = r"\s+"
 
 
+def _strip_ws(c: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. ``F.trim`` removes only
+    ASCII spaces — a leading tab/newline would survive it and ``split``
+    on ``\\s+`` would then emit a phantom empty first token, corrupting
+    token counts and every shingle-based signature."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed, lowercased text; empty text
-    yields an EMPTY array (Spark's split('') yields [''], size 1, which
-    would defeat the n > 0 empty-doc guards downstream).
+    """Whitespace tokens of the fully-stripped, lowercased text; empty
+    text yields an EMPTY array (Spark's split('') yields [''], size 1,
+    which would defeat the n > 0 empty-doc guards downstream).
 
     Implemented as ``when(empty, []) otherwise split(...)`` rather than a
-    ``filter`` HOF: after ``trim``, ``split`` on ``\\s+`` can never emit
-    an interior/edge empty token, so the two are equivalent — but a
-    filter lambda is INTERPRETED (no codegen, no CSE) and every text
-    operator references tokens() several times; the HOF form measured a
-    5× regression on the shingle-based dedup bench."""
+    ``filter`` HOF: after stripping edge whitespace, ``split`` on
+    ``\\s+`` can never emit an interior/edge empty token, so the two are
+    equivalent — but a filter lambda is INTERPRETED (no codegen, no CSE)
+    and every text operator references tokens() several times; the HOF
+    form measured a 5× regression on the shingle-based dedup bench."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = _strip_ws(c)
     return F.when(
         F.length(t) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.lower(t), _WS))
@@ -56,9 +64,10 @@ def tokens(col: Column | str) -> Column:
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (long)."""
     c = F.col(col) if isinstance(col, str) else col
+    t = _strip_ws(c)
     return F.when(
-        F.length(F.trim(c)) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(c), _WS))).cast("long")
+        F.length(t) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(t, _WS))).cast("long")
 
 
 def bpe_token_estimate(col: Column | str) -> Column:
@@ -67,7 +76,9 @@ def bpe_token_estimate(col: Column | str) -> Column:
     whitespace)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.greatest(
-        F.ceil(F.length(F.trim(c)) / F.lit(BPE_CHARS_PER_TOKEN)).cast("long"),
+        F.ceil(
+            F.length(_strip_ws(c)) / F.lit(BPE_CHARS_PER_TOKEN)
+        ).cast("long"),
         token_count(c),
     )
 

@@ -387,3 +387,66 @@ def test_pack_documents_string_ids_degrade_gracefully(spark):
     }
     # single bucket, id (string) order a < b < c
     assert got == {"a": (3, 0, 0), "b": (2, 3, 0), "c": (1, 5, 1)}
+
+
+# ------------------------------------------- review-round regressions
+
+def test_tokens_strip_non_space_whitespace(spark):
+    from schema_validata_spark.operators.text import tokens, token_count
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("\nfoo bar",), ("\t",), ("  ok  ",)], "x string")
+    rows = df.select(tokens("x").alias("t"), token_count("x").alias("n")).collect()
+    assert [r["t"] for r in rows] == [["foo", "bar"], [], ["ok"]]
+    assert [r["n"] for r in rows] == [2, 0, 1]
+
+
+def test_jaccard_pairs_zero_shingle_pair_is_dropped(spark):
+    from schema_validata_spark.operators.dedup import jaccard_pairs
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark, [(1, "x"), (2, "y")])  # < k tokens → no shingles
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    out = jaccard_pairs(pairs, docs, "text", "doc_id", k=5)
+    r = out.collect()[0]
+    assert r["jaccard"] is None  # NOT NaN (NaN >= t is TRUE in Spark)
+    assert out.filter(F.col("jaccard") >= 0.1).count() == 0
+
+
+def test_minhash_bands_validates_band_count(spark):
+    import pytest as _pytest
+    from schema_validata_spark.operators.dedup import minhash_bands
+
+    docs = _docs(spark, [(1, "a b c d e f")])
+    with _pytest.raises(ValueError):
+        minhash_bands(docs, "text", "doc_id", num_perm=128, bands=256)
+    with _pytest.raises(ValueError):
+        minhash_bands(docs, "text", "doc_id", num_perm=128, bands=12)
+
+
+def test_ivf_training_survives_zero_vector(spark):
+    from schema_validata_spark.operators.similarity import train_ivf_centroids
+
+    rows = [(i, [float(i % 7 + 1)] * 8) for i in range(50)]
+    rows.append((99, [0.0] * 8))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    cent = train_ivf_centroids(df, "embedding", k=4, sample_rows=60, seed=1)
+    import math
+    assert len(cent) == 4
+    assert all(all(not math.isnan(x) for x in c) for c in cent)
+
+
+def test_pack_documents_numeric_string_ids_consistent_across_buckets(spark):
+    from schema_validata_spark.operators.sampling import pack_documents
+
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(f"t{j}" for j in range(2 + i % 3))) for i in range(30)],
+        "doc_id string, text string",
+    )
+    outs = []
+    for nb in (1, 4, 8):
+        outs.append(sorted(
+            (r["id"], r["start_offset"], r["pack_id"])
+            for r in pack_documents(docs, "text", "doc_id", 7, n_buckets=nb).collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
