@@ -22,7 +22,7 @@ Scale notes: the rule-aggregate pass is one scan, column-pruned; exact
 column) — fine for a handful of unique-rule columns; tables with many
 unique-rule columns should use operators/duplicates.py per column
 (salted two-phase) instead, which the validate plan does automatically
-when ``len(unique_cols) > MAX_INLINE_DISTINCT``.
+when ``len(unique_cols) > MAX_INLINE_DISTINCT`` (implemented in plans/validate.py via ``include_distinct=False`` + ``duplicate_group_stats``).
 """
 
 from __future__ import annotations
@@ -99,11 +99,21 @@ class Verdict:
         return not self.passed
 
 
-def rule_agg_columns(df: DataFrame, spec: TableSpec) -> list:
+def rule_agg_columns(
+    df: DataFrame, spec: TableSpec, include_distinct: bool = True
+) -> list:
     """The V6–V8 counter aggregate expressions, aliased
     ``<column>::<counter>`` — composable into any aggregation (the
     validate plan embeds them into the Stage-A rollup so verdict inputs
-    cost ONE plan and ONE scan total)."""
+    cost ONE plan and ONE scan total).
+
+    ``include_distinct=False`` omits the per-column ``count_distinct`` /
+    ``nonnull`` pair — the validate plan sets it when
+    ``len(unique_cols) > MAX_INLINE_DISTINCT``: each inlined
+    ``count_distinct`` adds an Expand on top of the rollup's
+    grouping-set Expand, so many unique-rule columns multiply the
+    scanned rows; the gated path derives exact distincts from ONE
+    melted salted-hash job (``duplicate_group_stats``) instead."""
     aggs = []
     present = set(df.columns)
     for cs in spec.columns:
@@ -119,7 +129,7 @@ def rule_agg_columns(df: DataFrame, spec: TableSpec) -> list:
         if cs.allowed_value_list is not None:
             bad = unallowed_violation(cs.field_name, cs.allowed_value_list)
             aggs.append(F.sum(bad.cast("long")).alias(f"{cs.field_name}::unallowed"))
-        if cs.unique_value:
+        if cs.unique_value and include_distinct:
             # RAW value distinct (reference ``duplicated()`` semantics,
             # src/schema_validata.py:1868) — must match the raw-column
             # grouping in operators/duplicates.py, or a column holding

@@ -61,9 +61,15 @@ def extract_violations(
     observed_value, level)``; empty when nothing failed.
     """
     if failed is None:
+        # only columns PRESENT in the frame: a spec column absent from
+        # the dataset is a V1 verdict concern, not a violation source —
+        # referencing it here would crash the fused projection with
+        # UNRESOLVED_COLUMN (hit via resumable_violations' default mode)
+        present = set(df.columns)
         pairs = [
             (cs.field_name, r)
             for cs in spec.columns
+            if cs.field_name in present
             for r in cs.active_rules()
         ]
     else:

@@ -25,6 +25,8 @@ partition and append to a sink partitioned by the same column.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
 from schema_validata_spark.operators.duplicates import duplicate_group_stats
@@ -47,6 +49,8 @@ from schema_validata_spark.plans.manifest import (
 )
 from schema_validata_spark.plans.validate import TableValidation
 from schema_validata_spark.sources.spec import TableSpec
+
+logger = logging.getLogger(__name__)
 
 
 def resumable_validate_table(
@@ -77,7 +81,16 @@ def resumable_validate_table(
     # global row of this scan covers only remaining data and is unused —
     # the true global comes from the driver-side merge below).
     _, fresh_parts = collect_rollup_stats(
-        stats_rollup_df(remaining, partition_col, spec_cols),
+        # with_approx_distinct=False for the same reasons validate_table
+        # sets it: approx_count_distinct (ImperativeAggregate) disables
+        # whole-stage codegen for the entire rollup AND forces raw
+        # (possibly multi-KB) columns into the prep row buffer; nothing
+        # in the resume path reads the estimate (unique rules use the
+        # exact dup aggregate below, and the per-partition merge would
+        # only SUM the sketchless estimates anyway)
+        stats_rollup_df(
+            remaining, partition_col, spec_cols, with_approx_distinct=False
+        ),
         partition_col,
         dtypes,
     )
@@ -106,6 +119,23 @@ def resumable_validate_table(
         for c in spec_cols
         if any(c in p for p in all_parts.values())
     }
+    if not all_parts and spec_cols:
+        # EMPTY table: rollup over zero rows emits no rows at all, so no
+        # manifests and no merged stats exist — but an empty table must
+        # still produce the full global verdict set (a length rule FAILS
+        # on an all-null column per reference :2232–2263). Mirror
+        # validate_table's fallback: one plain agg (returns one n=0 row).
+        from schema_validata_spark.operators.stats import (
+            _row_to_stats,
+            stats_agg_df,
+        )
+
+        agged = stats_agg_df(
+            df, spec_cols, with_approx_distinct=False
+        ).collect()[0]
+        global_stats = {
+            c: _row_to_stats(c, dtypes[c], agged[c]) for c in spec_cols
+        }
 
     # Global counters: regex/unallowed/nonnull sum exactly across
     # partitions; distinct does not — unique rules get the dedicated
@@ -216,6 +246,29 @@ def resumable_violations(
             keys.append(partition_col)
         viol = extract_violations(remaining, spec, keys, failed=failed)
         spark = df.sparkSession
+        # dynamic overwrite only touches partitions PRESENT in the new
+        # output: a todo partition whose recomputed violation set is
+        # EMPTY (relaxed spec / fixed data under a new run_uid) would
+        # keep its stale files forever. Delete every todo partition dir
+        # up front — non-empty ones are rewritten, empty ones stay gone.
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                esc = jvm.org.apache.spark.sql.catalyst.catalog.                    ExternalCatalogUtils.escapePathName
+                for pval in todo:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            out_dir, f"{partition_col}={esc(pval)}"
+                        ),
+                        True,
+                    )
+        except Exception:  # pragma: no cover - FS/py4j edge
+            logger.warning(
+                "could not pre-clear todo partition dirs under %s; an "
+                "empty recompute may leave stale violation files", out_dir,
+            )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 from schema_validata_spark.operators.duplicates import (
     duplicate_counts_for_columns,
+    duplicate_group_stats,
     duplicate_value_counts,
     enumerate_duplicates,
 )
@@ -37,6 +38,7 @@ from schema_validata_spark.operators.stats import (
     stats_rollup_df,
 )
 from schema_validata_spark.operators.verdicts import (
+    MAX_INLINE_DISTINCT,
     Verdict,
     evaluate_verdicts,
     parse_rule_counts,
@@ -171,7 +173,19 @@ def validate_table(
     # efficiency, so plan count matters as much as scan count.
     # approx_count_distinct skipped: verdicts never read it, and its
     # HLL++ buffer disables whole-stage codegen for the whole aggregate.
-    rule_cols = rule_agg_columns(df, spec)
+    unique_cols_all = [
+        cs.field_name
+        for cs in spec.columns
+        if cs.unique_value and cs.field_name in df.columns
+    ]
+    # each inlined count_distinct is an extra Expand over the rollup's
+    # grouping sets — past MAX_INLINE_DISTINCT unique-rule columns the
+    # fused plan multiplies scanned rows, so exact distincts come from
+    # ONE melted salted-hash job instead (per-partition V6 verdicts are
+    # skipped under the gate: per-partition distincts do not compose and
+    # would need their own rollup Expands — documented trade)
+    inline_distinct = len(unique_cols_all) <= MAX_INLINE_DISTINCT
+    rule_cols = rule_agg_columns(df, spec, include_distinct=inline_distinct)
     # the fused rule counters reference these raw columns — keep only
     # them in the prep row (payload columns stay out of the row buffer)
     raw_needed = [
@@ -221,6 +235,23 @@ def validate_table(
         stats = {c: _row_to_stats(c, dtypes[c], agged[c]) for c in spec_cols}
         counts_global = parse_rule_counts(agged.asDict())
 
+    if not inline_distinct and unique_cols_all:
+        # gated path: one fused melted job gives exact (dup_rows,
+        # dup_groups) per column; nonnull comes from the stats struct
+        # (same rich-NA semantics) and distinct derives exactly:
+        # every duplicate group of size n contributes n rows but one
+        # distinct value → distinct = nonnull − (Σ dup_n − groups)
+        group_stats = duplicate_group_stats(df, unique_cols_all)
+        gated_dup_rows: dict[str, int] = {}
+        for col in unique_cols_all:
+            st = stats.get(col)
+            nonnull = (st.n - st.null_count) if st is not None else 0
+            dup_rows, dup_groups = group_stats.get(col, (0, 0))
+            g = counts_global.setdefault(col, {})
+            g["nonnull"] = nonnull
+            g["distinct"] = nonnull - (dup_rows - dup_groups)
+            gated_dup_rows[col] = dup_rows
+
     # Exact duplicate counts — only for unique-rule columns whose cheap
     # distinct check failed (verdict-first gating).
     dup_cols = [
@@ -231,7 +262,11 @@ def validate_table(
         and counts_global[cs.field_name].get("distinct", 0)
         < counts_global[cs.field_name].get("nonnull", 0)
     ]
-    dup_counts = duplicate_counts_for_columns(df, dup_cols) if dup_cols else {}
+    if not inline_distinct and unique_cols_all:
+        # keep=False dup counts already computed by the melted job
+        dup_counts = {c: gated_dup_rows[c] for c in dup_cols}
+    else:
+        dup_counts = duplicate_counts_for_columns(df, dup_cols) if dup_cols else {}
 
     # Stage B: verdicts, global first, then per partition.
     verdicts = evaluate_verdicts(
@@ -288,6 +323,10 @@ def validate_table(
             # it; Spark evicts LRU.
             dup_vals = duplicate_value_counts(df, list(combo)).persist()
             n_dup_vals = dup_vals.count()
+            if not n_dup_vals:
+                # nothing references the empty frame — release the cache
+                # slot instead of leaking one per duplicate-free combo
+                dup_vals.unpersist()
             if n_dup_vals:
                 violations = violations.unionByName(
                     enumerate_duplicates(

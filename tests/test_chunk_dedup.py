@@ -450,3 +450,95 @@ def test_pack_documents_numeric_string_ids_consistent_across_buckets(spark):
             for r in pack_documents(docs, "text", "doc_id", 7, n_buckets=nb).collect()
         ))
     assert outs[0] == outs[1] == outs[2]
+
+
+# ------------------------------------- validation-core review fixes
+
+def test_resumable_violations_skips_absent_spec_columns(spark, tmp_path):
+    from schema_validata_spark import load_spec_dict
+    from schema_validata_spark.plans.resume import resumable_violations
+
+    spec = load_spec_dict({
+        "t": {
+            "event_id": {"required": True, "allow_null": False},
+            "value": {"range_min": 0},
+            "ghost": {"required": False, "regex_pattern": "^x"},  # absent
+        }
+    }).tables["t"]
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = resumable_violations(
+        df, spec, key_cols=["event_id"], partition_col="event_type",
+        manifest_dir=str(tmp_path / "m"), out_dir=str(tmp_path / "v"),
+        dataset_token="tok",
+    )
+    assert r["processed_partitions"]  # ran without UNRESOLVED_COLUMN
+
+
+def test_resume_empty_table_matches_validate(spark, tmp_path):
+    from schema_validata_spark import load_spec_dict, validate_table
+    from schema_validata_spark.plans.resume import resumable_validate_table
+
+    spec = load_spec_dict({
+        "t": {
+            "a": {"required": True, "allow_null": False, "length": 5},
+            "b": {"required": True, "data_type": "Integer"},
+        }
+    }).tables["t"]
+    df = spark.createDataFrame([], "a string, b long, p string")
+    tv = validate_table(df, spec, key_cols=["a"], partition_col="p",
+                        list_errors=False)
+    rv = resumable_validate_table(
+        df, spec, partition_col="p",
+        manifest_dir=str(tmp_path / "m"), dataset_token="tok",
+    )
+    want = sorted((v.column, v.rule_id, v.passed) for v in tv.verdicts)
+    got = sorted((v.column, v.rule_id, v.passed)
+                 for v in rv.verdicts if v.partition is None)
+    assert got == want and want  # non-empty verdict set on both paths
+
+
+def test_many_unique_cols_gate_matches_inline(spark):
+    from schema_validata_spark import load_spec_dict, validate_table
+
+    cols = [f"c{i}" for i in range(10)]  # > MAX_INLINE_DISTINCT = 8
+    rows = [tuple(f"v{(r + i) % (4 if i == 0 else 50)}" for i in range(10))
+            for r in range(100)]  # c0 heavily duplicated, others unique-ish
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    spec_many = load_spec_dict({
+        "t": {c: {"unique_value": True} for c in cols}
+    }).tables["t"]
+    spec_few = load_spec_dict({
+        "t": {c: {"unique_value": True} for c in cols[:2]}
+    }).tables["t"]
+    tv_many = validate_table(df, spec_many, key_cols=[cols[0]], list_errors=False)
+    tv_few = validate_table(df, spec_few, key_cols=[cols[0]], list_errors=False)
+    many = {(v.column, v.rule_id): (v.passed, v.count) for v in tv_many.verdicts}
+    few = {(v.column, v.rule_id): (v.passed, v.count) for v in tv_few.verdicts}
+    # the gated path must agree with the inline path on shared columns
+    for key, val in few.items():
+        assert many[key] == val
+    assert many[(cols[0], "unique_value")][0] is False
+
+
+def test_resumable_violations_clears_stale_partition_files(spark, tmp_path):
+    import glob
+    from schema_validata_spark import load_spec_dict
+    from schema_validata_spark.plans.resume import resumable_violations
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    strict = load_spec_dict({
+        "t": {"event_id": {"required": True},
+              "value": {"range_min": 0, "range_max": 1}}  # fails a lot
+    }).tables["t"]
+    relaxed = load_spec_dict({
+        "t": {"event_id": {"required": True},
+              "value": {"range_min": -1e12, "range_max": 1e12}}  # passes
+    }).tables["t"]
+    out = str(tmp_path / "v")
+    resumable_violations(df, strict, ["event_id"], "event_type",
+                         out, str(tmp_path / "m1"), dataset_token="tok")
+    assert glob.glob(out + "/event_type=*/*.parquet")  # stale-to-be files
+    resumable_violations(df, relaxed, ["event_id"], "event_type",
+                         out, str(tmp_path / "m2"), dataset_token="tok")
+    # relaxed spec produces NO violations: stale partition files must be gone
+    assert not glob.glob(out + "/event_type=*/*.parquet")
