@@ -149,3 +149,17 @@ def nullify(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.when(is_na(c), F.lit(None)).otherwise(c)
+
+
+def all_non_na(cols: list[str]):
+    """Conjunction ``~is_na(c)`` over every column — the shared "all key
+    parts present" predicate used by both the FK orphan check and the
+    duplicate aggregates, so a change to NA semantics can never make the
+    two diverge."""
+    from pyspark.sql import functions as F
+
+    pred = None
+    for c in cols:
+        p = ~is_na(F.col(c))
+        pred = p if pred is None else (pred & p)
+    return pred

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from schema_validata_spark.functions.joins import maybe_broadcast
-from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.functions.nulls import all_non_na, is_na
 
 #: plan-size gate (bytes) for hinting broadcast of the dup-value set in
 #: the enumeration join; larger/unknown estimates go unhinted (AQE picks)
@@ -46,11 +46,7 @@ _UUID_RX = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-
 
 
 def _nonnull(df: DataFrame, cols: list[str]) -> DataFrame:
-    pred = None
-    for c in cols:
-        p = ~is_na(F.col(c))
-        pred = p if pred is None else (pred & p)
-    return df.filter(pred)
+    return df.filter(all_non_na(cols))
 
 
 def duplicate_value_counts(
@@ -281,13 +277,15 @@ def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:
     rule scale the natural key (repo, path, commit) is fixed and this is
     only needed for reference-parity mode (SURVEY A9).
     """
-    n = df.count()
-    if n == 0:
-        return None
-    aggs = []
+    # one scan: the row count rides the same aggregate as the distinct
+    # estimates (a separate df.count() paid a second full scan per call)
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in df.columns:
         aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}::d"))
     row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row.pop("__n") or 0)
+    if n == 0:
+        return None
     sample = df.limit(sample_rows).toPandas()
     dtypes = dict(df.dtypes)
 

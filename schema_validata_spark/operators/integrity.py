@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from schema_validata_spark.functions.joins import maybe_broadcast
-from schema_validata_spark.functions.nulls import is_na
+from schema_validata_spark.functions.nulls import all_non_na, is_na
 from schema_validata_spark.sources.spec import ForeignKeyRule, IntegrityRule
 
 #: plan-size gate (bytes) under which the deduplicated parent-key set
@@ -77,12 +77,9 @@ def fk_violations(
         c = child[ck] == pk[pkc]
         cond = c if cond is None else (cond & c)
 
-    non_na = None
-    for ck in child_keys:
-        p = ~is_na(F.col(ck))
-        non_na = p if non_na is None else (non_na & p)
-
-    orphans = child.filter(non_na).join(pk, on=cond, how="left_anti")
+    orphans = child.filter(all_non_na(child_keys)).join(
+        pk, on=cond, how="left_anti"
+    )
     observed = (
         F.col(child_keys[0]).cast("string")
         if len(child_keys) == 1
@@ -122,7 +119,10 @@ def check_foreign_keys(
         return None
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # FK rules may span child tables with DIFFERENT key columns —
+        # align by name and NULL-fill the other tables' keys instead of
+        # throwing on the schema mismatch
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -157,7 +157,11 @@ def extract_table_names(sql: str) -> list[str]:
         return sorted(
             {t.name for t in parsed.find_all(exp.Table) if t.name not in ctes}
         )
-    except ImportError:
+    except Exception:
+        # not just ImportError: sqlglot may ParseError on Spark syntax it
+        # does not model (LATERAL VIEW, hints) even though spark.sql will
+        # run the rule fine — fall back to the vendored tokenizer rather
+        # than aborting the whole integrity run
         from schema_validata_spark.functions.sqltools import tables_in_order
 
         return sorted({t.split(".")[-1] for t in tables_in_order(sql)})
@@ -178,7 +182,7 @@ def extract_primary_table(sql: str) -> str | None:
             if t.name.lower() not in ctes:
                 return t.name
         return None
-    except ImportError:
+    except Exception:  # ImportError OR sqlglot ParseError — see above
         from schema_validata_spark.functions.sqltools import (
             extract_primary_table as _ept,
         )
@@ -272,7 +276,10 @@ def run_integrity_rules(
         return None
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # FK rules may span child tables with DIFFERENT key columns —
+        # align by name and NULL-fill the other tables' keys instead of
+        # throwing on the schema mismatch
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

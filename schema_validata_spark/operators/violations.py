@@ -89,13 +89,15 @@ def extract_violations(
     pairs = list(dict.fromkeys(pairs))
 
     spark = df.sparkSession
-    empty = spark.createDataFrame(
-        [],
-        ", ".join(
-            [f"`{k}` string" for k in key_cols]
-            + [f"`{c}` string" for c in VIOLATION_COLS]
-        ),
-    )
+    # derived from df (filter FALSE), not spark.createDataFrame: a
+    # batch-created empty frame would break the STREAMING contract — the
+    # documented streaming_violations(...).writeStream follow-up fails
+    # with "writeStream can be called only on streaming Dataset" the
+    # moment a spec has no row-level predicates for the stream's columns
+    empty = df.select(
+        *[F.lit(None).cast("string").alias(k) for k in key_cols],
+        *[F.lit(None).cast("string").alias(c) for c in VIOLATION_COLS],
+    ).filter(F.lit(False))
 
     branches = []
     for col, rule in pairs:
@@ -171,13 +173,18 @@ def violations_checksum(violations: DataFrame, key_cols: list[str]) -> int:
 
     Sum of per-row crc32 over the canonical string form — identical for
     identical violation sets regardless of partitioning, usable at any
-    scale (one aggregate, no sort, no collect of rows).
+    scale (one aggregate, no sort, no collect of rows). Summed as
+    decimal(38,0): crc32 averages ~2³¹, so a plain long sum overflows at
+    ~4.3e9 rows — and under ANSI mode (Spark 4 default) the aggregate
+    would THROW at exactly the 10^12-row scale this targets.
     """
     row_str = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                   for c in [*key_cols, *VIOLATION_COLS]]
     )
-    r = violations.agg(F.sum(F.crc32(row_str)).alias("cksum")).collect()[0]
+    r = violations.agg(
+        F.sum(F.crc32(row_str).cast("decimal(38,0)")).alias("cksum")
+    ).collect()[0]
     return int(r["cksum"] or 0)
 
 

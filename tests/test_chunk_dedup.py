@@ -542,3 +542,39 @@ def test_resumable_violations_clears_stale_partition_files(spark, tmp_path):
                          out, str(tmp_path / "m2"), dataset_token="tok")
     # relaxed spec produces NO violations: stale partition files must be gone
     assert not glob.glob(out + "/event_type=*/*.parquet")
+
+
+def test_streaming_violations_stays_streaming_with_no_predicates(spark, tmp_path):
+    from schema_validata_spark import load_spec_dict
+    from schema_validata_spark.streaming.validate import streaming_violations
+
+    # only aggregate-shaped rules → no row-level violation predicates
+    spec = load_spec_dict({"t": {"value": {"data_type": "Float"}}}).tables["t"]
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS DOUBLE) AS value")
+    )
+    out = streaming_violations(stream, spec, key_cols=["value"])
+    assert out.isStreaming  # was a batch empty frame → writeStream crashed
+
+
+def test_check_foreign_keys_mixed_key_cols(spark):
+    from schema_validata_spark.operators.integrity import check_foreign_keys
+    from schema_validata_spark.sources.spec import ForeignKeyRule
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rules = [
+        ForeignKeyRule(child_table="orders", child_keys=["o_custkey"],
+                       parent_table="customer", parent_keys=["c_custkey"]),
+        ForeignKeyRule(child_table="events", child_keys=["user_id"],
+                       parent_table="customer", parent_keys=["c_custkey"]),
+    ]
+    out = check_foreign_keys(
+        {"orders": orders, "events": events, "customer": cust},
+        rules,
+        key_cols={"orders": ["o_orderkey"], "events": ["event_id"]},
+    )
+    # different key column sets union fine (NULL-filled) — no crash
+    assert out is None or out.count() >= 0
