@@ -266,8 +266,15 @@ def _column_refs(body: str) -> list[str]:
         return any(a <= pos < b for a, b in target_spans)
 
     out: list[str] = []
-    for m in re.finditer(rf"({_IDENT})(\.({_IDENT}))?\s*(\()?", s):
+    # (?<![\w.$']) — an identifier must not start mid-token: without the
+    # guard, `1e6` yields a phantom column `e6` and `DATE '2024-01-01'`
+    # yields `DATE` (the literal's keyword survives the skip list when
+    # followed by a quoted string)
+    for m in re.finditer(rf"(?<![0-9A-Za-z_.$])({_IDENT})(\.({_IDENT}))?\s*(\()?", s):
         if m.group(4):  # function call
+            continue
+        nxt = s[m.end(1):].lstrip()
+        if nxt[:1] == "'":  # typed literal: DATE '...', TIMESTAMP '...'
             continue
         if in_target(m.start()):
             continue

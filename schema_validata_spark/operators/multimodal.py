@@ -100,23 +100,37 @@ def image_features(
             # operations; Python touches each element only where the
             # payload itself must be processed (hash/decode), never via
             # per-row DataFrame iteration.
+            # NULL payloads yield NULL features — coercing to b'' would
+            # fabricate sha256(b'') for every payload-less row (collapsing
+            # them into one bogus duplicate group) and feed an empty
+            # buffer to a real decoder after the codec swap
             payloads = pdf[payload_col].map(
-                lambda p: bytes(p) if p is not None else b""
+                lambda p: bytes(p) if p is not None else None
             )
             out = pdf[list(id_cols)].copy()
             out["content_sha"] = payloads.map(
-                lambda p: hashlib.sha256(p).hexdigest()
+                lambda p: None if p is None else hashlib.sha256(p).hexdigest()
             )
             # REPLACE-ME(codec): the only per-payload decode loop — a real
             # implementation decodes here (Pillow/libvips over `payloads`)
-            decoded = payloads.map(_fake_decode_image)
-            out["width"] = decoded.map(lambda d: d["width"]).astype("int32")
-            out["height"] = decoded.map(lambda d: d["height"]).astype("int32")
-            out["n_bytes"] = payloads.map(len).astype("int64")
-            out["mean_luma"] = decoded.map(lambda d: d["mean_luma"]).astype(
-                "float64"
+            decoded = payloads.map(
+                lambda p: None if p is None else _fake_decode_image(p)
             )
-            out["phash"] = decoded.map(lambda d: d["phash"]).astype("int64")
+            out["width"] = decoded.map(
+                lambda d: None if d is None else d["width"]
+            ).astype("Int32")
+            out["height"] = decoded.map(
+                lambda d: None if d is None else d["height"]
+            ).astype("Int32")
+            out["n_bytes"] = payloads.map(
+                lambda p: None if p is None else len(p)
+            ).astype("Int64")
+            out["mean_luma"] = decoded.map(
+                lambda d: None if d is None else d["mean_luma"]
+            ).astype("float64")
+            out["phash"] = decoded.map(
+                lambda d: None if d is None else d["phash"]
+            ).astype("Int64")
             yield out[[f.name for f in out_schema.fields]]
 
     pruned = df.select(*id_cols, payload_col)
@@ -137,8 +151,13 @@ def frame_sample_plan(
     per partition inside mapInPandas.
     """
     dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    # a NULL/zero-duration video has NO frames to sample — emitting a
+    # fabricated ts=0 row would hand a real codec an empty container
     ts = F.explode(
-        F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+        F.when(
+            dur > 0,
+            F.sequence(F.lit(0), dur - 1, F.lit(every_ms)),
+        ).otherwise(F.array().cast("array<bigint>"))
     ).alias("frame_ts_ms")
     return df.select(*id_cols, dur.alias("duration_ms"), ts).withColumn(
         "frame_payload", F.lit(None).cast("binary")

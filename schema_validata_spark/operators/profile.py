@@ -152,7 +152,14 @@ def length_histogram(
     """
     from schema_validata_spark.functions.nulls import is_na
 
+    from schema_validata_spark.functions.nulls import is_na_typed
+
     cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    # typed fast path: full is_na would trim+lower+rlike every multi-KB
+    # value — the exact cost the gated variants exist to avoid; the
+    # histogram scan uses the same per-dtype shortcut _slim_profile_agg
+    # does
     pairs = df.select(
         F.explode(
             F.array(
@@ -160,7 +167,7 @@ def length_histogram(
                     F.struct(
                         F.lit(c).alias("column"),
                         F.when(
-                            ~is_na(F.col(c)),
+                            ~is_na_typed(F.col(c), dtypes[c]),
                             F.length(F.col(c).cast("string")),
                         ).alias("len"),
                     )

@@ -75,7 +75,6 @@ def synthetic_code_corpus(
     for l, cum in reversed(list(zip(LANGS, _LANG_CUM))):
         lang = F.when(lang_h < cum, F.lit(l)).otherwise(lang)
 
-    ext = F.lit(None).cast("string")
     ext = F.element_at(
         F.map_from_arrays(
             F.array(*[F.lit(k) for k in _EXTS]),

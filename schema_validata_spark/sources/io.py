@@ -140,7 +140,14 @@ def write_xlsx_report(result, out_path: str) -> str:
         if tv.violations is not None:
             rows = tv.violations.limit(1_048_575).collect()  # xlsx row cap
             cols = tv.violations.columns
-            sheets[f"errors_{name}"[:31]] = [list(cols)] + [
+            # unique under the 31-char xlsx cap: long table names that
+            # share a prefix must not silently overwrite each other
+            base = f"errors_{name}"[:31]
+            key, i = base, 2
+            while key in sheets:
+                suffix = f"~{i}"
+                key, i = base[: 31 - len(suffix)] + suffix, i + 1
+            sheets[key] = [list(cols)] + [
                 [r[c] for c in cols] for r in rows
             ]
     return write_xlsx(out_path, sheets)

@@ -25,6 +25,8 @@ Semantics:
 
 from __future__ import annotations
 
+import math
+
 import os
 import re
 import xml.etree.ElementTree as ET
@@ -211,6 +213,12 @@ def _sheet_xml(rows: list[list]) -> str:
             ref = f"{_col_letter(ci)}{ri}"
             if isinstance(v, bool):
                 parts.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+            elif isinstance(v, float) and not math.isfinite(v):
+                # NaN/±inf are not valid xlsx numbers — Excel shows a
+                # repair dialog and drops the sheet; render as text
+                parts.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+                )
             elif isinstance(v, (int, float)):
                 parts.append(f'<c r="{ref}"><v>{v}</v></c>')
             else:

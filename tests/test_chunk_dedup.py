@@ -578,3 +578,50 @@ def test_check_foreign_keys_mixed_key_cols(spark):
     )
     # different key column sets union fine (NULL-filled) — no crash
     assert out is None or out.count() >= 0
+
+
+def test_sqltools_no_phantom_columns():
+    from schema_validata_spark.functions.sqltools import referenced_columns
+
+    assert set(referenced_columns(
+        "SELECT id FROM orders WHERE total > 1e6")) == {"id", "total"}
+    assert set(referenced_columns(
+        "SELECT id FROM orders WHERE created > DATE '2024-01-01'"
+    )) == {"id", "created"}
+    assert set(referenced_columns(
+        "SELECT a.x, y FROM t a WHERE y > 1.5e-3 AND name > 'zz'"
+    )) == {"x", "y", "name"}
+
+
+def test_xlsx_nonfinite_and_sheet_collisions(tmp_path):
+    from schema_validata_spark.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, {"s": [["a", "b"], [float("nan"), 1.5], [float("inf"), 2]]})
+    rows = read_xlsx_rows(p)["s"]
+    assert rows[1][0] == "nan" and rows[2][0] == "inf"  # text, not broken numbers
+    assert float(rows[1][1]) == 1.5
+
+
+def test_multimodal_null_payload_and_zero_duration(spark):
+    from schema_validata_spark.operators.multimodal import (
+        frame_sample_plan,
+        image_features,
+    )
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"img-bytes"), (1000,)), (2, None, (0,)), (3, None, (None,))],
+        "id long, payload binary, media_meta struct<duration_ms: long>",
+    )
+    feats = {r["id"]: r for r in
+             image_features(media, "payload", ["id"]).collect()}
+    assert feats[1]["content_sha"] is not None
+    assert feats[2]["content_sha"] is None and feats[2]["n_bytes"] is None
+
+    frames = frame_sample_plan(media, "payload", ["id"], every_ms=500)
+    by_id = {}
+    for r in frames.collect():
+        by_id.setdefault(r["id"], []).append(r["frame_ts_ms"])
+    assert by_id.get(1) == [0, 500]
+    assert 2 not in by_id and 3 not in by_id  # no fabricated ts=0 rows
