@@ -60,34 +60,49 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"quality filter: {docs.count()} -> {kept.count()} docs")
 
     # 3. near-dedup — MinHash pairs -> connected components -> winners
+    # (persisted: the LSH + connected-components plan feeds several
+    # downstream actions and must not re-execute per count)
     deduped = near_dedup(kept, "text", "doc_id", method="minhash",
-                         threshold=0.7, num_perm=128, bands=16, k=5)
+                         threshold=0.7, num_perm=128, bands=16, k=5).persist()
     print(f"near-dedup: {kept.count()} -> {deduped.count()} docs")
 
     # 3b. span scrub — chunks occurring in >1 distinct surviving docs
-    # (cross-document boilerplate the document-level dedup keeps)
+    # (cross-document boilerplate the document-level dedup keeps). The
+    # SCRUBBED text replaces the raw text for everything downstream
+    # (clean_text is token-normalized — lowered, whitespace-collapsed).
     scrubbed = chunk_dedup(deduped, "text", "doc_id", window=10, max_docs=1)
     n_scrub = scrubbed.filter(F.col("n_removed") > 0).count()
     print(f"span scrub: boilerplate chunks removed from {n_scrub} docs")
+    corpus = (
+        deduped.drop("text")
+        .join(
+            scrubbed.select(
+                F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+    )
 
-    # 3c. decontamination — drop docs leaking the held-out eval split
+    # 3c. decontamination — the held-out eval split is EXCLUDED from the
+    # training corpus outright, then training docs sharing 5-shingles
+    # with it are dropped too
     bench = docs.filter(F.col("doc_id") % 20 == 0)
-    flags2 = contamination_check(
-        deduped.filter(F.col("doc_id") % 20 != 0), "text", "doc_id", bench, k=5
-    )
-    clean = deduped.join(
+    train = corpus.filter(F.col("doc_id") % 20 != 0)
+    flags2 = contamination_check(train, "text", "doc_id", bench, k=5)
+    clean = train.join(
         flags2.filter(F.col("contaminated")).select("id"),
-        deduped["doc_id"] == F.col("id"),
+        train["doc_id"] == F.col("id"),
         "left_anti",
-    )
-    print(f"decontamination: {deduped.count()} -> {clean.count()} docs")
+    ).persist()
+    print(f"decontamination: {corpus.count()} -> {clean.count()} docs "
+          "(eval split held out)")
 
     # 4. per-language quota, perplexity audit, and the final shards
     from schema_validata_spark import quota_sample, write_training_shards
     from schema_validata_spark.operators.text import unigram_logprob
     import tempfile
 
-    capped = quota_sample(clean, "lang", 200, "doc_id")
+    capped = quota_sample(clean, "lang", 200, "doc_id").persist()
     ppl = unigram_logprob(capped, "text", "doc_id")
     row = ppl.agg(F.round(F.avg("perplexity"), 2).alias("p")).collect()[0]
     print(f"quota cap: {clean.count()} -> {capped.count()} docs; "
@@ -95,7 +110,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from schema_validata_spark import pack_documents
 
     packs = pack_documents(capped, "text", "doc_id", token_budget=4096)
-    n_packs = packs.agg(F.max("pack_id")).collect()[0][0] + 1
+    max_pack = packs.agg(F.max("pack_id")).collect()[0][0]
+    n_packs = 0 if max_pack is None else int(max_pack) + 1
     print(f"packing: {capped.count()} docs -> {n_packs} x 4096-token packs")
     shard_dir = tempfile.mkdtemp(prefix="shards_")
     write_training_shards(capped, shard_dir, shard_rows=100, order_col="doc_id")

@@ -109,8 +109,15 @@ synthetic_code_corpus(spark, {n_rows}, seed=42, partitions=64)\\
 def run_level(cpus: int) -> dict:
     code = _JOB.format(root=ROOT, cpus=cpus, data=DATA)
     out = subprocess.run(
-        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+        [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if out.returncode != 0:
+        # surface the child Spark traceback — check=True would swallow
+        # the captured stderr and leave only "non-zero exit status"
+        sys.stderr.write(out.stderr)
+        raise SystemExit(
+            f"scaling child (local[{cpus}]) failed with rc={out.returncode}"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -3,7 +3,7 @@
 Runs every __spark_entry__.queries() entry at a given sf dir, runs the
 matching oracle_sql() in DuckDB over the same parquet files, and
 compares row count, sorted column names, and exact values (rows sorted
-by all columns). Usage: python tools/check_correctness.py [sf_dir] [name...]
+by all columns). Usage: python scripts/check_oracles.py [sf_dir] [name...]
 """
 
 from __future__ import annotations
