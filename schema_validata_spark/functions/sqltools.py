@@ -34,6 +34,11 @@ _KEYWORDS = {
     "true", "false", "using", "semi", "anti", "interval", "cast", "over",
     "partition", "rows", "range", "preceding", "following", "current",
     "row", "unbounded", "filter", "qualify", "values",
+    # type names (CAST targets / typed literals) — a genuine column that
+    # shadows a type name is skipped, the lesser evil vs phantom columns
+    "int", "integer", "bigint", "smallint", "tinyint", "double", "float",
+    "real", "decimal", "numeric", "varchar", "char", "string", "boolean",
+    "date", "timestamp", "binary", "array", "map", "struct", "void",
 }
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
@@ -157,18 +162,48 @@ def tables_in_order(sql: str, include_ctes: bool = False) -> list[str]:
     unless ``include_ctes``. Subqueries contribute their inner tables."""
     s = strip_comments_and_strings(sql)
     ctes = {name.lower() for name, _ in cte_definitions(sql)}
-    hits = re.findall(
-        rf"\b(?:from|join)\s+({_IDENT}(?:\.{_IDENT})*)", s, flags=re.IGNORECASE
-    )
+    # openers of parens whose call is EXTRACT(x FROM col)-shaped: the
+    # FROM inside them is an expression keyword, not a table clause
+    _fn_from = ("extract", "trim", "substring", "position", "overlay")
+    fn_spans: list[tuple[int, int]] = []
+    for fm in re.finditer(
+        rf"\b(?:{'|'.join(_fn_from)})\s*\(", s, flags=re.IGNORECASE
+    ):
+        depth, i = 1, fm.end()
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        fn_spans.append((fm.end(), i))
     out: list[str] = []
     seen = set()
-    for h in hits:
-        base = h.split(".")[-1].lower()
-        if not include_ctes and base in ctes:
-            continue
-        if h.lower() not in seen:
-            seen.add(h.lower())
-            out.append(h)
+    # alias slot must not swallow the next clause keyword (FROM a JOIN b)
+    _alias = rf"(?:\s+(?!(?:join|inner|left|right|full|cross|outer|on|where|group|order|having|union|limit|natural|using)\b){_IDENT})?"
+    for m in re.finditer(
+        rf"\b(from|join)\s+({_IDENT}(?:\.{_IDENT})*"
+        rf"{_alias}(?:\s*,\s*{_IDENT}(?:\.{_IDENT})*{_alias})*)",
+        s,
+        flags=re.IGNORECASE,
+    ):
+        if any(a <= m.start() < b for a, b in fn_spans):
+            continue  # EXTRACT(YEAR FROM created): 'created' is a column
+        # FROM a, b c, d — a comma-separated list of table [alias] items
+        # (JOIN targets are single items; the list regex degrades to one)
+        for item in m.group(2).split(","):
+            toks = item.strip().split()
+            if not toks:
+                continue
+            h = toks[0]
+            base = h.split(".")[-1].lower()
+            if base in _KEYWORDS:
+                continue
+            if not include_ctes and base in ctes:
+                continue
+            if h.lower() not in seen:
+                seen.add(h.lower())
+                out.append(h)
     return out
 
 
@@ -208,10 +243,13 @@ def _select_list(body: str) -> str | None:
             break
     if msel is None:
         return None
+    # return the STRIPPED slice (strip is length-preserving, so indices
+    # line up): parens/commas inside string literals would corrupt the
+    # caller's top-level split depth tracking on the raw text
     for m in re.finditer(r"\bfrom\b", s, flags=re.IGNORECASE):
         if m.start() > msel.end() and depth_at[m.start()] == 0:
-            return body[msel.end() : m.start()]
-    return body[msel.end() :]
+            return s[msel.end() : m.start()]
+    return s[msel.end() :]
 
 
 def _item_name(item: str) -> str | None:
@@ -270,15 +308,20 @@ def _column_refs(body: str) -> list[str]:
     # guard, `1e6` yields a phantom column `e6` and `DATE '2024-01-01'`
     # yields `DATE` (the literal's keyword survives the skip list when
     # followed by a quoted string)
-    for m in re.finditer(rf"(?<![0-9A-Za-z_.$])({_IDENT})(\.({_IDENT}))?\s*(\()?", s):
-        if m.group(4):  # function call
+    for m in re.finditer(
+        rf"(?<![0-9A-Za-z_.$])({_IDENT})(\.({_IDENT}))?(\.({_IDENT}))?\s*(\()?",
+        s,
+    ):
+        if m.group(6):  # function call
             continue
         nxt = s[m.end(1):].lstrip()
         if nxt[:1] == "'":  # typed literal: DATE '...', TIMESTAMP '...'
             continue
         if in_target(m.start()):
             continue
-        if m.group(3):  # qualified t.col
+        if m.group(5):  # db.t.col — the LAST part is the column
+            out.append(m.group(5))
+        elif m.group(3):  # qualified t.col
             out.append(m.group(3))
         else:
             w = m.group(1)

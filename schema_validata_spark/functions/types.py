@@ -84,7 +84,6 @@ DATE_COL_KEYWORDS = (
 
 # Value-level predicates (Java regex dialect, used inside rlike).
 INT_RX = r"^[+-]?\d+$"
-FLOAT_RX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 BOOL_VALUES = ("true", "false")
 # reference NUMERIC_SYMBOLS src/schema_validata.py:252–256
 NUMERIC_SYMBOLS = "$€£¥₹₽%‰,"

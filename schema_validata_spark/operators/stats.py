@@ -124,13 +124,23 @@ def _prep_exprs(
         out.append(na.alias(f"__na_{col}"))
         # NA-gated: NA spellings that happen to cast ('NaN', '-nan',
         # '1.#qnan' → NaN, which Spark ranks GREATEST) must never reach
-        # min/max — the reference masks NA before profiling ranges
-        out.append(
-            F.when(
-                ok,
-                F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)"),
-            ).alias(f"__num_{col}")
-        )
+        # min/max — the reference masks NA before profiling ranges.
+        # Exact-round-trip numeric dtypes take a DIRECT double cast (the
+        # string render+trim+parse per cell is pure hot-path waste for
+        # them); float is excluded — its shortest string repr parses to
+        # a DIFFERENT double than widening ("0.1"→0.1d vs 0.1f→0.1000…149d)
+        # and the string form is the value-as-written semantics the
+        # reference profiles — as are boolean/temporal (non-numeric here).
+        t = dtypes[col].lower()
+        if t in ("tinyint", "smallint", "int", "bigint", "double") or t.startswith(
+            "decimal"
+        ):
+            num_src = c.cast("double")
+        else:
+            num_src = F.expr(
+                f"try_cast(trim(cast(`{col}` as string)) as double)"
+            )
+        out.append(F.when(ok, num_src).alias(f"__num_{col}"))
         out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
         if is_str:
             # dtype votes as per-row booleans (see rule 2). Gated behind
@@ -150,6 +160,11 @@ def _prep_exprs(
                     f"'{NUMERIC_SYMBOLS}', '') as double) is not null"
                 )).alias(f"__sok_{col}"),
                 (ok & short & F.lower(s).isin(*BOOL_VALUES)).alias(f"__bok_{col}"),
+                # startswith("0") with NO digit-follow requirement is
+                # EXACT reference parity (identify_leading_zeros
+                # src/schema_validata.py:1261–1284, gated BEFORE the
+                # numeric ballots at :1489): ['0','1'] and ['0.5'] type
+                # String in the reference too — intentional bug-for-bug
                 (ok & s.startswith("0")).alias(f"__lz_{col}"),
             ]
             # Datetime format bitmask: bit i set when format i parsed the
@@ -465,7 +480,13 @@ def merge_column_stats(parts: list[ColumnStats]) -> ColumnStats:
         spark_type=first.spark_type,
         n=n,
         null_count=null_count,
-        approx_distinct=sum(p.approx_distinct for p in parts),
+        # a part built with with_approx_distinct=False carries the -1
+        # sentinel; summing it in would report a negative "upper bound"
+        approx_distinct=(
+            -1
+            if any(p.approx_distinct < 0 for p in parts)
+            else sum(p.approx_distinct for p in parts)
+        ),
         min_num=min_num,
         max_num=max_num,
         max_len=max(lens) if lens else None,

@@ -625,3 +625,40 @@ def test_multimodal_null_payload_and_zero_duration(spark):
         by_id.setdefault(r["id"], []).append(r["frame_ts_ms"])
     assert by_id.get(1) == [0, 500]
     assert 2 not in by_id and 3 not in by_id  # no fabricated ts=0 rows
+
+
+def test_sqltools_hardening_round5():
+    from schema_validata_spark.functions.sqltools import (
+        referenced_columns,
+        tables_in_order,
+    )
+
+    # function-FROM is not a table clause
+    assert tables_in_order(
+        "SELECT id FROM t WHERE EXTRACT(YEAR FROM created) = 2024") == ["t"]
+    # comma-separated FROM lists with aliases
+    assert tables_in_order(
+        "SELECT a.id FROM orders a, customers b WHERE a.cid = b.id"
+    ) == ["orders", "customers"]
+    assert tables_in_order("SELECT x FROM a JOIN b ON a.i = b.i") == ["a", "b"]
+    # string literal containing ')' must not corrupt select-list parsing
+    assert set(referenced_columns(
+        "SELECT concat(code, ')') AS label, qty FROM t")) >= {"code", "qty"}
+    # 3-part qualified reference yields the column, not the table
+    assert set(referenced_columns(
+        "SELECT id FROM db.t WHERE db.t.status = 1")) == {"id", "status"}
+    # CAST type names are not columns
+    assert set(referenced_columns(
+        "SELECT id FROM t WHERE CAST(amount AS DOUBLE) > 5")) == {"id", "amount"}
+
+
+def test_merge_stats_approx_sentinel(spark):
+    from schema_validata_spark.operators.stats import (
+        column_stats,
+        merge_column_stats,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    st = column_stats(df, ["x"], with_approx_distinct=False)["x"]
+    merged = merge_column_stats([st, st])
+    assert merged.approx_distinct == -1  # sentinel propagates, never -2
