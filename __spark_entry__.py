@@ -368,19 +368,91 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(idx, cents, target, topk=10, nprobe=8, exclude_id=0)
 
 
-def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
-    signature banding is not ANSI-SQL-expressible; rows-only check)."""
-    df = _read(spark, sf_dir, "documents")
-    return minhash_near_duplicates(
-        df, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+#: planted-mutant id offset — planted doc_id = original doc_id + offset,
+#: so (id1, id1 + _PLANT_OFF) identifies an (original, planted) pair.
+_PLANT_OFF = 10_000_000
+
+
+def q_minhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION MinHash LSH (xxhash64 hashing — the non-portable path)
+    run against planted ground truth, replacing the round-2 rows-only
+    ``minhash_near_dups`` query with a fully-oracled one.
+
+    Every 5th document with ≥ 15 distinct 3-shingles gets a planted
+    near-duplicate (one novel token appended → exactly one new shingle,
+    true Jaccard |D|/(|D|+1) ≥ 15/16). The production pipeline
+    (signature → banding → candidate self-join → exact-Jaccard verify)
+    runs over originals ∪ mutants; the output is restricted to
+    (original, its-own-mutant) pairs. The DuckDB oracle computes the
+    ground truth directly — exact shingle Jaccard per planted pair,
+    no hashing — so a hash-equal result proves (a) zero false verdicts
+    (the verified Jaccard values match the true ones) and (b) 100%
+    banding recall on the planted set. Recall 1 is the deterministic
+    expectation: at J ≥ 15/16 a 4-row band matches with prob ≥ 0.77, so
+    P(all 16 bands miss) ≤ 0.23^16 ≈ 5e-11 per pair over the random
+    xxhash64 draw — and the draw is fixed by the data.
+    """
+    from schema_validata_spark.operators.text import shingle_hashes
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        df.filter(
+            (F.col("doc_id") % 5 == 0)
+            & (F.size(F.array_distinct(shingle_hashes("text", 3))) >= 15)
+        )
+        .select(
+            (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+        )
     )
+    pairs = minhash_near_duplicates(
+        df.unionByName(mutants), "text", "doc_id",
+        threshold=0.5, num_perm=64, bands=16, k=3,
+    )
+    return pairs.filter(
+        (F.col("id1") < _PLANT_OFF)
+        & (F.col("id2") == F.col("id1") + _PLANT_OFF)
+    ).select("id1", "id2", "jaccard")
 
 
-def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
-    df = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3, k=2)
+def q_simhash_planted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION SimHash (xxhash64 hashing) against planted ground
+    truth, replacing the round-2 rows-only ``simhash_near_dups`` query.
+
+    Every 5th document with ≥ 2 tokens gets a planted exact copy;
+    identical text gives identical 64-bit SimHash, so every copy pair
+    MUST surface (all 8 byte-bands collide) with hamming exactly 0 —
+    predictable without replaying xxhash64, hence SQL-oracle-able. The
+    oracle enumerates the planted pairs with a literal hamming of 0; a
+    hash-equal result proves signature determinism, banding, the
+    candidate join, and the bit_count(xor) verify end-to-end on the
+    production hash family. (Near-miss — hamming 1–3 — recall is
+    covered by the planted-mutation pytest ground-truth suite; a byte
+    mutation's hamming depends on the hash bits and is not predictable
+    in SQL.) ``max_bucket`` is raised above the default: planted copies
+    double every bucket they land in, and a dropped bucket would break
+    the deterministic all-pairs-surface guarantee the oracle asserts.
+    """
+    from schema_validata_spark.operators.text import token_count
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        df.filter(
+            (F.col("doc_id") % 5 == 0) & (token_count(F.col("text")) >= 2)
+        )
+        .select(
+            (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    out = simhash_near_duplicates(
+        df.unionByName(copies), "text", "doc_id",
+        max_hamming=3, k=2, max_bucket=100_000,
+    )
+    return out.filter(
+        (F.col("id1") < _PLANT_OFF)
+        & (F.col("id2") == F.col("id1") + _PLANT_OFF)
+    ).select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,8 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_multi_lineitem": q_fk_multi_lineitem,
         "downcast_display": q_downcast_display,
         "lang_quality_rollup": q_lang_quality_rollup,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
+        "minhash_planted_recall": q_minhash_planted_recall,
+        "simhash_planted_copies": q_simhash_planted_copies,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
@@ -998,6 +1070,62 @@ WHERE round(CAST(COALESCE(i.x, 0) AS DOUBLE)
 """
 
 
+def _tok_sql(expr: str) -> str:
+    """DuckDB token list of an arbitrary text expression — the engine's
+    tokens() convention (lower, strip, \\s+ split, empty-token filter)."""
+    return (
+        f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+
+
+def _sh_sql(expr: str, k: int = 3) -> str:
+    """DuckDB distinct k-shingle list of an arbitrary text expression."""
+    tok = _tok_sql(expr)
+    return (
+        f"CASE WHEN len({tok}) >= {k} THEN "
+        # windows i = 1 .. n-k+1 → DuckDB half-open range(1, n-k+2)
+        f"list_distinct(list_transform(range(1, len({tok}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({tok}, i, i + {k - 1}), ' '))) "
+        "ELSE [] END"
+    )
+
+
+def _minhash_planted_sql(thr: float = 0.5) -> str:
+    """Ground truth for q_minhash_planted_recall: the same planted pairs
+    (every 5th doc with ≥ 15 distinct 3-shingles, one novel token
+    appended), exact shingle Jaccard computed DIRECTLY — no LSH. Equality
+    with the Spark result proves the production xxhash64 banding achieved
+    100% recall and emitted true Jaccard values on the planted set."""
+    jac = (
+        "round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(s1, s2))), 6)"
+    )
+    return f"""
+WITH elig AS (
+  SELECT doc_id, text, {_sh_sql('text')} AS s1 FROM documents
+  WHERE doc_id % 5 = 0 AND len({_sh_sql('text')}) >= 15
+), pairs AS (
+  SELECT doc_id AS id1, doc_id + {_PLANT_OFF} AS id2, s1,
+         {_sh_sql("text || ' zzqx'")} AS s2
+  FROM elig
+)
+SELECT id1, id2, {jac} AS jaccard FROM pairs WHERE {jac} >= {thr}
+"""
+
+
+def _simhash_planted_sql() -> str:
+    """Ground truth for q_simhash_planted_copies: every planted exact
+    copy MUST surface with hamming 0 (identical text → identical
+    signature → all bands collide), predictable without the hash."""
+    return f"""
+SELECT doc_id AS id1, doc_id + {_PLANT_OFF} AS id2,
+       CAST(0 AS INTEGER) AS hamming
+FROM documents
+WHERE doc_id % 5 = 0 AND len({_tok_sql('text')}) >= 2
+"""
+
+
 def _near_dup_clusters_sql(k: int = 3, thr: float = 0.6) -> str:
     """Exhaustive pair generation + recursive-CTE transitive closure —
     the exact baseline for pairs→clusters (fine at sf0.01; the Spark
@@ -1372,8 +1500,10 @@ ORDER BY tf DESC, token ASC LIMIT 50
 """,
         "len_hist_documents": _len_hist_sql(),
         "gopher_flags_documents": _gopher_flags_sql(),
-        # minhash_near_dups / simhash_near_dups: MinHash/SimHash banding
-        # is not ANSI-SQL-expressible → rows-only checks (their verifier
-        # stages ARE oracle-checked via ngram_jaccard_pairs and
-        # near_dup_clusters' lossless blocked-Jaccard pair set).
+        # The production xxhash64 LSH paths cannot be REPLAYED in SQL,
+        # but their outcomes on planted ground truth are predictable
+        # without the hash — these two queries close the round-2
+        # "no_oracle" gap for the non-portable pipelines:
+        "minhash_planted_recall": _minhash_planted_sql(),
+        "simhash_planted_copies": _simhash_planted_sql(),
     }

@@ -1,0 +1,156 @@
+"""Planted-ground-truth recall/precision study for the PRODUCTION
+(xxhash64) LSH pipelines — the evidence layer the DuckDB oracle cannot
+provide because xxhash64 is not replayable in SQL.
+
+A deterministic synthetic corpus is mutated at known strengths; true
+pairwise Jaccard is computed in plain Python (string shingles — the
+hash-free ground truth) and the production pipelines are graded against
+it:
+
+* MinHash: recall on true-J ≥ 0.8 pairs must be 1.0 at the default
+  banding (the analytic miss bound there is < 1e-8 per pair and the
+  draw is fixed by the data); every emitted pair's verified Jaccard
+  must EQUAL the ground-truth value (zero false verdicts).
+* SimHash: exact copies must all surface at hamming 0; token-swap
+  mutants are measured and the fixture's deterministic recall is
+  asserted with margin; every emitted pair must be a planted pair
+  (no cross-document false positives on this corpus).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from schema_validata_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _corpus(n_docs: int = 40, n_tokens: int = 60, seed: int = 7):
+    """Deterministic docs + planted mutants at three strengths.
+
+    Returns (rows, pair_kind): rows are (doc_id, text); pair_kind maps
+    (orig_id, mutant_id) → 'strong' | 'medium' | 'weak' | 'copy'.
+    """
+    rng = random.Random(seed)
+    rows, kinds = [], {}
+    for d in range(n_docs):
+        toks = [rng.choice(VOCAB) for _ in range(n_tokens)]
+        rows.append((d, " ".join(toks)))
+        # strong: replace 2 tokens (~90% shingle overlap)
+        t = list(toks)
+        for i in rng.sample(range(n_tokens), 2):
+            t[i] = rng.choice(VOCAB)
+        rows.append((d + 1000, " ".join(t)))
+        kinds[(d, d + 1000)] = "strong"
+        # medium: replace 8 tokens (~60-70% overlap)
+        t = list(toks)
+        for i in rng.sample(range(n_tokens), 8):
+            t[i] = rng.choice(VOCAB)
+        rows.append((d + 2000, " ".join(t)))
+        kinds[(d, d + 2000)] = "medium"
+        # weak: fresh draw, unrelated
+        rows.append((d + 3000, " ".join(rng.choice(VOCAB) for _ in range(n_tokens))))
+        kinds[(d, d + 3000)] = "weak"
+        # copy (for simhash hamming-0 determinism)
+        rows.append((d + 4000, " ".join(toks)))
+        kinds[(d, d + 4000)] = "copy"
+    return rows, kinds
+
+
+def _true_jaccard(a: str, b: str, k: int) -> float:
+    def sh(s):
+        t = s.lower().split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows, kinds = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    df.count()
+    texts = dict(rows)
+    yield df, kinds, texts
+    df.unpersist()
+
+
+class TestMinhashPlantedRecall:
+    def test_recall_and_zero_false_verdicts(self, planted):
+        df, kinds, texts = planted
+        out = minhash_near_duplicates(
+            df, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+        ).collect()
+        got = {(r["id1"], r["id2"]): r["jaccard"] for r in out}
+        # ground truth over ALL planted pairs
+        truth = {
+            p: _true_jaccard(texts[p[0]], texts[p[1]], 3) for p in kinds
+        }
+        high = [p for p, j in truth.items() if j >= 0.8]
+        assert high, "fixture must produce high-similarity pairs"
+        missed = [p for p in high if p not in got]
+        assert not missed, f"missed true-J>=0.8 pairs: {missed}"
+        # zero false verdicts: every emitted jaccard equals ground truth
+        for (i1, i2), j in got.items():
+            tj = _true_jaccard(texts[i1], texts[i2], 3)
+            assert abs(j - tj) < 1e-6, (i1, i2, j, tj)
+            assert tj >= 0.5  # nothing below threshold leaks through
+
+    def test_weak_pairs_not_emitted(self, planted):
+        df, kinds, texts = planted
+        out = minhash_near_duplicates(
+            df, "text", "doc_id", threshold=0.5, num_perm=64, bands=16, k=3
+        ).collect()
+        got = {(r["id1"], r["id2"]) for r in out}
+        weak = {p for p, k_ in kinds.items() if k_ == "weak"}
+        assert not (got & weak)
+
+
+class TestSimhashPlanted:
+    def test_copies_all_surface_at_hamming_zero(self, planted):
+        df, kinds, _ = planted
+        out = simhash_near_duplicates(
+            df, "text", "doc_id", max_hamming=3, k=2, max_bucket=100_000
+        ).collect()
+        got = {(r["id1"], r["id2"]): r["hamming"] for r in out}
+        copies = [p for p, k_ in kinds.items() if k_ == "copy"]
+        for p in copies:
+            assert got.get(p) == 0, f"copy pair {p} not at hamming 0"
+
+    def test_strong_mutant_recall_with_margin(self, planted):
+        """2-token-of-60 mutants: hamming is hash-dependent but the
+        fixture is deterministic — measured recall at max_hamming=16 is
+        1.0; assert ≥ 0.9 to leave margin for fixture evolution."""
+        df, kinds, _ = planted
+        out = simhash_near_duplicates(
+            df, "text", "doc_id", max_hamming=16, k=2, max_bucket=100_000
+        ).collect()
+        got = {(r["id1"], r["id2"]) for r in out}
+        strong = [p for p, k_ in kinds.items() if k_ == "strong"]
+        recall = sum(p in got for p in strong) / len(strong)
+        assert recall >= 0.9, f"simhash strong-mutant recall {recall}"
+
+    def test_no_cross_document_false_positives(self, planted):
+        """At max_hamming=3 on this corpus nothing except copies and a
+        few strong mutants should pair — never two unrelated originals."""
+        df, kinds, _ = planted
+        out = simhash_near_duplicates(
+            df, "text", "doc_id", max_hamming=3, k=2, max_bucket=100_000
+        ).collect()
+        for r in out:
+            pair = (r["id1"], r["id2"])
+            assert not (
+                pair[0] < 1000 and pair[1] < 1000
+            ), f"unrelated originals paired: {pair}"
+            assert pair in kinds or pair[0] >= 1000, pair
