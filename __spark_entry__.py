@@ -455,6 +455,120 @@ def q_simhash_planted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
+#: part-table spec exercising EVERY verdict rule type (V1–V8) with at
+#: least one genuine failure each — incl. the length rule (P5/V4) and
+#: the V1 missing-column verdicts, which previously had no oracle row.
+PART_ALL_RULES_SPEC = load_spec_dict(
+    {
+        "part": {
+            # all pass: typed int, no nulls, primary key
+            "p_partkey": {"data_type": "Integer", "allow_null": False, "unique_value": True},
+            # data_type fail (strings declared Integer) + length fail (max 12 > 10)
+            "p_name": {"data_type": "Integer", "length": 10},
+            # unique fail (few brands, many rows) + regex fail (single-digit
+            # and 4x/5x brands don't match the two-digit 0-3x pattern)
+            "p_brand": {"unique_value": True, "regex_pattern": "Brand#[0-3][0-9]"},
+            # allowed fail: MEDIUM/SMALL/PROMO not listed
+            "p_type": {"allowed_value_list": ["ECONOMY", "STANDARD", "LARGE"]},
+            # range_min fail (sizes 1-4) and range_max fail (sizes 41-50)
+            "p_size": {"data_type": "Integer", "range_min": 5, "range_max": 40},
+            # range_min pass, range_max fail (prices run to 999.9)
+            "p_retailprice": {"data_type": "Float", "range_min": 0, "range_max": 950},
+            # allow_null fail: derived column planting 'N/A' spellings
+            "p_note": {"allow_null": False},
+            # V1 missing required column (level Error)
+            "p_container": {"data_type": "String", "required": True},
+            # V1 missing optional column (level Informational/Warning)
+            "p_comment": {"data_type": "String", "required": False},
+        }
+    }
+).tables["part"]
+
+
+def q_verdicts_all_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Stage A–B verdict matrix over part with EVERY rule type
+    represented and failing at least once (plus passing counterparts):
+    required/optional column presence, data_type, allow_null, length,
+    range_min/max, unique_value, allowed_value_list, regex_pattern.
+    The oracle recomputes each verdict's pass flag and count from the
+    same aggregates in SQL."""
+    df = _read(spark, sf_dir, "part").withColumn(
+        "p_note",
+        F.when(F.col("p_partkey") % 10 == 0, F.lit("N/A")).otherwise(
+            F.col("p_name")
+        ),
+    )
+    tv = validate_table(
+        df, PART_ALL_RULES_SPEC, key_cols=["p_partkey"], list_errors=False
+    )
+    vdf = verdicts_to_df(spark, tv.verdicts)
+    return vdf.select(
+        F.col("column").alias("column_name"),
+        "rule_id",
+        "passed",
+        F.col("count").alias("n_count"),
+        "level",
+    )
+
+
+def _verdicts_all_rules_sql() -> str:
+    """DuckDB recomputation of every q_verdicts_all_rules verdict: the
+    counts/min/max come from one aggregate over the same derived input;
+    data_type verdicts for TYPED parquet columns are deterministic
+    constants (canonical type = the physical dtype)."""
+    na = _na_sql
+    allowed = "('ECONOMY', 'STANDARD', 'LARGE')"
+    rx = "^(?:Brand#[0-3][0-9])"
+    return f"""
+WITH p AS (
+  SELECT *, CASE WHEN p_partkey % 10 = 0 THEN 'N/A' ELSE p_name END AS p_note
+  FROM part
+), agg AS (
+  SELECT
+    count(*) FILTER (WHERE {na('p_partkey')}) AS pk_nulls,
+    count(*) FILTER (WHERE {na('p_note')}) AS note_nulls,
+    min(p_size) AS size_min,
+    max(p_size) AS size_max,
+    min(p_retailprice) AS price_min,
+    max(p_retailprice) AS price_max,
+    max(length(CAST(p_name AS VARCHAR))) FILTER (WHERE NOT {na('p_name')})
+      AS name_maxlen,
+    count(*) FILTER (WHERE NOT {na('p_type')}
+      AND trim(CAST(p_type AS VARCHAR)) NOT IN {allowed}) AS type_bad,
+    count(*) FILTER (WHERE NOT {na('p_brand')}
+      AND NOT regexp_matches(trim(CAST(p_brand AS VARCHAR)), '{rx}')) AS brand_bad,
+    (SELECT COALESCE(SUM(n), 0) FROM (
+       SELECT count(*) AS n FROM p WHERE NOT {na('p_partkey')}
+       GROUP BY p_partkey HAVING count(*) > 1)) AS pk_dups,
+    (SELECT COALESCE(SUM(n), 0) FROM (
+       SELECT count(*) AS n FROM p WHERE NOT {na('p_brand')}
+       GROUP BY p_brand HAVING count(*) > 1)) AS brand_dups
+  FROM p
+)
+SELECT column_name, rule_id, passed, CAST(n_count AS BIGINT) AS n_count, level
+FROM (
+  SELECT 'p_partkey' AS column_name, 'data_type' AS rule_id, TRUE AS passed,
+         0 AS n_count, 'Error' AS level FROM agg
+  UNION ALL SELECT 'p_partkey', 'allow_null', pk_nulls = 0, pk_nulls, 'Error' FROM agg
+  UNION ALL SELECT 'p_partkey', 'unique_value', pk_dups = 0, pk_dups, 'Error' FROM agg
+  UNION ALL SELECT 'p_name', 'data_type', FALSE, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_name', 'length', name_maxlen <= 10, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_brand', 'unique_value', brand_dups = 0, brand_dups, 'Error' FROM agg
+  UNION ALL SELECT 'p_brand', 'regex_pattern', brand_bad = 0, brand_bad, 'Error' FROM agg
+  UNION ALL SELECT 'p_type', 'allowed_value_list', type_bad = 0, type_bad, 'Error' FROM agg
+  UNION ALL SELECT 'p_size', 'data_type', TRUE, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_size', 'range_min', size_min >= 5, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_size', 'range_max', size_max <= 40, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_retailprice', 'data_type', TRUE, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_retailprice', 'range_min', price_min >= 0, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_retailprice', 'range_max', price_max <= 950, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_note', 'allow_null', note_nulls = 0, note_nulls, 'Error' FROM agg
+  UNION ALL SELECT 'p_container', 'required_column', FALSE, 0, 'Error' FROM agg
+  UNION ALL SELECT 'p_comment', 'optional_column', FALSE, 0, 'Informational/Warning' FROM agg
+)
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard for fixed candidate pairs (the verifier
     stage of MinHash dedup, oracle-checkable on its own)."""
@@ -680,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_rollup": q_lang_quality_rollup,
         "minhash_planted_recall": q_minhash_planted_recall,
         "simhash_planted_copies": q_simhash_planted_copies,
+        "verdicts_all_rules": q_verdicts_all_rules,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1506,4 +1621,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         # "no_oracle" gap for the non-portable pipelines:
         "minhash_planted_recall": _minhash_planted_sql(),
         "simhash_planted_copies": _simhash_planted_sql(),
+        "verdicts_all_rules": _verdicts_all_rules_sql(),
     }
