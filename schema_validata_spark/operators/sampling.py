@@ -17,6 +17,7 @@ def quota_sample(
     strata_col: str | Column,
     n_per_stratum: int,
     order_col: str | Column,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, chosen as the FIRST
     rows by ``order_col`` within each stratum — the per-language /
@@ -26,20 +27,52 @@ def quota_sample(
     selects the identical subset — unlike ``df.sample``, whose output
     depends on partition layout.
 
-    Plan shape: one hash-partition by stratum + per-stratum sort for the
-    ``row_number`` window. Strata counts are typically few and large;
-    with a HOT stratum at 10^12-row scale, pre-gate with a cheap
-    deterministic hash-mod filter (``pmod(xxhash64(id), k) = 0`` with
-    ``k`` sized from an approx count so ≳ quota rows survive) and window
-    the survivors — same output when the gate keeps ≥ n_per_stratum
-    rows of the stratum's prefix; this helper stays exact and simple.
+    Plan shape (default): Catalyst inserts ``WindowGroupLimit`` in
+    PARTIAL mode before the exchange (verified in the physical plan), so
+    every map task pre-filters to its local first-``n`` per stratum and
+    the per-stratum reduce-side sort sees at most ``n × P`` rows (P =
+    input partitions) — a hot stratum does NOT ship 10^12 rows to one
+    task. The residual scale risk is ``n × P`` itself: at 10^12 rows /
+    128 MB ≈ 8M partitions and a 10k quota that is still 8·10^10 rows
+    into one reducer.
+
+    ``salt_partitions=S`` bounds that too — the two-phase form:
+
+    1. salt each row with ``pmod(xxhash64(order_col), S)`` and take the
+       per-(stratum, salt) first ``n`` — the hot stratum's reduce-side
+       candidates spread over ``S`` parallel tasks (each ≤ ``n·P/S``
+       after the partial limit);
+    2. re-window the survivors (≤ ``n·S`` rows per stratum) globally
+       per stratum.
+
+    This is EXACT for every stratum — each member of the global first-n
+    is by definition within the first-n of its own salt subgroup, so
+    phase 1 never discards a winner and phase 2 equals the unsalted
+    result. (An approximate hash-mod PRE-GATE — keep
+    ``pmod(xxhash64(id), k) = 0`` sized from an approx count — was
+    considered and rejected: it changes the selected set whenever the
+    gate drops part of the stratum's order-prefix, i.e. almost always.
+    The salted two-phase costs one extra small shuffle and keeps output
+    identity unconditionally.) With duplicate ``order_col`` values both
+    forms are underdetermined at the quota boundary (``row_number`` tie
+    order is partitioning-dependent) — use a unique order column.
     """
     sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    n = int(n_per_stratum)
+    if salt_partitions is not None and int(salt_partitions) > 1:
+        s = int(salt_partitions)
+        w1 = Window.partitionBy(sc, F.col("__salt")).orderBy(oc)
+        df = (
+            df.withColumn("__salt", F.pmod(F.xxhash64(oc), F.lit(s)))
+            .withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", "__salt")
+        )
     w = Window.partitionBy(sc).orderBy(oc)
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(n_per_stratum))
+        .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
 

@@ -182,6 +182,59 @@ def test_quota_sample_deterministic(spark):
     assert quota_sample(df, "lang", 100, "doc_id").count() == 20
 
 
+def test_quota_sample_salted_identical_on_hot_stratum(spark):
+    """The two-phase salted form must equal the exact single-window form
+    on a skewed input — one hot stratum dwarfing the rest."""
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    rows = [(i, "hot") for i in range(5000)] + [
+        (10_000 + i, "cold%d" % (i % 5)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    exact = sorted(
+        (r["lang"], r["doc_id"])
+        for r in quota_sample(df, "lang", 7, "doc_id").collect()
+    )
+    for s in (2, 8, 64):
+        salted = sorted(
+            (r["lang"], r["doc_id"])
+            for r in quota_sample(
+                df, "lang", 7, "doc_id", salt_partitions=s
+            ).collect()
+        )
+        assert salted == exact, f"salt_partitions={s}"
+    # quota larger than the hot stratum: salted path must keep all rows
+    assert (
+        quota_sample(df, "lang", 10_000, "doc_id", salt_partitions=8).count()
+        == df.count()
+    )
+
+
+def test_quota_sample_salted_plan_splits_hot_sort(spark):
+    """Skew-plan shape: phase 1 windows on (stratum, salt) — the hot
+    stratum's reduce-side candidates spread over salt_partitions tasks —
+    and only the surviving <= n*S rows reach the per-stratum phase-2
+    window. Also pins the built-in mitigation the docstring relies on:
+    the UNSALTED physical plan must contain a PARTIAL WindowGroupLimit
+    before the exchange (map-side first-n per stratum)."""
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(100)], "doc_id long, lang string"
+    )
+    plan = quota_sample(
+        df, "lang", 3, "doc_id", salt_partitions=16
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [row_number()") == 2
+    assert "__salt" in plan
+
+    phys = (
+        quota_sample(df, "lang", 3, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Partial" in phys and "WindowGroupLimit" in phys
+
+
 # ------------------------------------------------------- IQR outliers
 
 def test_iqr_outliers_planted(spark):
