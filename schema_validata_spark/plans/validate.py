@@ -356,6 +356,7 @@ def validate_dataset(
     list_errors: bool = True,
     run_integrity: bool = True,
     sql_variables: dict[str, str] | None = None,
+    schema_mapping: list[dict] | None = None,
 ) -> ValidationResult:
     """Validate several tables against a full RuleSet — the engine's
     ``validate_dataset`` (reference src/schema_validata.py:3999–4106 plus
@@ -367,7 +368,22 @@ def validate_dataset(
       and SQL error-query rules for ``ruleset.integrity_rules`` (each
       table registered as a temp view first; results in
       ``result.integrity_violations`` — lazy DataFrame).
+
+    ``schema_mapping`` — reference parity for its mandatory third
+    argument (:4001, consumed at :2531–2554): a list of
+    ``{"dataset": <dfs key>, "data_dict": <ruleset table name>}``
+    pairs for workbooks whose sheet names differ from the spec's
+    section names. When given, ONLY mapped datasets are validated,
+    each against its mapped spec section; results are keyed (and
+    verdict ``table`` fields labelled) by the DATASET name, matching
+    the reference's per-sheet reporting. Mappings naming a missing
+    spec section are dropped with a warning (reference :2534–2539);
+    when ``schema_mapping`` is None, dict keys match spec names
+    directly (the engine's native convention).
     """
+    import dataclasses
+    import logging
+
     from schema_validata_spark.operators.integrity import (
         fk_violations,
         run_integrity_rules,
@@ -376,9 +392,29 @@ def validate_dataset(
     partition_cols = partition_cols or {}
     run_uid = f"{dataset_token}_{ruleset.spec_hash()}" if dataset_token else ruleset.spec_hash()
     result = ValidationResult(run_uid=run_uid)
-    for name, spec in ruleset.tables.items():
-        if name not in dfs:
-            continue
+
+    if schema_mapping is not None:
+        pairs = []
+        for m in schema_mapping:
+            ds, section = m["dataset"], m["data_dict"]
+            if section not in ruleset.tables:
+                # reference :2534–2539 prints a warning and drops the pair
+                logging.getLogger(__name__).warning(
+                    'Authoritative schema not found for "%s" — dropped '
+                    "from schema_mapping", section,
+                )
+                continue
+            if ds not in dfs:
+                logging.getLogger(__name__).warning(
+                    'Dataset "%s" not present — dropped from '
+                    "schema_mapping", ds,
+                )
+                continue
+            pairs.append((ds, dataclasses.replace(ruleset.tables[section], name=ds)))
+    else:
+        pairs = [(n, s) for n, s in ruleset.tables.items() if n in dfs]
+
+    for name, spec in pairs:
         result.tables[name] = validate_table(
             dfs[name],
             spec,

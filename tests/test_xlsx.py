@@ -112,6 +112,50 @@ def test_two_sheet_workbook_per_sheet_verdicts(spark, workbook):
     assert out["theaters"][("seats", "range_min")] is False
 
 
+def test_schema_mapping_sheet_to_spec(spark, workbook):
+    """Reference-parity schema_mapping (src/schema_validata.py:4001,
+    :2531–2554): a 2-sheet workbook whose sheet names DIFFER from the
+    spec's section names validates via the mapping, producing per-sheet
+    verdicts keyed and labelled by the DATASET sheet name; mappings to a
+    missing spec section are dropped with a warning, not an error."""
+    from schema_validata_spark.plans.validate import validate_dataset
+
+    dfs = xlsx_sheets_to_dfs(spark, workbook)   # sheets: movies, theaters
+    rs = load_spec_dict({
+        "film_catalog": {                        # != sheet name
+            "id": {"required": True, "unique_value": True},
+            "rating": {"allowed_value_list": "['G','PG','PG-13','R']"},
+        },
+        "venue_registry": {                      # != sheet name
+            "seats": {"range_min": 0},
+        },
+    })
+    result = validate_dataset(
+        dfs, rs,
+        key_cols={"movies": ["id"], "theaters": ["tid"]},
+        schema_mapping=[
+            {"dataset": "movies", "data_dict": "film_catalog"},
+            {"dataset": "theaters", "data_dict": "venue_registry"},
+            {"dataset": "movies", "data_dict": "no_such_section"},  # dropped
+        ],
+    )
+    assert set(result.tables) == {"movies", "theaters"}
+    mv = {(v.column, v.rule_id): v.passed for v in result.tables["movies"].verdicts
+          if v.partition is None}
+    th = {(v.column, v.rule_id): v.passed for v in result.tables["theaters"].verdicts
+          if v.partition is None}
+    assert mv[("id", "unique_value")] is False
+    assert mv[("rating", "allowed_value_list")] is False
+    assert th[("seats", "range_min")] is False
+    # verdict rows are labelled by the dataset sheet, reference-style
+    assert {v.table for v in result.tables["movies"].verdicts} == {"movies"}
+    # violation rows exist for the mapped failures
+    assert result.tables["movies"].violations is not None
+    assert result.tables["movies"].violations.count() >= 1
+    # without a mapping, mismatched names validate nothing
+    assert validate_dataset(dfs, rs, key_cols={}).tables == {}
+
+
 def test_read_table_xlsx_dispatch(spark, workbook):
     df = read_table(spark, workbook, sheet_name="theaters")
     assert df.columns == ["tid", "seats"]
