@@ -22,6 +22,90 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: BOM signatures, longest first (UTF-32 LE starts with the UTF-16 LE
+#: BOM bytes — order matters).
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+]
+
+
+def sniff_encoding(path: str, sample_bytes: int = 1 << 20) -> str:
+    """Stdlib-only encoding sniff for small CSV/spec files — the S1 tail
+    the reference covers with chardet (``read_spreadsheets``
+    src/schema_validata.py:906–993, chardet dep in setup.py), without
+    the dependency:
+
+    1. BOM match (UTF-8-sig / UTF-16 / UTF-32, longest first);
+    2. NUL-byte pattern → BOM-less UTF-16 (even offsets NUL = BE,
+       odd = LE — ASCII-heavy text interleaves NULs);
+    3. strict UTF-8 trial decode of the sample (a decode error within
+       the final 4 bytes is a truncated multi-byte sequence, not a
+       verdict — UTF-8 still wins);
+    4. fallback Windows-1252 (the de-facto encoding of Latin-1-ish
+       spreadsheet submissions; chardet reports the same family).
+
+    Driver-side by design: it reads one bounded sample of a LOCAL file.
+    Distributed multi-file corpora are parquet (self-describing) — this
+    exists for the small spec/submission files a validation run ingests.
+    """
+    with open(path, "rb") as f:
+        sample = f.read(sample_bytes)
+    for bom, enc in _BOMS:
+        if sample.startswith(bom):
+            return enc
+    if b"\x00" in sample[:4096]:
+        probe = sample[:4096]
+        even = probe[0::2].count(0)
+        odd = probe[1::2].count(0)
+        return "utf-16-be" if even > odd else "utf-16-le"
+    try:
+        sample.decode("utf-8", errors="strict")
+        return "utf-8"
+    except UnicodeDecodeError as e:
+        if e.start >= len(sample) - 4:
+            return "utf-8"
+    return "windows-1252"
+
+
+def _java_charset(py_codec: str) -> str:
+    """Python codec name → a charset Spark's CSV reader ACCEPTS (Spark 4
+    allows only iso-8859-1 / us-ascii / utf-8 / utf-16[le|be] / utf-32).
+    Windows-1252 therefore maps to its ISO-8859-1 superset-by-position —
+    identical for every byte ≥ 0xA0 (all accented letters); the 0x80–9F
+    range (curly quotes, dashes) decodes as C1 controls instead. Exact
+    cp1252 is available driver-side (``load_spec_csv``) where Python
+    does the decoding."""
+    return {
+        "utf-8-sig": "UTF-8",
+        "utf-8": "UTF-8",
+        "utf-16": "UTF-16",
+        "utf-32": "UTF-32",
+        "utf-16-le": "UTF-16LE",
+        "utf-16-be": "UTF-16BE",
+        "windows-1252": "ISO-8859-1",
+    }.get(py_codec, py_codec)
+
+
+def _spark_csv_encoding(path: str) -> str:
+    """Sniffed charset resolved for Spark's CSV reader: BOM'd UTF-16/32
+    resolve to the EXPLICIT-endianness Java charset (passing plain
+    "UTF-16" breaks record splitting — the charset-encoded lineSep gets
+    a BOM prefix and never matches), and the splitter needs lineSep set
+    (done by the caller)."""
+    enc = sniff_encoding(path)
+    if enc in ("utf-16", "utf-32"):
+        with open(path, "rb") as f:
+            head = f.read(4)
+        if enc == "utf-32":
+            return "UTF-32LE" if head.startswith(b"\xff\xfe\x00\x00") else "UTF-32BE"
+        return "UTF-16LE" if head.startswith(b"\xff\xfe") else "UTF-16BE"
+    return _java_charset(enc)
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -60,6 +144,22 @@ def read_table(
         if path.endswith(".tsv"):
             opts["sep"] = "\t"
         opts.update({k: str(v) for k, v in options.items()})
+        if (
+            "encoding" not in opts
+            and "charset" not in opts
+            and os.path.isfile(path)
+        ):
+            # S1 tail: sniff non-UTF-8 submissions (explicit encoding=
+            # always wins; directory/glob sources skip the sniff)
+            opts["encoding"] = _spark_csv_encoding(path)
+        if opts.get("encoding", "UTF-8").upper().startswith(
+            ("UTF-16", "UTF-32")
+        ) and "lineSep" not in opts:
+            # without an explicit lineSep Spark splits records on RAW
+            # 0x0A bytes before decoding — a UTF-16 '\n' (0A 00) leaves
+            # a dangling NUL on every line; an explicit lineSep makes
+            # the splitter use the charset-encoded newline
+            opts["lineSep"] = "\n"
         return reader.options(**opts).csv(path)
     if fmt == "json":
         return reader.options(**{k: str(v) for k, v in options.items()}).json(path)

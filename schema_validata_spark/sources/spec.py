@@ -295,18 +295,26 @@ def load_spec_json(path: str) -> RuleSet:
         return load_spec_dict(json.load(f))
 
 
-def load_spec_csv(paths: dict[str, str]) -> RuleSet:
+def load_spec_csv(
+    paths: dict[str, str], encoding: str | None = None
+) -> RuleSet:
     """Load a spec from CSV files — one file per table, columns =
     ``DATA_DICT_SCHEMA`` attributes (``field_name, required, data_type,
     allow_null, length, range_min, range_max, regex_pattern,
     unique_value, allowed_value_list``). ``paths``: {table_name: csv}.
-    Driver-side (spec files are tiny); stdlib csv, no pandas needed."""
+    Driver-side (spec files are tiny); stdlib csv, no pandas needed.
+    Encoding is sniffed per file (BOM + UTF-8 trial + Windows-1252
+    fallback — the reference's chardet path, src/schema_validata.py:
+    906–993) unless ``encoding`` overrides it."""
     import csv
+
+    from schema_validata_spark.sources.io import sniff_encoding
 
     spec: dict[str, Any] = {}
     for tname, path in paths.items():
         spec[tname] = {}
-        with open(path, newline="") as f:
+        enc = encoding or sniff_encoding(path)
+        with open(path, newline="", encoding=enc) as f:
             for row in csv.DictReader(f):
                 fname = _as_str(row.get("field_name"))
                 if not fname:

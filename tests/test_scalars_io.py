@@ -72,6 +72,69 @@ class TestIO:
         assert dict(df.dtypes) == {"a": "string", "b": "string"}
         assert df.count() == 2
 
+    def test_sniff_encoding_units(self, tmp_path):
+        from schema_validata_spark.sources.io import sniff_encoding
+
+        cases = {
+            "plain.csv": ("a,b\n1,x\n".encode("utf-8"), "utf-8"),
+            "bom8.csv": ("a,b\n1,x\n".encode("utf-8-sig"), "utf-8-sig"),
+            "bom16.csv": ("a,b\n1,x\n".encode("utf-16"), "utf-16"),
+            "le16.csv": ("a,b\n1,x\n".encode("utf-16-le"), "utf-16-le"),
+            "be16.csv": ("a,b\n1,x\n".encode("utf-16-be"), "utf-16-be"),
+            "cp1252.csv": ("name\ncafé,Müller–x\n".encode("cp1252"), "windows-1252"),
+            "latin1.csv": ("name\nrésumé\n".encode("latin-1"), "windows-1252"),
+        }
+        for fname, (data, want) in cases.items():
+            p = tmp_path / fname
+            p.write_bytes(data)
+            assert sniff_encoding(str(p)) == want, fname
+        # truncated multi-byte UTF-8 tail must not fall back to cp1252
+        p = tmp_path / "trunc.csv"
+        p.write_bytes("a\ncafé".encode("utf-8")[:-1])
+        assert sniff_encoding(str(p)) == "utf-8"
+
+    def test_read_csv_latin1_end_to_end(self, spark, tmp_path):
+        """The S1 tail 'done': a Latin-1 CSV with non-ASCII values reads
+        correctly without an explicit encoding and produces the right
+        verdicts."""
+        from schema_validata_spark import load_spec_dict
+        from schema_validata_spark.plans.validate import validate_table
+
+        p = tmp_path / "submission.csv"
+        p.write_bytes("city,kind\nZürich,café\nMálaga,bar\n".encode("cp1252"))
+        df = read_table(spark, str(p))
+        assert sorted(r["city"] for r in df.collect()) == ["Málaga", "Zürich"]
+        spec = load_spec_dict(
+            {"t": {"kind": {"allowed_value_list": ["café"]}}}
+        ).tables["t"]
+        tv = validate_table(df, spec, key_cols=["city"])
+        v = {(x.column, x.rule_id): (x.passed, x.count) for x in tv.verdicts}
+        assert v[("kind", "allowed_value_list")] == (False, 1)  # 'bar'
+        bad = tv.violations.collect()
+        assert len(bad) == 1 and bad[0]["observed_value"] == "bar"
+        # explicit override still wins
+        df2 = read_table(spark, str(p), encoding="ISO-8859-1")
+        assert df2.count() == 2
+
+    def test_read_csv_utf16_bom_header_clean(self, spark, tmp_path):
+        from schema_validata_spark.sources.io import sniff_encoding
+
+        p = tmp_path / "u16.csv"
+        p.write_bytes("a,b\n1,Zürich\n".encode("utf-16"))
+        df = read_table(spark, str(p))
+        assert df.columns == ["a", "b"]  # BOM consumed, not in the header
+        assert df.collect()[0]["b"] == "Zürich"
+
+    def test_load_spec_csv_sniffs_encoding(self, tmp_path):
+        from schema_validata_spark.sources.spec import load_spec_csv
+
+        p = tmp_path / "dict.csv"
+        p.write_bytes(
+            "field_name,allowed_value_list\nkind,\"['café','naïve']\"\n".encode("cp1252")
+        )
+        rs = load_spec_csv({"t": str(p)})
+        assert rs.tables["t"].column("kind").allowed_value_list == ["café", "naïve"]
+
     def test_load_files_to_views(self, spark, tmp_path):
         p = tmp_path / "v.csv"
         p.write_text("k\n1\n")
