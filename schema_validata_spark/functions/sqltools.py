@@ -15,9 +15,12 @@ Reference parity targets (reference src/schema_validata.py):
 
 The reference leans on a full SQL parser; rule queries in practice are
 plain SELECT/CTE shapes, so a comment/string-aware tokenizer with
-paren-depth tracking covers them. Known limits (documented, tested):
-window-function internals and quoted identifiers with spaces are passed
-through verbatim; exotic dialect syntax should install sqlglot (the
+paren-depth tracking covers them. Window functions (inline OVER (...)
+and named WINDOW w AS (...)), backtick-quoted identifiers with spaces
+(length-preserving placeholder substitution, original spelling in
+outputs), and double-quoted string literals (Spark dialect) are
+handled and regression-tested. Remaining limit: exotic dialect syntax
+(LATERAL, PIVOT, table-valued functions) should install sqlglot (the
 callers in operators/integrity.py prefer it when importable).
 """
 
@@ -53,17 +56,20 @@ def strip_comments_and_strings(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):
+            # double quotes are STRING literals in the Spark dialect the
+            # rule SQL executes under (not ANSI identifiers)
+            q = c
             j = i + 1
             while j < n:
-                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                if sql[j] == q and j + 1 < n and sql[j + 1] == q:
                     j += 2
                     continue
-                if sql[j] == "'":
+                if sql[j] == q:
                     break
                 j += 1
             end = min(j + 1, n)
-            out.append("'" + " " * max(end - i - 2, 0) + ("'" if end - i >= 2 else ""))
+            out.append(q + " " * max(end - i - 2, 0) + (q if end - i >= 2 else ""))
             i = end
         elif c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
@@ -81,6 +87,44 @@ def strip_comments_and_strings(sql: str) -> str:
     s = "".join(out)
     assert len(s) == len(sql)
     return s
+
+
+_BACKTICK = re.compile(r"`([^`]*)`")
+
+
+def _sub_quoted(sql: str) -> tuple[str, dict[str, str]]:
+    """Replace backtick-quoted identifiers (Spark's quoting for names
+    with spaces/specials) with SAME-LENGTH plain-identifier placeholders
+    so the tokenizer sees one token; returns (substituted sql,
+    placeholder → original name). Length preservation keeps every index
+    computed downstream valid against the substituted text. A quoted
+    name too short to hold its placeholder falls back to in-place
+    mangling (non-identifier chars → '_'), losing the original spelling
+    but never the token boundary."""
+    mapping: dict[str, str] = {}
+
+    def repl(m: re.Match) -> str:
+        inner = m.group(1)
+        total = len(m.group(0))  # includes both backticks
+        key = f"_q{len(mapping)}"
+        if len(key) <= total:
+            tok = key + "_" * (total - len(key))
+        else:
+            tok = ("_" + re.sub(r"[^A-Za-z0-9_]", "_", inner))[:total].ljust(
+                total, "_"
+            )
+        mapping[tok] = inner
+        return tok
+
+    return _BACKTICK.sub(repl, sql), mapping
+
+
+def _unsub(name: str, qmap: dict[str, str]) -> str:
+    """Map a (possibly dot-qualified) placeholder name back to its
+    original quoted spelling, part by part."""
+    if not qmap:
+        return name
+    return ".".join(qmap.get(p, p) for p in name.split("."))
 
 
 def _depth_map(sql: str) -> list[int]:
@@ -159,7 +203,9 @@ def _main_body(sql: str) -> str:
 
 def tables_in_order(sql: str, include_ctes: bool = False) -> list[str]:
     """Unique FROM/JOIN targets in textual order; CTE names excluded
-    unless ``include_ctes``. Subqueries contribute their inner tables."""
+    unless ``include_ctes``. Subqueries contribute their inner tables.
+    Backtick-quoted names are supported (returned in original spelling)."""
+    sql, _qmap = _sub_quoted(sql)
     s = strip_comments_and_strings(sql)
     ctes = {name.lower() for name, _ in cte_definitions(sql)}
     # openers of parens whose call is EXTRACT(x FROM col)-shaped: the
@@ -204,7 +250,7 @@ def tables_in_order(sql: str, include_ctes: bool = False) -> list[str]:
             if h.lower() not in seen:
                 seen.add(h.lower())
                 out.append(h)
-    return out
+    return [_unsub(t, _qmap) for t in out]
 
 
 def extract_primary_table(sql: str) -> str | None:
@@ -298,7 +344,13 @@ def _column_refs(body: str) -> list[str]:
             # the optional alias group may have captured a keyword (e.g.
             # `FROM t WHERE`): exclude only the table part then
             target_spans.append((m.start(), m.end(1)))
-    skip = _KEYWORDS | tables | aliases
+    # named windows: `OVER w` and `WINDOW w AS (...)` — w is a window
+    # label, not a column
+    for m in re.finditer(
+        rf"\b(?:over|window)\s+({_IDENT})\b", s, flags=re.IGNORECASE
+    ):
+        target_spans.append(m.span(1))
+    skip = _KEYWORDS | tables | aliases | {"window"}
 
     def in_target(pos: int) -> bool:
         return any(a <= pos < b for a, b in target_spans)
@@ -344,11 +396,21 @@ def referenced_columns(
     ``DATA_INTRGTY_EXPL_COLS_ONLY`` behavior. CTE bodies are processed
     first (recursively), matching the reference's traversal order.
     """
+    sql, _qmap = _sub_quoted(sql)
+    if catalog_columns is not None and _qmap:
+        _inner_catalog = catalog_columns
+
+        def catalog_columns(t):  # resolve placeholder table names
+            return _inner_catalog(_unsub(t, _qmap))
+
     seen: set[str] = set()
     out: list[str] = []
 
     def add(name: str | None) -> None:
-        if name and name not in seen:
+        if name is None:
+            return
+        name = _unsub(name, _qmap)
+        if name not in seen:
             seen.add(name)
             out.append(name)
 

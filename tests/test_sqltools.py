@@ -181,3 +181,47 @@ class TestReviewRegressions:
             "SELECT id, 'copied from x' AS note FROM t WHERE flag = 'from y'"
         )
         assert cols == ["id", "note", "flag"]
+
+
+class TestQuotedIdentifiersAndWindows:
+    """Round-3 hardening (VERDICT item 9): the two documented tokenizer
+    limits — quoted identifiers and window functions — now handled."""
+
+    def test_backtick_identifiers_with_spaces(self):
+        q = ("SELECT `total price` AS final_price, t.`weird col` "
+             "FROM `my table` t WHERE `total price` > 5")
+        assert referenced_columns(q) == ["final_price", "weird col", "total price"]
+        assert extract_primary_table(q) == "my table"
+
+    def test_backtick_qualified_table(self):
+        q = "SELECT a FROM `my db`.`raw orders` WHERE a > 0"
+        assert extract_primary_table(q) == "my db.raw orders"
+
+    def test_backtick_in_cte_body(self):
+        q = ("WITH c AS (SELECT `order id` AS oid FROM `raw orders`) "
+             "SELECT oid FROM c WHERE oid > 0")
+        assert referenced_columns(q) == ["oid", "order id"]
+        assert extract_primary_table(q) == "raw orders"
+
+    def test_inline_window_function(self):
+        q = ("SELECT sum(o_totalprice) OVER (PARTITION BY o_custkey "
+             "ORDER BY o_orderdate ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+             "AS rolling, o_orderkey FROM orders")
+        assert referenced_columns(q) == [
+            "rolling", "o_orderkey", "o_totalprice", "o_custkey", "o_orderdate",
+        ]
+
+    def test_named_window_label_not_a_column(self):
+        q = ("SELECT rank() OVER w AS r FROM orders "
+             "WINDOW w AS (PARTITION BY o_custkey)")
+        assert referenced_columns(q) == ["r", "o_custkey"]
+
+    def test_double_quoted_string_literal_blanked(self):
+        # Spark dialect: "..." is a string literal; commas/parens inside
+        # must not corrupt the select-list split
+        q = 'SELECT a, \'x\' AS lit FROM t WHERE b = "some, (string"'
+        assert referenced_columns(q) == ["a", "lit", "b"]
+
+    def test_backtick_alias_roundtrip(self):
+        q = "SELECT o_orderkey AS `order key` FROM orders"
+        assert referenced_columns(q)[0] == "order key"
