@@ -12,9 +12,15 @@ streaming forms a training-data ingest pipeline needs:
   is a set operation (banding self-join), so it runs per micro-batch via
   ``foreachBatch``: each batch is near-deduped against ITSELF with the
   full batch engine (:func:`schema_validata_spark.operators.dedup.
-  near_dedup`), then handed to the caller's sink. Cross-batch near-dup
-  requires an external LSH-bucket store (the batch `write_ann_index`
-  layout is the natural target) — documented, not silently claimed.
+  near_dedup`), then handed to the caller's sink. WITHIN-batch only.
+* :func:`streaming_near_dedup_stateful` — the cross-batch form: a
+  parquet state table of (band, band_hash, signature) rows persists LSH
+  buckets across micro-batches; each batch is deduped against itself
+  (exact verify), then its band keys are joined against the state
+  buckets and signature-estimated similarity kicks out near-duplicates
+  of documents seen in ANY earlier retained batch. State is bounded:
+  one fixed-size signature per emitted doc per band (512 B at 64 perms)
+  with optional batch-count retention eviction.
 """
 
 from __future__ import annotations
@@ -69,5 +75,200 @@ def streaming_near_dedup_foreach_batch(
             batch_df, text_col, id_col, method=method, **dedup_kwargs
         )
         sink(deduped, batch_id)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _band_structs(sig_col, num_perm: int, bands: int):
+    """(band, band_hash) structs derived from a minhash signature column
+    — the same slice/concat/xxhash64 banding as ``minhash_bands``, but
+    over an already-computed signature."""
+    rows = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig_col, i * F.lit(rows) + F.lit(1), F.lit(rows)),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def stateful_near_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    method: str = "minhash",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    max_hamming: int = 3,
+    retention_batches: int | None = None,
+) -> DataFrame:
+    """One micro-batch of cross-batch near-dedup; returns the surviving
+    rows AFTER updating the state table. Factored out of the stream
+    writer so tests (and backfills) can drive batches directly.
+
+    Semantics per batch:
+
+    1. WITHIN-batch near-dedup with the full batch engine — exact
+       verification (n-gram Jaccard / hamming).
+    2. CROSS-batch: the batch's LSH band keys join the persisted bucket
+       state; candidates verify by SIGNATURE similarity — the fraction
+       of agreeing minhash entries is an unbiased Jaccard estimator
+       (simhash verifies exactly via bit_count(xor) — its signature IS
+       the verdict). Signature-based verify is the deliberate scale
+       trade-off: state stays fixed-size per doc (no text, no shingle
+       arrays), so the table grows with EMITTED docs only and the
+       estimator's resolution is 1/num_perm.
+    3. Survivors append their (band, band_hash, sig, batch_id) rows to
+       the state table; ``retention_batches`` evicts buckets older than
+       N batches at read time (the watermark analogue — a near-dup of a
+       doc emitted longer ago than the retention is the same documented
+       trade-off as ``dropDuplicatesWithinWatermark``).
+
+    At-least-once caveat: a replayed micro-batch re-appends its state
+    rows; duplicate state rows only add candidate pairs (idempotent for
+    output correctness), and re-emission follows the sink's semantics.
+    """
+    from pyspark.errors import AnalysisException
+
+    from schema_validata_spark.operators.dedup import (
+        minhash_signature,
+        near_dedup,
+        simhash64,
+    )
+    from schema_validata_spark.operators.text import token_count
+
+    spark = batch_df.sparkSession
+    if method == "minhash":
+        surv = near_dedup(
+            batch_df, text_col, id_col, method="minhash",
+            threshold=threshold, num_perm=num_perm, bands=bands, k=k,
+        )
+        sig = minhash_signature(text_col, num_perm, k)
+        min_tokens = k
+    elif method == "simhash":
+        surv = near_dedup(
+            batch_df, text_col, id_col, method="simhash",
+            max_hamming=max_hamming, k=k,
+        )
+        sig = F.array(simhash64(text_col, k))  # uniform array<long> state
+        min_tokens = k
+    else:
+        raise ValueError(f"unknown method: {method}")
+
+    keyed = (
+        surv.filter(token_count(F.col(text_col)) >= min_tokens)
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
+    if method == "minhash":
+        banded = keyed.select(
+            "id", "sig", F.explode(_band_structs(F.col("sig"), num_perm, bands)).alias("b")
+        ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
+    else:
+        banded = keyed.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.element_at("sig", 1), i * 8)
+                            .bitwiseAND(F.lit(255))
+                            .cast("long")
+                            .alias("band_hash"),
+                        )
+                        for i in range(8)
+                    ]
+                )
+            ).alias("b"),
+        ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
+
+    try:
+        state = spark.read.parquet(state_dir)
+    except AnalysisException:
+        state = None
+
+    kept = surv
+    if state is not None:
+        if retention_batches is not None:
+            state = state.filter(
+                F.col("batch_id") >= F.lit(int(batch_id) - int(retention_batches))
+            )
+        cand = (
+            banded.alias("n")
+            .join(
+                state.alias("o"),
+                on=[
+                    F.col("n.band") == F.col("o.band"),
+                    F.col("n.band_hash") == F.col("o.band_hash"),
+                ],
+            )
+            .select(
+                F.col("n.id").alias("id"),
+                F.col("n.sig").alias("s1"),
+                F.col("o.sig").alias("s2"),
+            )
+            .dropDuplicates(["id", "s2"])
+        )
+        if method == "minhash":
+            est = F.aggregate(
+                F.zip_with(
+                    F.col("s1"), F.col("s2"),
+                    lambda a, b: (a == b).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ) / F.lit(num_perm)
+            is_dup = est >= F.lit(threshold)
+        else:
+            is_dup = (
+                F.bit_count(
+                    F.element_at("s1", 1).bitwiseXOR(F.element_at("s2", 1))
+                )
+                <= F.lit(max_hamming)
+            )
+        dup_ids = cand.filter(is_dup).select("id").distinct()
+        kept = surv.join(
+            dup_ids.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+        )
+
+    kept_state = banded.join(
+        kept.select(F.col(id_col).alias("id")), on="id", how="left_semi"
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    kept_state.write.mode("append").parquet(state_dir)
+    return kept
+
+
+def streaming_near_dedup_stateful(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    **batch_kwargs,
+):
+    """Cross-batch streaming near-dedup: ``foreachBatch`` wrapper over
+    :func:`stateful_near_dedup_batch` (see its docstring for semantics);
+    surviving rows go to ``sink(kept_df, batch_id)``. Returns the
+    ``DataStreamWriter`` — caller starts it."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = stateful_near_dedup_batch(
+            batch_df, batch_id, text_col, id_col, state_dir, **batch_kwargs
+        )
+        sink(kept, batch_id)
 
     return stream_df.writeStream.foreachBatch(_process)

@@ -1,0 +1,146 @@
+"""Cross-batch streaming near-dedup (VERDICT r2 item 3): a near-dup
+arriving BATCHES after the original must be dropped via the persisted
+LSH band-bucket state table."""
+
+from __future__ import annotations
+
+import random
+
+from schema_validata_spark.streaming.dedup import (
+    stateful_near_dedup_batch,
+    streaming_near_dedup_stateful,
+)
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _doc(seed: int, n: int = 30) -> str:
+    rng = random.Random(seed)
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _near(text: str) -> str:
+    return text + " zzqx"  # one novel token: J = |D|/(|D|+1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, state_dir, batches, **kw):
+    out = {}
+    for i, rows in enumerate(batches):
+        kept = stateful_near_dedup_batch(
+            _mk(spark, rows), i, "text", "doc_id", state_dir,
+            k=3, **kw,
+        )
+        out[i] = sorted(r["doc_id"] for r in kept.collect())
+    return out
+
+
+class TestStatefulMinhash:
+    def test_near_dup_two_batches_later_dropped(self, spark, tmp_path):
+        a, b, c, d = _doc(1), _doc(2), _doc(3), _doc(4)
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [
+                [(1, a), (2, b)],          # batch 0
+                [(3, c)],                  # batch 1 (unrelated)
+                [(4, _near(a)), (5, d)],   # batch 2: near-dup of batch-0 doc
+            ],
+            method="minhash", threshold=0.7, num_perm=64, bands=16,
+        )
+        assert out[0] == [1, 2]
+        assert out[1] == [3]
+        assert out[2] == [5], "near-dup of a doc from two batches ago survived"
+
+    def test_exact_copy_across_batches_dropped(self, spark, tmp_path):
+        a, b = _doc(10), _doc(11)
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [[(1, a)], [(2, b)], [(3, a)]],   # exact copy two batches later
+            method="minhash", threshold=0.7, num_perm=64, bands=16,
+        )
+        assert out[2] == []
+
+    def test_within_batch_dedup_still_exact(self, spark, tmp_path):
+        a = _doc(20)
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [[(1, a), (2, _near(a)), (3, _doc(21))]],
+            method="minhash", threshold=0.7, num_perm=64, bands=16,
+        )
+        assert out[0] == [1, 3]  # min-id winner within the batch
+
+    def test_retention_evicts_old_buckets(self, spark, tmp_path):
+        a, b = _doc(30), _doc(31)
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [
+                [(1, a)],               # batch 0
+                [(2, b)],               # batch 1
+                [(3, _near(a)), (4, _near(b))],  # batch 2
+            ],
+            method="minhash", threshold=0.7, num_perm=64, bands=16,
+            retention_batches=1,        # batch 2 sees only batch >= 1
+        )
+        # a's buckets (batch 0) evicted -> its near-dup survives;
+        # b's buckets (batch 1) retained -> its near-dup drops
+        assert out[2] == [3]
+
+    def test_unrelated_docs_never_dropped(self, spark, tmp_path):
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [[(i, _doc(100 + i))] for i in range(4)],
+            method="minhash", threshold=0.7, num_perm=64, bands=16,
+        )
+        assert all(out[i] == [i] for i in range(4))
+
+
+class TestStatefulSimhash:
+    def test_copy_two_batches_later_dropped(self, spark, tmp_path):
+        a, b = _doc(40), _doc(41)
+        out = _run(
+            spark, str(tmp_path / "st"),
+            [[(1, a)], [(2, b)], [(3, a), (4, _doc(42))]],
+            method="simhash", max_hamming=3,
+        )
+        assert out[0] == [1] and out[1] == [2]
+        assert out[2] == [4]
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    """Real readStream: three parquet files, one micro-batch each
+    (maxFilesPerTrigger=1); the near-dup planted in the third file is
+    dropped against state built two batches earlier."""
+    import pyspark.sql.functions as F
+
+    a, b = _doc(50), _doc(51)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(
+        [[(1, a)], [(2, b)], [(3, _near(a)), (4, _doc(52))]]
+    ):
+        _mk(spark, rows).coalesce(1).write.parquet(str(src / f"f{i}"))
+    # register the three file dirs as one source via explicit paths
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    got: dict[int, list[int]] = {}
+
+    def sink(df, bid):
+        got[bid] = sorted(r["doc_id"] for r in df.collect())
+
+    q = streaming_near_dedup_stateful(
+        stream, "text", "doc_id", str(tmp_path / "state"), sink,
+        method="minhash", threshold=0.7, num_perm=64, bands=16, k=3,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    emitted = sorted(i for ids in got.values() for i in ids)
+    assert 3 not in emitted, f"cross-batch near-dup emitted: {got}"
+    assert set(emitted) >= {1, 2, 4}
