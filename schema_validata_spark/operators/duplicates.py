@@ -172,7 +172,7 @@ def enumerate_duplicates(
 
 
 def duplicate_group_stats(
-    df: DataFrame, columns: list[str]
+    df: DataFrame, columns: list[str], extra_group_col: str | None = None
 ) -> dict[str, tuple[int, int]]:
     """Exact per-column ``(dup_rows, dup_groups)`` for MANY columns in
     ONE job — ``dup_rows`` = rows participating in any duplicate group
@@ -195,7 +195,7 @@ def duplicate_group_stats(
     """
     if not columns:
         return {}
-    if len(columns) == 1:
+    if len(columns) == 1 and extra_group_col is None:
         c = columns[0]
         r = (
             duplicate_value_counts(df, [c])
@@ -206,7 +206,13 @@ def duplicate_group_stats(
             .collect()[0]
         )
         return {c: (int(r["rows"]), int(r["groups"]))}
+    # ``extra_group_col`` scopes uniqueness to an extra grouping key (the
+    # fused multi-sheet path groups by the sheet tag); keys of the result
+    # become (extra_value, column) tuples.
+    g = [F.col(extra_group_col).alias("_g")] if extra_group_col else []
+    gk = ["_g"] if extra_group_col else []
     pairs = df.select(
+        *g,
         F.explode(
             F.array(
                 *[
@@ -219,9 +225,9 @@ def duplicate_group_stats(
                     for c in columns
                 ]
             )
-        ).alias("p")
+        ).alias("p"),
     ).select(
-        "p.col", "p.val", F.xxhash64("p.col", "p.val").alias("_h")
+        *gk, "p.col", "p.val", F.xxhash64(*gk, "p.col", "p.val").alias("_h")
     ).filter(F.col("val").isNotNull())
     cand = (
         pairs.groupBy("_h")
@@ -231,15 +237,20 @@ def duplicate_group_stats(
     )
     confirmed = pairs.join(cand, on="_h", how="left_semi")
     per_col = (
-        confirmed.groupBy("col", "val")
+        confirmed.groupBy(*gk, "col", "val")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .groupBy("col")
+        .groupBy(*gk, "col")
         .agg(
             F.sum("n").alias("dup_rows"),
             F.count(F.lit(1)).alias("dup_groups"),
         )
     )
+    if extra_group_col:
+        return {
+            (r["_g"], r["col"]): (int(r["dup_rows"]), int(r["dup_groups"]))
+            for r in per_col.collect()
+        }
     found = {
         r["col"]: (int(r["dup_rows"]), int(r["dup_groups"]))
         for r in per_col.collect()

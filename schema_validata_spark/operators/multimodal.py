@@ -8,13 +8,15 @@ Training-pipeline capability (no reference counterpart). Convention:
 
 The Spark-side plumbing — schema, partition-preserving ``mapInPandas``
 iteration, Arrow batch shapes, deterministic output schema — is real and
-tested. The actual codec work (image decode/resize, audio resample,
-video frame sampling) is STUBBED: the codec libraries (Pillow/ffmpeg/…)
-are not in this container, so each kernel either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the payload hash (test mode) with the exact schema a real
-decoder would emit. Swapping in a real codec changes only the marked
-inner function, never the Spark plumbing.
+tested. Codec status: PNG images decode for REAL via the from-scratch
+stdlib codec (sources/png.py — no Pillow in this container, so the
+format is implemented from its public spec, like the xlsx codec).
+Remaining codec work (JPEG/WebP decode, audio resample, video frame
+extraction) stays STUBBED: each kernel raises ``NotImplementedError``
+(strict mode) or produces a deterministic fake derived from the payload
+hash (test mode) with the exact schema a real decoder would emit.
+Swapping in further codecs changes only the marked inner function,
+never the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -49,12 +51,13 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode_image(payload: bytes) -> dict:
-    """Deterministic stand-in for a real image decoder.
+    """Deterministic stand-in for formats without an available codec.
 
     REPLACE-ME(codec): a real implementation decodes ``payload`` with
     Pillow/libvips and computes actual pixel stats; this fake derives
     every field from a stable hash of the bytes so tests are exact and
-    repeatable.
+    repeatable. PNG no longer routes here — the stdlib codec
+    (sources/png.py) decodes it for real.
     """
     import hashlib
 
@@ -67,6 +70,33 @@ def _fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def _decode_image(payload: bytes, strict: bool) -> dict:
+    """REAL decode for PNG via the from-scratch stdlib codec
+    (sources/png.py): actual width/height, Rec.601 mean luma, and the
+    8×8 average-hash over decoded pixels. Other formats (JPEG/WebP/…)
+    still need an external codec: ``strict=True`` raises; otherwise the
+    deterministic hash-fake stands in (clearly a fake — tests rely on
+    its stability, pipelines on its schema)."""
+    from schema_validata_spark.sources import png as _png
+
+    if _png.is_png(payload):
+        try:
+            w, h, mode, pixels = _png.decode_png(payload)
+            luma, ahash = _png.luma_and_ahash(w, h, mode, pixels)
+            return {"width": w, "height": h, "mean_luma": luma, "phash": ahash}
+        except _png.PNGError:
+            if strict:
+                raise
+            return _fake_decode_image(payload)
+    if strict:
+        raise NotImplementedError(
+            "non-PNG image decode requires a codec library (not in this "
+            "container); PNG decodes natively — run with strict=False "
+            "for the deterministic fake decoder on other formats"
+        )
+    return _fake_decode_image(payload)
+
+
 def image_features(
     df: DataFrame,
     payload_col: str,
@@ -77,10 +107,13 @@ def image_features(
     """Per-image features via ``mapInPandas`` (Arrow-batched; one Python
     worker per partition, zero driver involvement).
 
-    ``strict=True`` raises ``NotImplementedError`` at executor time —
-    the contract for environments without a codec. The plumbing keeps
-    partitioning (narrow transformation, no shuffle) and prunes input
-    columns to ``id_cols + [payload_col]``.
+    PNG payloads decode for REAL (stdlib codec, sources/png.py — actual
+    dimensions, mean luma, aHash). ``strict=True`` raises at executor
+    time for any payload the available codecs cannot decode (non-PNG
+    formats, unsupported PNG subsets); ``strict=False`` substitutes the
+    deterministic hash-fake for those. The plumbing keeps partitioning
+    (narrow transformation, no shuffle) and prunes input columns to
+    ``id_cols + [payload_col]``.
     """
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols] + list(IMAGE_FEATURES_SCHEMA.fields)
@@ -90,12 +123,6 @@ def image_features(
         import hashlib
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec library (not in this "
-                    "container); run with strict=False for the "
-                    "deterministic fake decoder"
-                )
             # columnar batch ops — id/sha/n_bytes columns are Series
             # operations; Python touches each element only where the
             # payload itself must be processed (hash/decode), never via
@@ -111,10 +138,10 @@ def image_features(
             out["content_sha"] = payloads.map(
                 lambda p: None if p is None else hashlib.sha256(p).hexdigest()
             )
-            # REPLACE-ME(codec): the only per-payload decode loop — a real
-            # implementation decodes here (Pillow/libvips over `payloads`)
+            # the only per-payload decode loop: PNG decodes for real
+            # (stdlib codec); other formats fake (strict=False) or raise
             decoded = payloads.map(
-                lambda p: None if p is None else _fake_decode_image(p)
+                lambda p: None if p is None else _decode_image(p, strict)
             )
             out["width"] = decoded.map(
                 lambda d: None if d is None else d["width"]

@@ -153,13 +153,18 @@ def validate_table(
     partition_col: str | None = None,
     list_errors: bool = True,
     ignore: tuple[str, ...] = DEFAULT_IGNORE,
+    enumerate_dups: bool = True,
 ) -> TableValidation:
     """Stages A–D for one table.
 
     ``partition_col`` — stable partition column (e.g. Iceberg partition
     value) for per-partition verdicts; global verdicts are always
     produced. ``list_errors=False`` skips Stage C (reference flag,
-    :4085).
+    :4085). ``enumerate_dups=False`` skips the exact keep=False
+    duplicate-count jobs for failing unique columns (verdict counts fall
+    back to the distinct-excess formula) — used by
+    ``validate_tables_fused``, whose GLOBAL unique verdicts over the
+    sheet union are discarded and recomputed per sheet.
     """
     spec_cols = [c for c in spec.column_names if c in df.columns]
     # Stage A: single-pass stats. With a partition column, ONE rollup scan
@@ -257,7 +262,8 @@ def validate_table(
     dup_cols = [
         cs.field_name
         for cs in spec.columns
-        if cs.unique_value
+        if enumerate_dups
+        and cs.unique_value
         and cs.field_name in counts_global
         and counts_global[cs.field_name].get("distinct", 0)
         < counts_global[cs.field_name].get("nonnull", 0)
@@ -345,6 +351,166 @@ def validate_table(
         verdicts=verdicts,
         violations=violations,
     )
+
+
+def validate_tables_fused(
+    dfs: dict[str, DataFrame],
+    spec: TableSpec,
+    key_cols: list[str] | None = None,
+    list_errors: bool = False,
+    ignore: tuple[str, ...] = DEFAULT_IGNORE,
+) -> dict[str, TableValidation]:
+    """Validate MANY same-shape tables (a workbook of N structurally
+    identical sheets, N daily drops of one feed) in ~ONE Catalyst plan
+    instead of N.
+
+    ``validate_table``'s fused Stage-A rollup carries a ~1.75 s FIXED
+    plan/analysis/codegen cost that is independent of data size
+    (measured, BASELINE.md) — a 10-sheet workbook pays it 10× when
+    validated sheet-by-sheet. Here the sheets are unioned under a
+    ``__sheet`` tag and validated ONCE with ``partition_col="__sheet"``:
+    the rollup's grouping sets make each sheet's "partition" stats its
+    global stats, so Stage A+B for all sheets costs one plan and one
+    scan. Per-sheet verdicts are the partition verdicts relabelled; the
+    column-presence (V1) verdicts — identical across same-schema sheets
+    — are replicated per sheet; ``unique_value`` counts for failing
+    sheets are upgraded from the partition dup-excess formula to exact
+    ``duplicated(keep=False)`` counts by ONE extra sheet-grouped melted
+    job (same protocol as the single-table path).
+
+    ``list_errors=True`` builds ONE fused Stage-C extractor over the
+    union for the combined failed-pair set, then slices it per sheet
+    (each sheet's frame filters to ITS failed pairs, so no
+    over-extraction); ``unique_value`` row enumeration is excluded from
+    the fused Stage C (use ``validate_table`` per sheet when dup-row
+    listings matter — documented trade).
+
+    Sheets whose partition never appears in the rollup (zero-row sheets)
+    fall back to individual ``validate_table`` runs — correctness over
+    plan reuse for that edge.
+
+    All ``dfs`` must share the same (column, dtype) schema — that is
+    what "same shape" means; mixed workbooks go through
+    ``validate_dataset`` instead.
+    """
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.verdicts import (
+        SCHEMA_ERROR_TEMPLATES,
+    )
+
+    names = list(dfs)
+    if not names:
+        return {}
+    key_cols = key_cols or []
+    dtypes0 = dfs[names[0]].dtypes
+    for n in names[1:]:
+        if dfs[n].dtypes != dtypes0:
+            raise ValueError(
+                f"validate_tables_fused needs identical schemas; {n!r} "
+                f"differs from {names[0]!r} — use validate_dataset for "
+                "mixed workbooks"
+            )
+    SHEET = "__sheet"
+    union = None
+    for n in names:
+        part = dfs[n].withColumn(SHEET, F.lit(n))
+        union = part if union is None else union.unionByName(part)
+
+    tv = validate_table(
+        union, spec, key_cols, partition_col=SHEET,
+        list_errors=False, ignore=ignore, enumerate_dups=False,
+    )
+
+    presence = [
+        v for v in tv.verdicts
+        if v.partition is None
+        and v.rule_id in ("required_column", "optional_column")
+    ]
+    by_sheet: dict[str, list] = {}
+    for v in tv.verdicts:
+        if v.partition is not None:
+            by_sheet.setdefault(v.partition, []).append(
+                dataclasses.replace(v, table=v.partition, partition=None)
+            )
+
+    # exact keep=False duplicate counts for FAILING unique verdicts —
+    # one sheet-grouped melted job for every (sheet, column) at once
+    unique_fail_cols = sorted({
+        v.column
+        for vs in by_sheet.values()
+        for v in vs
+        if v.rule_id == "unique_value" and not v.passed
+    })
+    if unique_fail_cols:
+        gstats = duplicate_group_stats(
+            union, unique_fail_cols, extra_group_col=SHEET
+        )
+        for sheet, vs in by_sheet.items():
+            for i, v in enumerate(vs):
+                if v.rule_id == "unique_value" and not v.passed:
+                    rows, _groups = gstats.get((sheet, v.column), (0, 0))
+                    vs[i] = dataclasses.replace(
+                        v,
+                        count=rows,
+                        message=SCHEMA_ERROR_TEMPLATES["unique_value"].format(
+                            col=v.column, count=rows
+                        ),
+                    )
+
+    viol_all = None
+    if list_errors:
+        all_pairs = sorted({
+            (v.column, v.rule_id)
+            for vs in by_sheet.values()
+            for v in vs
+            if not v.passed
+            and v.rule_id not in (
+                "required_column", "optional_column", "data_type",
+                "unique_value",
+            )
+        })
+        if all_pairs:
+            viol_all = extract_violations(
+                union, spec, key_cols + [SHEET], failed=all_pairs,
+                ignore=ignore,
+            )
+
+    out: dict[str, TableValidation] = {}
+    for n in names:
+        if n not in by_sheet:
+            # zero-row sheet: its partition never appears in the rollup
+            out[n] = validate_table(
+                dfs[n], spec, key_cols, list_errors=list_errors,
+                ignore=ignore,
+            )
+            continue
+        verdicts = by_sheet[n] + [
+            dataclasses.replace(v, table=n) for v in presence
+        ]
+        violations = None
+        if viol_all is not None:
+            mine = {
+                f"{v.column}|{v.rule_id}" for v in by_sheet[n] if not v.passed
+            }
+            violations = (
+                viol_all.filter(F.col(SHEET) == n)
+                .filter(
+                    F.concat_ws("|", "column_name", "rule_id").isin(*mine)
+                    if mine else F.lit(False)
+                )
+                .drop(SHEET)
+            )
+        out[n] = TableValidation(
+            table=n,
+            stats=tv.partition_stats.get(n, {}),
+            partition_stats=None,
+            verdicts=verdicts,
+            violations=violations,
+        )
+    return out
 
 
 def validate_dataset(

@@ -1,0 +1,210 @@
+"""From-scratch stdlib PNG codec (zlib + struct) — the real decoder
+behind the multimodal image seam.
+
+The container has no Pillow/libvips, so — like the xlsx codec
+(sources/xlsx.py, stdlib zip/XML) — the format is implemented directly
+from its public specification (PNG, RFC 2083 / W3C PNG spec): chunk
+stream parsing, IHDR/IDAT/IEND, zlib inflate, and all five scanline
+filters (None/Sub/Up/Average/Paeth). Scope is the honest subset a
+training-data pipeline meets in fixtures and thumbnails:
+
+* 8-bit samples, color types 0 (greyscale), 2 (RGB), 4 (grey+alpha),
+  6 (RGBA); non-interlaced only.
+* Palette (type 3), 1/2/4/16-bit depths, and Adam7 interlace raise
+  ``UnsupportedPNGError`` with the exact reason — callers fall back or
+  surface the error, never silently fake.
+
+The encoder (filter-0 scanlines, one IDAT) exists so tests can build
+real byte-exact fixtures without any imaging dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class PNGError(ValueError):
+    """Malformed PNG byte stream."""
+
+
+class UnsupportedPNGError(PNGError):
+    """Valid PNG, but outside the supported subset."""
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _SIGNATURE
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, str, bytearray]:
+    """``(width, height, mode, pixels)`` — pixels are row-major
+    interleaved samples; mode is ``L`` | ``RGB`` | ``LA`` | ``RGBA``."""
+    data = bytes(data)
+    if not is_png(data):
+        raise PNGError("not a PNG byte stream (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise PNGError("truncated chunk")
+        pos += 12 + length  # skip CRC (integrity is the transport's job)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if comp != 0 or filt != 0:
+                raise PNGError("unknown compression/filter method")
+            if interlace != 0:
+                raise UnsupportedPNGError("Adam7 interlace not supported")
+            if bit_depth != 8:
+                raise UnsupportedPNGError(f"bit depth {bit_depth} (only 8)")
+            if color_type not in _CHANNELS:
+                raise UnsupportedPNGError(
+                    f"color type {color_type} (palette PNGs not supported)"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PNGError("missing IHDR")
+    if not idat:
+        raise PNGError("missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise PNGError(
+            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise PNGError(f"unknown scanline filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[color_type]
+    return width, height, mode, out
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, mode: str = "RGB"
+) -> bytes:
+    """Minimal encoder (filter 0, one IDAT) for building real test
+    fixtures; ``pixels`` are row-major interleaved samples."""
+    ct = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}[mode]
+    ch = _CHANNELS[ct]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(f"expected {stride * height} bytes, got {len(pixels)}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def luma_and_ahash(
+    width: int, height: int, mode: str, pixels: bytearray
+) -> tuple[float, int]:
+    """Decoded-pixel stats for the image_features kernel: mean luma in
+    [0, 1] (Rec.601 weights for color) and the 64-bit average-hash —
+    8×8 box-downsample of the luma plane, each bit = cell ≥ mean
+    (the classic aHash; bit 63 = top-left, row-major), as a SIGNED
+    64-bit int (Spark LongType)."""
+    ch = {"L": 1, "RGB": 3, "LA": 2, "RGBA": 4}[mode]
+    # luma plane
+    n = width * height
+    luma = [0.0] * n
+    if ch == 1 or ch == 2:
+        for i in range(n):
+            luma[i] = pixels[i * ch]
+    else:
+        for i in range(n):
+            o = i * ch
+            luma[i] = (
+                0.299 * pixels[o] + 0.587 * pixels[o + 1] + 0.114 * pixels[o + 2]
+            )
+    mean = sum(luma) / n if n else 0.0
+    # 8x8 box average (cells cover ceil-divided spans; tiny images
+    # degenerate gracefully — empty cells reuse the global mean)
+    cells = [0.0] * 64
+    for cy in range(8):
+        y0, y1 = (cy * height) // 8, max(((cy + 1) * height) // 8, (cy * height) // 8 + 1)
+        y1 = min(y1, height)
+        for cx in range(8):
+            x0, x1 = (cx * width) // 8, max(((cx + 1) * width) // 8, (cx * width) // 8 + 1)
+            x1 = min(x1, width)
+            if y0 >= y1 or x0 >= x1:
+                cells[cy * 8 + cx] = mean
+                continue
+            s = 0.0
+            for y in range(y0, y1):
+                base = y * width
+                for x in range(x0, x1):
+                    s += luma[base + x]
+            cells[cy * 8 + cx] = s / ((y1 - y0) * (x1 - x0))
+    cmean = sum(cells) / 64
+    bits = 0
+    for i, v in enumerate(cells):
+        if v >= cmean:
+            bits |= 1 << (63 - i)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return (mean / 255.0), bits

@@ -1,0 +1,131 @@
+"""validate_tables_fused (VERDICT r2 item 10): N same-shape sheets in
+one Catalyst plan — output parity with per-sheet validate_table plus a
+measured planning-time win."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from schema_validata_spark import load_spec_dict
+from schema_validata_spark.plans.validate import (
+    validate_table,
+    validate_tables_fused,
+)
+
+SPEC = load_spec_dict(
+    {
+        "sheet": {
+            "id": {"data_type": "Integer", "allow_null": False, "unique_value": True},
+            "status": {"allowed_value_list": ["ok", "warn"]},
+            "score": {"data_type": "Float", "range_min": 0, "range_max": 100},
+            "name": {"length": 8},
+        }
+    }
+).tables["sheet"]
+
+
+def _sheet(spark, seed: int, n: int = 40):
+    rows = []
+    for i in range(n):
+        dup = seed % 3 == 0 and i == n - 1  # every 3rd sheet has a dup id
+        rows.append(
+            (
+                rows[-1][0] if dup else i,
+                "bad" if (i + seed) % 7 == 0 else "ok",
+                float((i * 17 + seed * 31) % 130),  # some > 100
+                "x" * (12 if (i + seed) % 11 == 0 else 4),
+            )
+        )
+    return spark.createDataFrame(rows, "id long, status string, score double, name string")
+
+
+def _verdict_key(v):
+    return (v.table, v.column, v.rule_id, v.passed, v.count)
+
+
+@pytest.fixture(scope="module")
+def sheets(spark):
+    return {f"s{i}": _sheet(spark, i) for i in range(10)}
+
+
+def test_fused_equals_per_sheet(spark, sheets):
+    fused = validate_tables_fused(sheets, SPEC, key_cols=["id"], list_errors=True)
+    for name, df in sheets.items():
+        solo = validate_table(df, SPEC, key_cols=["id"], list_errors=True)
+        want = sorted(
+            _verdict_key(v._replace(table=name))
+            if hasattr(v, "_replace")
+            else (name, v.column, v.rule_id, v.passed, v.count)
+            for v in solo.verdicts
+        )
+        got = sorted(_verdict_key(v) for v in fused[name].verdicts)
+        assert got == want, f"verdict mismatch for {name}"
+        # violations parity (unique_value enumeration excluded from the
+        # fused Stage C by contract)
+        def rows(tv):
+            if tv.violations is None:
+                return []
+            return sorted(
+                tuple(r)
+                for r in tv.violations.filter("rule_id <> 'unique_value'").collect()
+            )
+        assert rows(fused[name]) == rows(solo), f"violations mismatch for {name}"
+
+
+def test_fused_unique_counts_are_keep_false(spark, sheets):
+    fused = validate_tables_fused(sheets, SPEC, key_cols=["id"])
+    for name, df in sheets.items():
+        u = [v for v in fused[name].verdicts if v.rule_id == "unique_value"]
+        assert len(u) == 1
+        seed = int(name[1:])
+        if seed % 3 == 0:  # planted dup: 2 rows share one id
+            assert (u[0].passed, u[0].count) == (False, 2)
+            assert "2 duplicate values" in u[0].message
+        else:
+            assert (u[0].passed, u[0].count) == (True, 0)
+
+
+def test_fused_zero_row_sheet_falls_back(spark, sheets):
+    empty = next(iter(sheets.values())).filter("id < 0")
+    fused = validate_tables_fused(
+        {"full": next(iter(sheets.values())), "empty": empty}, SPEC, key_cols=["id"]
+    )
+    ids = {(v.column, v.rule_id) for v in fused["empty"].verdicts}
+    assert ("id", "allow_null") in ids  # full verdict set despite 0 rows
+
+
+def test_fused_rejects_mixed_schemas(spark, sheets):
+    other = spark.createDataFrame([(1,)], "only int")
+    with pytest.raises(ValueError, match="identical schemas"):
+        validate_tables_fused(
+            {"a": next(iter(sheets.values())), "b": other}, SPEC
+        )
+
+
+def test_fused_planning_time_win(spark, sheets, tmp_path):
+    """The point of the operator: 10 sheets pay ~one fixed plan cost,
+    not ten. Wall-clock on tiny data is dominated by that fixed cost, so
+    the fused path must be decisively faster than the loop. Measured on
+    file-backed sheets (the workbook scenario; probed at 0.29× vs the
+    loop — RDD-backed createDataFrame sheets add a per-leaf Python
+    conversion cost to the union and measured 0.57×)."""
+    psheets = {}
+    for n, df in sheets.items():
+        df.write.parquet(str(tmp_path / n))
+        psheets[n] = spark.read.parquet(str(tmp_path / n))
+    # warm both paths once: codegen/analysis caches apply to each
+    # equally, so the timed comparison measures steady-state plan cost
+    validate_tables_fused(psheets, SPEC, key_cols=["id"])
+    validate_table(
+        next(iter(psheets.values())), SPEC, key_cols=["id"], list_errors=False
+    )
+    t0 = time.perf_counter()
+    validate_tables_fused(psheets, SPEC, key_cols=["id"])
+    fused_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for df in psheets.values():
+        validate_table(df, SPEC, key_cols=["id"], list_errors=False)
+    loop_s = time.perf_counter() - t0
+    assert fused_s < loop_s * 0.6, f"fused {fused_s:.2f}s vs loop {loop_s:.2f}s"

@@ -62,3 +62,139 @@ def test_validate_media_meta(spark, media):
     assert (2, "image_dims_invalid") in got
     assert (5, "media_type_invalid") in got
     assert not any(i in (1, 3, 4) for i, _ in got)
+
+
+class TestRealPNGDecode:
+    """Round-3: a REAL codec behind the seam — stdlib PNG (sources/png.py)."""
+
+    def test_roundtrip_rgb(self):
+        from schema_validata_spark.sources.png import decode_png, encode_png
+
+        w, h = 5, 3
+        px = bytes((x * 40 + y * 10 + c * 3) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        data = encode_png(w, h, px, "RGB")
+        gw, gh, mode, got = decode_png(data)
+        assert (gw, gh, mode) == (w, h, "RGB")
+        assert bytes(got) == px
+
+    def test_roundtrip_modes(self):
+        from schema_validata_spark.sources.png import decode_png, encode_png
+
+        for mode, ch in (("L", 1), ("LA", 2), ("RGBA", 4)):
+            px = bytes((i * 7) % 256 for i in range(4 * 2 * ch))
+            gw, gh, gmode, got = decode_png(encode_png(4, 2, px, mode))
+            assert (gw, gh, gmode) == (4, 2, mode)
+            assert bytes(got) == px
+
+    def test_all_scanline_filters_invert(self):
+        """Forward-filter known pixels per the PNG spec (Sub/Up/Average/
+        Paeth) by hand, then assert the decoder recovers the original."""
+        import struct
+        import zlib
+
+        from schema_validata_spark.sources.png import _paeth, decode_png
+
+        w, h, ch = 4, 5, 3
+        stride = w * ch
+        px = bytes((x * 31 + y * 57 + c * 11) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+        rows = [px[y * stride:(y + 1) * stride] for y in range(h)]
+        filters = [1, 2, 3, 4, 0]
+        raw = bytearray()
+        prev = bytes(stride)
+        for y, ft in enumerate(filters):
+            line, out = rows[y], bytearray([ft])
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ft == 0:
+                    out.append(line[i])
+                elif ft == 1:
+                    out.append((line[i] - a) & 0xFF)
+                elif ft == 2:
+                    out.append((line[i] - b) & 0xFF)
+                elif ft == 3:
+                    out.append((line[i] - ((a + b) >> 1)) & 0xFF)
+                else:
+                    out.append((line[i] - _paeth(a, b, c)) & 0xFF)
+            raw += out
+            prev = line
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        gw, gh, mode, got = decode_png(data)
+        assert (gw, gh, mode) == (w, h, "RGB")
+        assert bytes(got) == px
+
+    def test_unsupported_subsets_raise(self):
+        import pytest as _pytest
+
+        from schema_validata_spark.sources.png import (
+            PNGError,
+            UnsupportedPNGError,
+            decode_png,
+            encode_png,
+        )
+
+        with _pytest.raises(PNGError, match="signature"):
+            decode_png(b"not a png")
+        good = bytearray(encode_png(2, 2, bytes(12), "RGB"))
+        good[25] = 3  # IHDR color type byte -> palette
+        with _pytest.raises(UnsupportedPNGError, match="palette"):
+            decode_png(bytes(good))
+
+    def test_image_features_strict_real_png(self, spark):
+        """The VERDICT 'done': a real PNG fixture decoded through
+        image_features with strict=True — no fake, no codec library."""
+        from schema_validata_spark.operators.multimodal import image_features
+        from schema_validata_spark.sources.png import encode_png
+
+        # 16x8 half-black half-white RGB -> mean luma 0.5, aHash with
+        # exactly the bright half set
+        w, h = 16, 8
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 255 if x >= w // 2 else 0
+                px += bytes((v, v, v))
+        data = encode_png(w, h, bytes(px), "RGB")
+        df = spark.createDataFrame([(1, bytearray(data))], "id long, payload binary")
+        row = image_features(df, "payload", ["id"], strict=True).collect()[0]
+        assert (row["width"], row["height"]) == (w, h)
+        assert abs(row["mean_luma"] - 0.5) < 1e-9
+        assert row["n_bytes"] == len(data)
+        # right half of each 8x8-grid row is >= mean -> bit pattern
+        # 0b00001111 repeated per row (bit 63 = top-left, row-major)
+        want = 0
+        for cy in range(8):
+            for cx in range(4, 8):
+                want |= 1 << (63 - (cy * 8 + cx))
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert row["phash"] == want
+
+    def test_image_features_strict_raises_on_non_png(self, spark):
+        from schema_validata_spark.operators.multimodal import image_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff jpeg-ish"))], "id long, payload binary"
+        )
+        with pytest.raises(Exception, match="non-PNG"):
+            image_features(df, "payload", ["id"], strict=True).collect()
+
+    def test_non_strict_falls_back_to_fake_for_non_png(self, spark):
+        from schema_validata_spark.operators.multimodal import image_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff jpeg-ish"))], "id long, payload binary"
+        )
+        row = image_features(df, "payload", ["id"], strict=False).collect()[0]
+        assert row["width"] is not None  # deterministic fake fills in
