@@ -368,9 +368,15 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(idx, cents, target, topk=10, nprobe=8, exclude_id=0)
 
 
-#: planted-mutant id offset — planted doc_id = original doc_id + offset,
-#: so (id1, id1 + _PLANT_OFF) identifies an (original, planted) pair.
-_PLANT_OFF = 10_000_000
+def _plant_offset(df) -> int:
+    """Planted-mutant id offset: ``max(doc_id) + 1`` — planted ids can
+    never collide with genuine ones at ANY scale factor, and any pair
+    ``(id1, id2 = id1 + off)`` with ``id1 <= max`` forces ``id2 > max``,
+    i.e. id2 IS a mutant and the pair is (original, its-own-mutant).
+    The oracle computes the identical offset as a scalar subquery over
+    the same table. (A fixed 10M constant collided with real doc_ids
+    once documents outgrew it.)"""
+    return int(df.agg(F.max("doc_id")).first()[0]) + 1
 
 
 def q_minhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,23 +401,26 @@ def q_minhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_validata_spark.operators.text import shingle_hashes
 
     df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _plant_offset(df)
     mutants = (
         df.filter(
             (F.col("doc_id") % 5 == 0)
             & (F.size(F.array_distinct(shingle_hashes("text", 3))) >= 15)
         )
         .select(
-            (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
         )
     )
+    # max_bucket raised above the production default: a dropped bucket
+    # would break the deterministic full-recall guarantee the oracle
+    # asserts (the sibling planted/portable queries do the same)
     pairs = minhash_near_duplicates(
         df.unionByName(mutants), "text", "doc_id",
-        threshold=0.5, num_perm=64, bands=16, k=3,
+        threshold=0.5, num_perm=64, bands=16, k=3, max_bucket=100_000,
     )
     return pairs.filter(
-        (F.col("id1") < _PLANT_OFF)
-        & (F.col("id2") == F.col("id1") + _PLANT_OFF)
+        (F.col("id1") < off) & (F.col("id2") == F.col("id1") + off)
     ).select("id1", "id2", "jaccard")
 
 
@@ -436,12 +445,13 @@ def q_simhash_planted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_validata_spark.operators.text import token_count
 
     df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _plant_offset(df)
     copies = (
         df.filter(
             (F.col("doc_id") % 5 == 0) & (token_count(F.col("text")) >= 2)
         )
         .select(
-            (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
             F.col("text"),
         )
     )
@@ -450,8 +460,7 @@ def q_simhash_planted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3, k=2, max_bucket=100_000,
     )
     return out.filter(
-        (F.col("id1") < _PLANT_OFF)
-        & (F.col("id2") == F.col("id1") + _PLANT_OFF)
+        (F.col("id1") < off) & (F.col("id2") == F.col("id1") + off)
     ).select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -1217,11 +1226,12 @@ def _minhash_planted_sql(thr: float = 0.5) -> str:
         "/ len(list_distinct(list_concat(s1, s2))), 6)"
     )
     return f"""
-WITH elig AS (
+WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+elig AS (
   SELECT doc_id, text, {_sh_sql('text')} AS s1 FROM documents
   WHERE doc_id % 5 = 0 AND len({_sh_sql('text')}) >= 15
 ), pairs AS (
-  SELECT doc_id AS id1, doc_id + {_PLANT_OFF} AS id2, s1,
+  SELECT doc_id AS id1, doc_id + (SELECT o FROM off) AS id2, s1,
          {_sh_sql("text || ' zzqx'")} AS s2
   FROM elig
 )
@@ -1234,7 +1244,8 @@ def _simhash_planted_sql() -> str:
     copy MUST surface with hamming 0 (identical text → identical
     signature → all bands collide), predictable without the hash."""
     return f"""
-SELECT doc_id AS id1, doc_id + {_PLANT_OFF} AS id2,
+SELECT doc_id AS id1,
+       doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id2,
        CAST(0 AS INTEGER) AS hamming
 FROM documents
 WHERE doc_id % 5 = 0 AND len({_tok_sql('text')}) >= 2

@@ -89,7 +89,6 @@ def strip_comments_and_strings(sql: str) -> str:
     return s
 
 
-_BACKTICK = re.compile(r"`([^`]*)`")
 
 
 def _sub_quoted(sql: str) -> tuple[str, dict[str, str]]:
@@ -100,23 +99,52 @@ def _sub_quoted(sql: str) -> tuple[str, dict[str, str]]:
     computed downstream valid against the substituted text. A quoted
     name too short to hold its placeholder falls back to in-place
     mangling (non-identifier chars → '_'), losing the original spelling
-    but never the token boundary."""
+    but never the token boundary.
+
+    Quote-aware scan, NOT a bare regex: a backtick inside a '...'/"..."
+    string literal must stay verbatim — a regex would pair it with the
+    next backtick anywhere in the statement and swallow the real SQL
+    between them."""
     mapping: dict[str, str] = {}
-
-    def repl(m: re.Match) -> str:
-        inner = m.group(1)
-        total = len(m.group(0))  # includes both backticks
-        key = f"_q{len(mapping)}"
-        if len(key) <= total:
-            tok = key + "_" * (total - len(key))
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == c and j + 1 < n and sql[j + 1] == c:
+                    j += 2
+                    continue
+                if sql[j] == c:
+                    break
+                j += 1
+            end = min(j + 1, n)
+            out.append(sql[i:end])
+            i = end
+        elif c == "`":
+            j = sql.find("`", i + 1)
+            if j == -1:  # unterminated: pass through verbatim
+                out.append(sql[i:])
+                break
+            inner = sql[i + 1 : j]
+            total = j - i + 1  # includes both backticks
+            key = f"_q{len(mapping)}"
+            if len(key) <= total:
+                tok = key + "_" * (total - len(key))
+            else:
+                tok = ("_" + re.sub(r"[^A-Za-z0-9_]", "_", inner))[
+                    :total
+                ].ljust(total, "_")
+            mapping[tok] = inner
+            out.append(tok)
+            i = j + 1
         else:
-            tok = ("_" + re.sub(r"[^A-Za-z0-9_]", "_", inner))[:total].ljust(
-                total, "_"
-            )
-        mapping[tok] = inner
-        return tok
-
-    return _BACKTICK.sub(repl, sql), mapping
+            out.append(c)
+            i += 1
+    s = "".join(out)
+    assert len(s) == len(sql)
+    return s, mapping
 
 
 def _unsub(name: str, qmap: dict[str, str]) -> str:

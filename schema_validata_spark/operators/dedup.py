@@ -142,6 +142,57 @@ def minhash_signature(
     )
 
 
+def band_structs_from_signature(
+    sig_col: Column, num_perm: int, bands: int, portable: bool = False
+) -> Column:
+    """(band, band_hash) struct array from an already-bound minhash
+    signature column — THE banding convention (slice → comma-joined
+    string → xxhash64 unless portable). Single definition shared by
+    ``minhash_bands`` and the streaming state table so the band keys
+    can never drift apart."""
+    rows = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band"),
+            # portable mode keeps the RAW comma-joined band key
+            # (a string both engines produce identically);
+            # production hashes it to an 8-byte shuffle key
+            (
+                (lambda key: key if portable else F.xxhash64(key))(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                sig_col, i * F.lit(rows) + F.lit(1), F.lit(rows)
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def simhash_band_structs(sh_col: Column) -> Column:
+    """(band, band_hash) struct array from a 64-bit simhash — 8 byte
+    bands; shared by ``simhash_near_duplicates`` and the streaming
+    state table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sh_col, i * 8)
+                .bitwiseAND(F.lit(255))
+                .cast("long")
+                .alias("band_hash"),
+            )
+            for i in range(8)
+        ]
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str,
@@ -169,33 +220,11 @@ def minhash_bands(
             "key to the empty slice, and a non-divisor silently drops "
             "trailing permutations"
         )
-    rows = num_perm // bands
     sig = minhash_signature(text_col, num_perm, k, portable=portable)
     bands_arr = F.flatten(
         F.transform(
             F.array(sig),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.cast("int").alias("band"),
-                    # portable mode keeps the RAW comma-joined band key
-                    # (a string both engines produce identically);
-                    # production hashes it to an 8-byte shuffle key
-                    (
-                        (lambda key: key if portable else F.xxhash64(key))(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        s, i * F.lit(rows) + F.lit(1), F.lit(rows)
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        )
-                    ).alias("band_hash"),
-                ),
-            ),
+            lambda s: band_structs_from_signature(s, num_perm, bands, portable),
         )
     )
     from schema_validata_spark.operators.text import token_count
@@ -432,19 +461,7 @@ def simhash_near_duplicates(
     bands_df = sim.select(
         "id",
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sh"), i * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_hash"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("b"),
+        F.explode(simhash_band_structs(F.col("sh"))).alias("b"),
     ).select("id", "sh", F.col("b.band"), F.col("b.band_hash"))
 
     pruned = _prune_buckets(

@@ -413,6 +413,7 @@ def validate_tables_fused(
                 f"differs from {names[0]!r} — use validate_dataset for "
                 "mixed workbooks"
             )
+    dtypes_cols = {c for c, _ in dtypes0}
     SHEET = "__sheet"
     union = None
     for n in names:
@@ -436,29 +437,51 @@ def validate_tables_fused(
                 dataclasses.replace(v, table=v.partition, partition=None)
             )
 
-    # exact keep=False duplicate counts for FAILING unique verdicts —
-    # one sheet-grouped melted job for every (sheet, column) at once
-    unique_fail_cols = sorted({
-        v.column
-        for vs in by_sheet.values()
-        for v in vs
-        if v.rule_id == "unique_value" and not v.passed
-    })
-    if unique_fail_cols:
+    # exact keep=False duplicate counts — one sheet-grouped melted job.
+    # Two regimes: under the inline-distinct gate the rollup already
+    # carries per-sheet distinct/nonnull, so only FAILING verdicts need
+    # the count upgrade; past MAX_INLINE_DISTINCT unique columns the
+    # rollup omits the per-partition distinct counters entirely and the
+    # partition verdicts defaulted to PASS — there the melted job is
+    # the verdict source and must cover EVERY unique column (otherwise
+    # duplicated columns would silently pass, a false verdict).
+    unique_cols = [
+        cs.field_name
+        for cs in spec.columns
+        if cs.unique_value and cs.field_name in dtypes_cols
+    ]
+    gated = len(unique_cols) > MAX_INLINE_DISTINCT
+    melt_cols = (
+        unique_cols
+        if gated
+        else sorted({
+            v.column
+            for vs in by_sheet.values()
+            for v in vs
+            if v.rule_id == "unique_value" and not v.passed
+        })
+    )
+    if melt_cols:
         gstats = duplicate_group_stats(
-            union, unique_fail_cols, extra_group_col=SHEET
+            union, melt_cols, extra_group_col=SHEET
         )
         for sheet, vs in by_sheet.items():
             for i, v in enumerate(vs):
-                if v.rule_id == "unique_value" and not v.passed:
-                    rows, _groups = gstats.get((sheet, v.column), (0, 0))
-                    vs[i] = dataclasses.replace(
-                        v,
-                        count=rows,
-                        message=SCHEMA_ERROR_TEMPLATES["unique_value"].format(
-                            col=v.column, count=rows
-                        ),
-                    )
+                if v.rule_id != "unique_value":
+                    continue
+                if not gated and v.passed:
+                    continue
+                rows, _groups = gstats.get((sheet, v.column), (0, 0))
+                passed = rows == 0
+                vs[i] = dataclasses.replace(
+                    v,
+                    passed=passed,
+                    count=rows,
+                    message=None if passed else
+                    SCHEMA_ERROR_TEMPLATES["unique_value"].format(
+                        col=v.column, count=rows
+                    ),
+                )
 
     viol_all = None
     if list_errors:

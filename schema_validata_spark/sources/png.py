@@ -69,6 +69,8 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytearray]:
             raise PNGError("truncated chunk")
         pos += 12 + length  # skip CRC (integrity is the transport's job)
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PNGError(f"IHDR body must be 13 bytes, got {len(body)}")
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -90,7 +92,12 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytearray]:
         raise PNGError("missing IHDR")
     if not idat:
         raise PNGError("missing IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt deflate stream is a MALFORMED PNG, not an internal
+        # error — callers' PNGError handling must cover it
+        raise PNGError(f"corrupt IDAT stream: {e}") from e
     ch = _CHANNELS[color_type]
     stride = width * ch
     if len(raw) != (stride + 1) * height:

@@ -79,28 +79,6 @@ def streaming_near_dedup_foreach_batch(
     return stream_df.writeStream.foreachBatch(_process)
 
 
-def _band_structs(sig_col, num_perm: int, bands: int):
-    """(band, band_hash) structs derived from a minhash signature column
-    — the same slice/concat/xxhash64 banding as ``minhash_bands``, but
-    over an already-computed signature."""
-    rows = num_perm // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig_col, i * F.lit(rows) + F.lit(1), F.lit(rows)),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("band_hash"),
-        ),
-    )
-
-
 def stateful_near_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -137,16 +115,22 @@ def stateful_near_dedup_batch(
        doc emitted longer ago than the retention is the same documented
        trade-off as ``dropDuplicatesWithinWatermark``).
 
-    At-least-once caveat: a replayed micro-batch re-appends its state
-    rows; duplicate state rows only add candidate pairs (idempotent for
-    output correctness), and re-emission follows the sink's semantics.
+    At-least-once safety: candidate lookup reads only state rows with
+    ``batch_id < current`` — a REPLAYED batch never matches the rows it
+    appended before failing (they would have made every doc a
+    "duplicate" of itself and silently lost the whole batch). The
+    replay re-appends its state rows; the duplicates only add redundant
+    candidate pairs for later batches, and re-emission follows the
+    sink's semantics.
     """
     from pyspark.errors import AnalysisException
 
     from schema_validata_spark.operators.dedup import (
+        band_structs_from_signature,
         minhash_signature,
         near_dedup,
         simhash64,
+        simhash_band_structs,
     )
     from schema_validata_spark.operators.text import token_count
 
@@ -168,33 +152,25 @@ def stateful_near_dedup_batch(
     else:
         raise ValueError(f"unknown method: {method}")
 
+    # surv feeds three consumers (band derivation, the anti-join, the
+    # caller's sink) — persist for the batch; the stream wrapper
+    # unpersists after the sink, direct callers on the next batch/GC
+    surv = surv.persist()
     keyed = (
         surv.filter(token_count(F.col(text_col)) >= min_tokens)
         .select(F.col(id_col).alias("id"), sig.alias("sig"))
     )
-    if method == "minhash":
-        banded = keyed.select(
-            "id", "sig", F.explode(_band_structs(F.col("sig"), num_perm, bands)).alias("b")
-        ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
-    else:
-        banded = keyed.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftright(F.element_at("sig", 1), i * 8)
-                            .bitwiseAND(F.lit(255))
-                            .cast("long")
-                            .alias("band_hash"),
-                        )
-                        for i in range(8)
-                    ]
-                )
-            ).alias("b"),
-        ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
+    # the band keys come from the SAME helpers the batch operators use
+    # (operators/dedup.py) — one banding convention, no drift between
+    # the batch self-join and the persisted state table
+    bexpr = (
+        band_structs_from_signature(F.col("sig"), num_perm, bands)
+        if method == "minhash"
+        else simhash_band_structs(F.element_at("sig", 1))
+    )
+    banded = keyed.select(
+        "id", "sig", F.explode(bexpr).alias("b")
+    ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
 
     try:
         state = spark.read.parquet(state_dir)
@@ -203,6 +179,11 @@ def stateful_near_dedup_batch(
 
     kept = surv
     if state is not None:
+        # rows from THIS batch id (or later) are excluded always: on an
+        # at-least-once REPLAY the state already holds the replayed
+        # batch's own signatures, and without this filter every doc
+        # would "duplicate" itself and be silently lost
+        state = state.filter(F.col("batch_id") < F.lit(int(batch_id)))
         if retention_batches is not None:
             state = state.filter(
                 F.col("batch_id") >= F.lit(int(batch_id) - int(retention_batches))
@@ -249,6 +230,7 @@ def stateful_near_dedup_batch(
         kept.select(F.col(id_col).alias("id")), on="id", how="left_semi"
     ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
     kept_state.write.mode("append").parquet(state_dir)
+    kept._svs_persisted = surv  # wrapper unpersists after the sink
     return kept
 
 
@@ -269,6 +251,11 @@ def streaming_near_dedup_stateful(
         kept = stateful_near_dedup_batch(
             batch_df, batch_id, text_col, id_col, state_dir, **batch_kwargs
         )
-        sink(kept, batch_id)
+        try:
+            sink(kept, batch_id)
+        finally:
+            cached = getattr(kept, "_svs_persisted", None)
+            if cached is not None:
+                cached.unpersist()
 
     return stream_df.writeStream.foreachBatch(_process)

@@ -1,0 +1,124 @@
+"""Synthesize an sf1-equivalent bench corpus (~6M lineitem rows) from
+the driver's sf0.1 tables — 10× replication with key offsets, plus
+similarity-structure-preserving mutations so the dedup/ANN benches stay
+meaningful:
+
+* fact tables (orders/lineitem/events): keys offset per replica,
+  payload untouched — value distributions (dup counts, violation rates,
+  FK orphan rate) scale exactly 10×;
+* customer stays 1× (a dimension; the FK parent side needs distinct
+  keys, not scale);
+* documents: per-replica deterministic token PERMUTATION (tokens sorted
+  by xxhash64(token, replica)) — replicas are NOT near-duplicates of
+  each other, so the MinHash/posting-join benches see a 10× corpus, not
+  a degenerate one of exact copies;
+* embeddings: per-replica deterministic sign pattern per dimension —
+  within-replica cosine structure is preserved EXACTLY
+  (cos(s·a, s·b) = cos(a, b)), cross-replica pairs decorrelate.
+
+Writes to .benchdata/sf1/ (gitignored). Usage:
+    python scripts/make_sf1.py
+    SPARK_GRAFT_SF_DIR=$PWD/.benchdata/sf1 python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(ROOT, ".benchdata", "sf1")
+REPLICAS = 10
+KEY_OFF = 10**9
+DOC_OFF = 10**7
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("make-sf1")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rd(name: str):
+        return spark.read.parquet(f"{SRC}/{name}.parquet")
+
+    def wr(df, name: str, parts: int = 32):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+        print(f"{name}: {df.count()} rows", flush=True)
+
+    # dimensions: verbatim
+    for t in ("region", "nation", "part", "supplier", "customer"):
+        wr(rd(t), t, parts=4)
+
+    def replicate(df, key_cols: dict[str, int]):
+        outs = []
+        for i in range(REPLICAS):
+            r = df
+            for c, off in key_cols.items():
+                r = r.withColumn(c, F.col(c) + F.lit(i * off))
+            outs.append(r.withColumn("__r", F.lit(i)))
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        return u
+
+    wr(replicate(rd("orders"), {"o_orderkey": KEY_OFF}).drop("__r"), "orders")
+    wr(
+        replicate(rd("lineitem"), {"l_orderkey": KEY_OFF}).drop("__r"),
+        "lineitem",
+    )
+    wr(replicate(rd("events"), {"event_id": KEY_OFF}).drop("__r"), "events")
+
+    docs = replicate(rd("documents"), {"doc_id": DOC_OFF})
+    toks = F.split(F.col("text"), " ")
+    permuted = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    toks,
+                    lambda t: F.struct(
+                        F.xxhash64(t, F.col("__r")).alias("k"), t.alias("t")
+                    ),
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        " ",
+    )
+    docs = docs.withColumn(
+        "text", F.when(F.col("__r") == 0, F.col("text")).otherwise(permuted)
+    ).drop("__r")
+    wr(docs, "documents")
+
+    emb = replicate(rd("embeddings"), {"vec_id": DOC_OFF})
+    elem_type = dict(emb.dtypes)["embedding"].replace("array<", "").rstrip(">")
+    signed = F.transform(
+        F.col("embedding"),
+        lambda x, idx: (
+            F.when(F.pmod(F.xxhash64(idx, F.col("__r")), F.lit(2)) == 0, x)
+            .otherwise(-x)
+        ).cast(elem_type),
+    )
+    emb = emb.withColumn(
+        "embedding",
+        F.when(F.col("__r") == 0, F.col("embedding")).otherwise(signed),
+    ).drop("__r")
+    wr(emb, "embeddings")
+
+    print(f"sf1 corpus at {DST}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

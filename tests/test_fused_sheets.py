@@ -129,3 +129,33 @@ def test_fused_planning_time_win(spark, sheets, tmp_path):
         validate_table(df, SPEC, key_cols=["id"], list_errors=False)
     loop_s = time.perf_counter() - t0
     assert fused_s < loop_s * 0.6, f"fused {fused_s:.2f}s vs loop {loop_s:.2f}s"
+
+
+def test_fused_gated_unique_verdicts_not_false_pass(spark):
+    """Review finding: past MAX_INLINE_DISTINCT unique columns the
+    rollup omits per-sheet distinct counters and partition verdicts
+    default to PASS — the fused path must source those verdicts from
+    the sheet-grouped melted job instead."""
+    from schema_validata_spark.operators.verdicts import MAX_INLINE_DISTINCT
+
+    ncols = MAX_INLINE_DISTINCT + 1
+    cols = [f"c{i}" for i in range(ncols)]
+    spec = load_spec_dict(
+        {"t": {c: {"unique_value": True} for c in cols}}
+    ).tables["t"]
+    schema = ", ".join(f"{c} long" for c in cols)
+    # sheet A: c0 duplicated; sheet B: all unique
+    rows_a = [tuple([7] + [i * 10 + j for j in range(1, ncols)]) for i in range(3)]
+    rows_b = [tuple(i * 100 + j for j in range(ncols)) for i in range(3)]
+    dfs = {
+        "A": spark.createDataFrame(rows_a, schema),
+        "B": spark.createDataFrame(rows_b, schema),
+    }
+    fused = validate_tables_fused(dfs, spec, key_cols=["c0"])
+    va = {v.column: (v.passed, v.count) for v in fused["A"].verdicts
+          if v.rule_id == "unique_value"}
+    vb = {v.column: (v.passed, v.count) for v in fused["B"].verdicts
+          if v.rule_id == "unique_value"}
+    assert va["c0"] == (False, 3)       # keep=False rows
+    assert all(vb[c] == (True, 0) for c in cols)
+    assert all(va[c] == (True, 0) for c in cols if c != "c0")

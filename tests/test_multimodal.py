@@ -198,3 +198,19 @@ class TestRealPNGDecode:
         )
         row = image_features(df, "payload", ["id"], strict=False).collect()[0]
         assert row["width"] is not None  # deterministic fake fills in
+
+    def test_corrupt_png_non_strict_falls_back_not_crash(self, spark):
+        """Review finding: zlib/struct errors from a corrupt-but-signed
+        PNG must not escape the strict=False fake-fallback contract."""
+        from schema_validata_spark.operators.multimodal import image_features
+
+        corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDRgarbage!!"
+        df = spark.createDataFrame(
+            [(1, bytearray(corrupt))], "id long, payload binary"
+        )
+        row = image_features(df, "payload", ["id"], strict=False).collect()[0]
+        assert row["width"] is not None  # deterministic fake, no crash
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="PNG|IHDR|corrupt"):
+            image_features(df, "payload", ["id"], strict=True).collect()

@@ -225,3 +225,11 @@ class TestQuotedIdentifiersAndWindows:
     def test_backtick_alias_roundtrip(self):
         q = "SELECT o_orderkey AS `order key` FROM orders"
         assert referenced_columns(q)[0] == "order key"
+
+    def test_backtick_inside_string_literal_untouched(self):
+        # review finding: a backtick inside a quoted string must not
+        # pair with a later backtick and swallow the SQL between them
+        q = "SELECT a FROM t WHERE x = 'it`s' AND y = 'ok`one'"
+        assert referenced_columns(q) == ["a", "x", "y"]
+        q2 = 'SELECT `real col` FROM t WHERE x = "quo`te"'
+        assert referenced_columns(q2) == ["real col", "x"]

@@ -144,3 +144,28 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
     emitted = sorted(i for ids in got.values() for i in ids)
     assert 3 not in emitted, f"cross-batch near-dup emitted: {got}"
     assert set(emitted) >= {1, 2, 4}
+
+
+def test_replayed_batch_does_not_lose_documents(spark, tmp_path):
+    """Review finding: an at-least-once REPLAY of a micro-batch must not
+    match the state rows it appended before failing — otherwise every
+    doc 'duplicates' itself and the whole batch is silently lost."""
+    a = _doc(60)
+    st = str(tmp_path / "st")
+    first = stateful_near_dedup_batch(
+        _mk(spark, [(1, a)]), 0, "text", "doc_id", st, k=3,
+        method="minhash", threshold=0.7, num_perm=64, bands=16,
+    )
+    assert sorted(r["doc_id"] for r in first.collect()) == [1]
+    # replay batch 0 (state already holds its rows)
+    replay = stateful_near_dedup_batch(
+        _mk(spark, [(1, a)]), 0, "text", "doc_id", st, k=3,
+        method="minhash", threshold=0.7, num_perm=64, bands=16,
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == [1]
+    # and a LATER batch still drops the near-dup despite duplicate state
+    later = stateful_near_dedup_batch(
+        _mk(spark, [(2, _near(a))]), 1, "text", "doc_id", st, k=3,
+        method="minhash", threshold=0.7, num_perm=64, bands=16,
+    )
+    assert later.collect() == []
