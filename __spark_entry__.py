@@ -782,6 +782,577 @@ def q_len_hist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(df, ["text", "lang"])
 
 
+# ---------------------------------------------------- inference parity
+# Queries turning the pytest-only inference/scrub components (SURVEY A6,
+# A7, A8, A9, P8, P9, P10, F8, O1, O3) into oracle-checked rows. The
+# oracle SQL is GENERATED from the same engine constants (vote regexes,
+# NA semantics, datetime cascade, thresholds) so the dialects can't
+# drift — same methodology as _na_sql above.
+
+_VOTE_COLS = [
+    ("s_key", "o_orderkey"),
+    ("s_status", "o_orderstatus"),
+    ("s_price", "o_totalprice"),
+    ("s_date", "o_orderdate"),
+    ("s_prio", "o_orderpriority"),
+]
+
+#: DuckDB strptime translations of functions/types.py::DATETIME_FORMATS,
+#: index-aligned so the oracle's bitmask matches the engine's bit-for-bit.
+_DT_STRPTIME = [
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%SZ",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%-m/%-d/%Y %-H:%-M:%-S",
+    "%B %-d, %Y %-H:%-M:%-S",
+    "%-m/%-d/%y %-H:%-M:%-S",
+    "%Y-%m-%d",
+    "%-m/%-d/%Y",
+    "%b-%-d-%Y",
+    "%B %-d, %Y",
+    "%-d-%-m-%Y",
+    "%-m/%-d/%y",
+    "%y-%m-%d",
+    "%Y-%m",
+    "%-m/%Y",
+    "%B %Y",
+    "%b %Y",
+]
+
+
+def q_type_votes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dtype-inference vote counters + datetime parse-rate + leading-zero
+    flag (SURVEY A7/A8/P8) over string-cast orders columns, resolved to
+    canonical types — the reference's triple-read inference
+    (read_df_with_optimal_dtypes src/schema_validata.py:1480–1509) as ONE
+    Spark aggregate."""
+    from schema_validata_spark.operators.stats import column_stats
+
+    df = _read(spark, sf_dir, "orders").select(
+        *[F.col(src).cast("string").alias(dst) for dst, src in _VOTE_COLS]
+    )
+    stats = column_stats(df, with_approx_distinct=False)
+    rows = []
+    for dst, _src in _VOTE_COLS:
+        st = stats[dst]
+        v = st.votes
+        rows.append(
+            (
+                dst, st.n, st.null_count, v.int_ok, v.long_ok, v.float_ok,
+                v.numsym_ok, v.bool_ok, int(v.leading_zero), v.dt_any_fmt,
+                int(v.dt_full_parse), st.canonical_type,
+            )
+        )
+    schema = (
+        "column string, n long, null_count long, int_ok long, long_ok long, "
+        "float_ok long, numsym_ok long, bool_ok long, leading_zero int, "
+        "dt_any long, dt_full int, resolved string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _vote_terms_sql(expr: str) -> dict[str, str]:
+    """Per-row DuckDB mirrors of operators/stats.py::_prep_exprs vote
+    booleans for one column expression, built from the SAME constants."""
+    from schema_validata_spark.functions.types import (
+        BOOL_VALUES,
+        INT_RX,
+        NUMERIC_SYMBOLS,
+    )
+    from schema_validata_spark.operators.stats import (
+        _DATE_LIKE_RX,
+        _DT_MAX_LEN,
+        _VOTE_MAX_LEN,
+    )
+
+    s = f"CAST({expr} AS VARCHAR)"
+    tr = f"trim({s})"
+    na = _na_sql(expr)
+    ok = f"NOT {na}"
+    short = f"length({tr}) <= {_VOTE_MAX_LEN}"
+    int_rx = f"regexp_matches({tr}, '{INT_RX}')"
+    bools = ", ".join(f"'{b}'" for b in BOOL_VALUES)
+    bits = " + ".join(
+        f"CASE WHEN try_strptime({tr}, '{fmt}') IS NOT NULL "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i, fmt in enumerate(_DT_STRPTIME)
+    )
+    mask = (
+        f"CASE WHEN length({tr}) <= {_DT_MAX_LEN} "
+        f"AND regexp_matches({tr}, '{_DATE_LIKE_RX}') "
+        f"THEN ({bits}) ELSE CAST(0 AS BIGINT) END"
+    )
+    return {
+        "na": na,
+        "ok": ok,
+        "tr": tr,
+        "int": f"({ok} AND {short} AND {int_rx})",
+        "long": f"({ok} AND {short} AND {int_rx} "
+                f"AND try_cast({tr} AS BIGINT) IS NOT NULL)",
+        "float": f"({ok} AND {short} AND try_cast({tr} AS DOUBLE) IS NOT NULL)",
+        "numsym": f"({ok} AND {short} AND try_cast(translate({tr}, "
+                  f"'{NUMERIC_SYMBOLS}', '') AS DOUBLE) IS NOT NULL)",
+        "bool": f"({ok} AND {short} AND lower({tr}) IN ({bools}))",
+        "lz": f"({ok} AND starts_with({tr}, '0'))",
+        "mask": mask,
+    }
+
+
+def _resolve_case_sql(colname: str) -> str:
+    """DuckDB mirror of functions/types.py::resolve_canonical_type for a
+    STRING column, over the aggregate aliases of _type_votes_sql."""
+    from schema_validata_spark.functions.types import (
+        DATETIME_FUZZY_THRESHOLD,
+        DATETIME_RATIO_THRESHOLD,
+        is_likely_datetime_col,
+    )
+
+    is_datename = "TRUE" if is_likely_datetime_col(colname) else "FALSE"
+    nonnull = "(n - null_count)"
+    ratio = f"(CAST(dt_any AS DOUBLE) / {nonnull})"
+    return (
+        f"CASE WHEN {nonnull} = 0 THEN 'Null-Unknown' "
+        f"WHEN (dt_full = 1 OR ({is_datename} "
+        f"AND {ratio} >= {DATETIME_FUZZY_THRESHOLD})) "
+        f"AND {ratio} > {DATETIME_RATIO_THRESHOLD} THEN 'Datetime' "
+        f"WHEN leading_zero = 1 THEN 'String' "
+        f"WHEN bool_ok = {nonnull} THEN 'Boolean' "
+        f"WHEN int_ok = {nonnull} THEN "
+        f"CASE WHEN long_ok = {nonnull} THEN 'Integer' ELSE 'String' END "
+        f"WHEN float_ok = {nonnull} THEN 'Float' "
+        f"WHEN numsym_ok = {nonnull} THEN 'Float' "
+        f"ELSE 'String' END"
+    )
+
+
+def _type_votes_sql() -> str:
+    parts = []
+    for name, src in _VOTE_COLS:
+        t = _vote_terms_sql(src)
+        agg = (
+            f"SELECT '{name}' AS column, count(*) AS n, "
+            f"count(*) FILTER (WHERE {t['na']}) AS null_count, "
+            f"count(*) FILTER (WHERE {t['int']}) AS int_ok, "
+            f"count(*) FILTER (WHERE {t['long']}) AS long_ok, "
+            f"count(*) FILTER (WHERE {t['float']}) AS float_ok, "
+            f"count(*) FILTER (WHERE {t['numsym']}) AS numsym_ok, "
+            f"count(*) FILTER (WHERE {t['bool']}) AS bool_ok, "
+            f"COALESCE(max(CASE WHEN {t['lz']} THEN 1 ELSE 0 END), 0) "
+            f"AS leading_zero, "
+            f"count(*) FILTER (WHERE {t['ok']} AND ({t['mask']}) <> 0) "
+            f"AS dt_any, "
+            f"CASE WHEN count(*) FILTER (WHERE {t['ok']}) > 0 AND "
+            f"COALESCE(bit_and(CASE WHEN {t['ok']} THEN ({t['mask']}) END), 0) "
+            f"<> 0 THEN 1 ELSE 0 END AS dt_full "
+            f"FROM orders"
+        )
+        parts.append(
+            f"SELECT *, {_resolve_case_sql(name)} AS resolved FROM ({agg})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_data_dictionary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed data dictionary (SURVEY A6 harvest / O1 sorted values /
+    O3 unique-cap / A2 keep=False duplicate counts / A3 exact unique
+    flag; reference build_data_dictionary :1772–1914) over four orders
+    columns whose stats all take the engine's EXACT paths."""
+    from schema_validata_spark.operators.profile import build_data_dictionary
+
+    df = _read(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    dd = build_data_dictionary(df, columns=cols)
+    rows = []
+    for c in cols:
+        e = dd[c]
+        rows.append(
+            (
+                e["field_name"], e["data_type"], bool(e["allow_null"]),
+                e["null_count"], e["duplicate_count"], e["length"],
+                e["range_min"], e["range_max"], bool(e["unique_value"]),
+                None
+                if e["allowed_value_list"] is None
+                else "|".join(e["allowed_value_list"]),
+            )
+        )
+    schema = (
+        "field_name string, data_type string, allow_null boolean, "
+        "null_count long, duplicate_count long, length long, "
+        "range_min double, range_max double, unique_value boolean, "
+        "allowed_values string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _data_dictionary_sql() -> str:
+    from schema_validata_spark.functions.types import is_likely_datetime_col
+    from schema_validata_spark.operators.profile import MAX_UNIQUE_VALS
+
+    typed_num = {"o_orderkey", "o_totalprice"}  # BIGINT / DOUBLE columns
+    parts = []
+    for c in ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]:
+        t = _vote_terms_sql(c)
+        na, ok, tr = t["na"], t["ok"], t["tr"]
+        if c in typed_num:
+            num = f"CASE WHEN {c} IS NOT NULL THEN CAST({c} AS DOUBLE) END"
+        else:
+            num = _num_sql(c)
+        nonnull = "(n - null_count)"
+        is_datename = "TRUE" if is_likely_datetime_col(c) else "FALSE"
+        serial = (
+            f"({is_datename} AND range_min IS NOT NULL AND range_max IS NOT "
+            f"NULL AND range_min > 1 AND range_max < 100000)"
+        )
+        typeof = f"(SELECT typeof({c}) FROM orders LIMIT 1)"
+        dtype = (
+            f"CASE WHEN {typeof} IN ('TINYINT','SMALLINT','INTEGER','BIGINT') "
+            f"THEN CASE WHEN {serial} THEN 'Datetime' ELSE 'Integer' END "
+            f"WHEN {typeof} IN ('FLOAT','DOUBLE') OR {typeof} LIKE 'DECIMAL%' "
+            f"THEN CASE WHEN {serial} THEN 'Datetime' ELSE 'Float' END "
+            f"WHEN {typeof} IN ('TIMESTAMP','DATE') THEN 'Datetime' "
+            f"WHEN {typeof} = 'BOOLEAN' THEN 'Boolean' "
+            f"ELSE {_resolve_case_sql(c)} END"
+        )
+        sval = f"CASE WHEN {ok} THEN {s_cast(c)} END"
+        agg = (
+            f"SELECT '{c}' AS field_name, count(*) AS n, "
+            f"count(*) FILTER (WHERE {na}) AS null_count, "
+            f"count(*) FILTER (WHERE {t['int']}) AS int_ok, "
+            f"count(*) FILTER (WHERE {t['long']}) AS long_ok, "
+            f"count(*) FILTER (WHERE {t['float']}) AS float_ok, "
+            f"count(*) FILTER (WHERE {t['numsym']}) AS numsym_ok, "
+            f"count(*) FILTER (WHERE {t['bool']}) AS bool_ok, "
+            f"COALESCE(max(CASE WHEN {t['lz']} THEN 1 ELSE 0 END), 0) "
+            f"AS leading_zero, "
+            f"count(*) FILTER (WHERE {ok} AND ({t['mask']}) <> 0) AS dt_any, "
+            f"CASE WHEN count(*) FILTER (WHERE {ok}) > 0 AND "
+            f"COALESCE(bit_and(CASE WHEN {ok} THEN ({t['mask']}) END), 0) <> 0 "
+            f"THEN 1 ELSE 0 END AS dt_full, "
+            f"count(DISTINCT {sval}) AS distinct_n, "
+            f"max(CASE WHEN {ok} THEN length({s_cast(c)}) END) AS max_len, "
+            f"min({num}) AS range_min, max({num}) AS range_max, "
+            f"CASE WHEN count(DISTINCT {sval}) <= {MAX_UNIQUE_VALS} THEN "
+            f"array_to_string(list_sort(list(DISTINCT {sval}) "
+            f"FILTER (WHERE {ok})), '|') END AS allowed_values, "
+            f"(SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM ("
+            f"SELECT COUNT(*) AS cnt FROM orders WHERE NOT {na} "
+            f"GROUP BY {s_cast(c)} HAVING COUNT(*) > 1)) AS duplicate_count "
+            f"FROM orders"
+        )
+        parts.append(
+            f"SELECT field_name, {dtype} AS data_type, "
+            f"null_count > 0 AS allow_null, null_count, duplicate_count, "
+            f"max_len AS length, range_min, range_max, "
+            f"{nonnull} > 0 AND distinct_n >= {nonnull} AS unique_value, "
+            f"allowed_values FROM ({agg})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def s_cast(expr: str) -> str:
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def q_uid_pick_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-UID column pick, tiered uuid > int > string > float (SURVEY
+    A9; reference get_best_uid_column :502–578), one row per table."""
+    from schema_validata_spark.operators.duplicates import best_uid_column
+
+    rows = [
+        (t, best_uid_column(_read(spark, sf_dir, t)))
+        for t in ["orders", "events", "part", "documents"]
+    ]
+    return spark.createDataFrame(rows, "table_name string, uid_column string")
+
+
+_UID_TABLE_COLS = {
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+
+def _uid_pick_sql() -> str:
+    from schema_validata_spark.operators.duplicates import _UUID_RX
+
+    parts = []
+    for table, cols in _UID_TABLE_COLS.items():
+        cand = []
+        for i, c in enumerate(cols):
+            typeof = f"(SELECT typeof({c}) FROM {table} LIMIT 1)"
+            uuid_all = (
+                f"(count({c}) > 0 AND COALESCE(bool_and(CASE WHEN {c} IS NOT "
+                f"NULL THEN regexp_matches(CAST({c} AS VARCHAR), '{_UUID_RX}') "
+                f"END), FALSE))"
+            )
+            tier = (
+                f"CASE WHEN {typeof} IN "
+                f"('TINYINT','SMALLINT','INTEGER','BIGINT') THEN 1 "
+                f"WHEN {typeof} = 'VARCHAR' THEN "
+                f"CASE WHEN {uuid_all} THEN 0 ELSE 2 END "
+                f"ELSE 3 END"
+            )
+            cand.append(
+                f"SELECT '{c}' AS name, {i} AS idx, {tier} AS tier, "
+                f"CAST(count(DISTINCT {c}) AS DOUBLE) / count(*) AS ratio "
+                f"FROM {table}"
+            )
+        inner = " UNION ALL ".join(cand)
+        parts.append(
+            f"SELECT '{table}' AS table_name, "
+            f"(SELECT name FROM ({inner}) WHERE ratio >= 0.95 "
+            f"ORDER BY tier ASC, ratio DESC, idx ASC LIMIT 1) AS uid_column"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_scrub_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline scrub (P9) + numeric-symbol strip (P10) + all-or-nothing
+    conditional numeric conversion (reference
+    conditional_numeric_conversion :657–715) over constructed
+    newline/currency strings on documents."""
+    from schema_validata_spark.functions.scalars import (
+        conditional_numeric_conversion,
+        scrub_newlines,
+        strip_numeric_symbols,
+    )
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("\n"), F.col("lang"), F.lit("\r\n\r\n"),
+            F.col("n_chars").cast("string"),
+        ).alias("memo"),
+        F.concat(
+            F.lit("$"), F.col("n_chars").cast("string"), F.lit(",25%")
+        ).alias("money"),
+    )
+    out = df.select(
+        "doc_id",
+        scrub_newlines(F.col("memo")).alias("scrubbed"),
+        strip_numeric_symbols(F.col("money")).alias("stripped"),
+        "money",
+    )
+    out = conditional_numeric_conversion(out, "money")
+    return out.select(
+        "doc_id", "scrubbed", "stripped", F.col("money").alias("money_num")
+    )
+
+
+def _scrub_strip_sql() -> str:
+    from schema_validata_spark.functions.types import NUMERIC_SYMBOLS
+
+    memo = (
+        "source || chr(10) || lang || chr(13) || chr(10) || chr(13) || "
+        "chr(10) || CAST(n_chars AS VARCHAR)"
+    )
+    money = "'$' || CAST(n_chars AS VARCHAR) || ',25%'"
+    stripped = f"translate(trim({money}), '{NUMERIC_SYMBOLS}', '')"
+    na_money = _na_sql(money)
+    gate = (
+        f"(SELECT COALESCE(bool_and(try_cast(translate(trim({money}), "
+        f"'{NUMERIC_SYMBOLS}', '') AS DOUBLE) IS NOT NULL), TRUE) "
+        f"FROM documents WHERE NOT {na_money})"
+    )
+    return (
+        f"SELECT doc_id, "
+        f"regexp_replace({memo}, '[\\r\\n]+', ' ', 'g') AS scrubbed, "
+        f"{stripped} AS stripped, "
+        f"CASE WHEN {gate} THEN try_cast({stripped} AS DOUBLE) END "
+        f"AS money_num FROM documents"
+    )
+
+
+def q_excel_serial_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel serial-day → timestamp (SURVEY F8; reference
+    infer_datetime_column :814–817, origin 1899-12-30) over synthetic
+    fractional serials derived from lineitem."""
+    from schema_validata_spark.functions.scalars import excel_serial_to_timestamp
+
+    df = _read(spark, sf_dir, "lineitem")
+    serial = F.col("l_quantity") + F.col("l_tax")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(serial, 6).alias("serial"),
+        F.date_format(
+            excel_serial_to_timestamp(serial), "yyyy-MM-dd HH:mm:ss"
+        ).alias("serial_ts"),
+    )
+
+
+def _excel_serial_sql() -> str:
+    from schema_validata_spark.functions.types import EXCEL_SERIAL_EPOCH
+
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "round(l_quantity + l_tax, 6) AS serial, "
+        f"strftime(TIMESTAMP '{EXCEL_SERIAL_EPOCH} 00:00:00' + "
+        "to_seconds(CAST(round((l_quantity + l_tax) * 86400) AS BIGINT)), "
+        "'%Y-%m-%d %H:%M:%S') AS serial_ts FROM lineitem"
+    )
+
+
+# ----------------------------------------------------------- curation
+
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub (operators/curation.py): plant deterministic
+    email/IPv4/SSN/phone strings per doc, count and replace them."""
+    from schema_validata_spark.operators.curation import pii_counts, scrub_pii
+
+    df = _read(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1.2."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" ssn 123-45-6789 call (555) 123-4567."),
+    )
+    out = df.select("doc_id", planted.alias("t"))
+    out = out.select(
+        "doc_id",
+        pii_counts("t").alias("p"),
+        scrub_pii("t").alias("scrubbed"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("p.email").cast("long").alias("n_email"),
+        F.col("p.ipv4").cast("long").alias("n_ipv4"),
+        F.col("p.ssn").cast("long").alias("n_ssn"),
+        F.col("p.phone").cast("long").alias("n_phone"),
+        "scrubbed",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from schema_validata_spark.operators.curation import PII_PATTERNS
+
+    t = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.1.2.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "' ssn 123-45-6789 call (555) 123-4567.'"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, (rx, _tok) in PII_PATTERNS.items()
+    )
+    scrubbed = "t"
+    for _name, (rx, tok) in PII_PATTERNS.items():
+        scrubbed = f"regexp_replace({scrubbed}, '{rx}', '{tok}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, {scrubbed} AS scrubbed "
+        f"FROM (SELECT doc_id, {t} AS t FROM documents)"
+    )
+
+
+def q_c4_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-filter rules (Raffel et al. 2020 §2.2) over documents
+    rebuilt into deterministic lines (the corpus has no line breaks):
+    4-word line + '.', 7-word line + '.', 7-word line bare, tail + '?',
+    plus planted lorem-ipsum / code-brace lines on doc_id strides."""
+    from schema_validata_spark.operators.curation import c4_clean, c4_flags
+
+    df = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    t = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(w, 1, 4), " "), F.lit(".")),
+        F.concat(F.array_join(F.slice(w, 5, 7), " "), F.lit(".")),
+        F.array_join(F.slice(w, 12, 7), " "),
+        F.concat(F.array_join(F.slice(w, 19, 1000000), " "), F.lit("?")),
+    )
+    t = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nlorem ipsum dolor sit amet filler today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\ncode block { return 1; }")
+        ).otherwise(F.lit("")),
+    )
+    out = df.select("doc_id", t.alias("t"))
+    out = out.select(
+        "doc_id", c4_flags("t").alias("f"), c4_clean("t").alias("clean")
+    )
+    return out.select(
+        "doc_id",
+        F.col("f.n_lines").cast("long").alias("n_lines"),
+        F.col("f.n_kept").cast("long").alias("n_kept"),
+        F.col("f.has_lorem").alias("has_lorem"),
+        F.col("f.has_brace").alias("has_brace"),
+        "clean",
+    )
+
+
+def _c4_flags_sql() -> str:
+    from schema_validata_spark.operators.curation import (
+        C4_MIN_WORDS,
+        C4_TERMINAL_RX,
+    )
+
+    w = "string_split_regex(trim(text), '\\s+')"
+    # DuckDB list_slice yields NULL (not []) when begin > len — COALESCE
+    # keeps the empty line that Spark's slice() produces
+    base = (
+        f"concat_ws(chr(10), "
+        f"COALESCE(array_to_string(list_slice({w}, 1, 4), ' '), '') || '.', "
+        f"COALESCE(array_to_string(list_slice({w}, 5, 11), ' '), '') || '.', "
+        f"COALESCE(array_to_string(list_slice({w}, 12, 18), ' '), ''), "
+        f"COALESCE(array_to_string(list_slice({w}, 19, len({w})), ' '), '') "
+        f"|| '?')"
+    )
+    t = (
+        f"{base} || CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+        f"'lorem ipsum dolor sit amet filler today.' ELSE '' END || "
+        f"CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+        f"'code block {{ return 1; }}' ELSE '' END"
+    )
+    lines = "string_split_regex(t, '\\r?\\n')"
+    kept = (
+        f"list_filter({lines}, x -> regexp_matches(x, '{C4_TERMINAL_RX}') "
+        f"AND len(string_split_regex(trim(x), '\\s+')) >= {C4_MIN_WORDS})"
+    )
+    return (
+        f"SELECT doc_id, CAST(len({lines}) AS BIGINT) AS n_lines, "
+        f"CAST(len({kept}) AS BIGINT) AS n_kept, "
+        f"contains(lower(t), 'lorem ipsum') AS has_lorem, "
+        f"contains(t, '{{') AS has_brace, "
+        f"array_to_string({kept}, chr(10)) AS clean "
+        f"FROM (SELECT doc_id, {t} AS t FROM documents)"
+    )
+
+
+def q_split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the id alone
+    (portable Lehmer bucket — production path uses xxhash64)."""
+    from schema_validata_spark.operators.curation import assign_split
+
+    df = _read(spark, sf_dir, "documents").select("doc_id")
+    out = assign_split(df, "doc_id", portable=True)
+    return out.select(
+        "doc_id", "split", F.col("split_bucket").cast("long").alias("bucket")
+    )
+
+
+def _split_assign_sql() -> str:
+    from schema_validata_spark.operators.curation import SPLIT_MOD, SPLIT_MUL
+
+    b = f"((doc_id % {SPLIT_MOD}) * {SPLIT_MUL}) % {SPLIT_MOD} % 10000"
+    return (
+        f"SELECT doc_id, CASE WHEN b < 9000 THEN 'train' "
+        f"WHEN b < 9500 THEN 'val' ELSE 'test' END AS split, "
+        f"CAST(b AS BIGINT) AS bucket "
+        f"FROM (SELECT doc_id, {b} AS b FROM documents)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -818,6 +1389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_near_dups": q_simhash_portable_near_dups,
         "len_hist_documents": q_len_hist_documents,
         "gopher_flags_documents": q_gopher_flags_documents,
+        "type_votes_orders": q_type_votes_orders,
+        "data_dictionary_orders": q_data_dictionary_orders,
+        "uid_pick_tables": q_uid_pick_tables,
+        "scrub_strip_documents": q_scrub_strip_documents,
+        "excel_serial_lineitem": q_excel_serial_lineitem,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "c4_flags_documents": q_c4_flags_documents,
+        "split_assign_documents": q_split_assign_documents,
     }
 
 
@@ -1633,4 +2212,12 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "minhash_planted_recall": _minhash_planted_sql(),
         "simhash_planted_copies": _simhash_planted_sql(),
         "verdicts_all_rules": _verdicts_all_rules_sql(),
+        "type_votes_orders": _type_votes_sql(),
+        "data_dictionary_orders": _data_dictionary_sql(),
+        "uid_pick_tables": _uid_pick_sql(),
+        "scrub_strip_documents": _scrub_strip_sql(),
+        "excel_serial_lineitem": _excel_serial_sql(),
+        "pii_scrub_documents": _pii_scrub_sql(),
+        "c4_flags_documents": _c4_flags_sql(),
+        "split_assign_documents": _split_assign_sql(),
     }

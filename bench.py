@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default sized for the driver's sf0.1 run; the sf1-equivalent corpus
+# (scripts/make_sf1.py, 10×) needs more execution memory for the
+# dedup/posting joins — override without editing the committed config
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def main() -> None:
@@ -32,7 +36,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

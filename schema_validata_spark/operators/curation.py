@@ -1,0 +1,175 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond the reference's validation surface: PII detection/scrubbing,
+C4-style line filtering, and deterministic train/val/test splitting.
+
+All built from public knowledge:
+
+* C4 heuristics — Raffel et al., "Exploring the Limits of Transfer
+  Learning with a Unified Text-to-Text Transformer" (JMLR 2020), §2.2:
+  keep lines ending in terminal punctuation with ≥ 5 words; flag pages
+  containing "lorem ipsum" or code-like ``{``.
+* PII patterns — conservative, widely-published regex shapes (email,
+  IPv4, NANP phone, SSN). Regexes are RE2-safe (no lookaround) so the
+  exact same pattern strings run in Spark (Java regex) and the DuckDB
+  oracle (RE2).
+* Deterministic splits — multiplicative (Lehmer/minstd) bucket hash on
+  the id, so assignment is a pure function of the id: stable across
+  runs, partitionings, and engines. A production variant uses
+  ``xxhash64`` for better avalanche; the portable variant is replayable
+  in ANSI SQL (the minhash/simhash portable-vs-production pattern).
+
+Everything is a single codegen'd projection — no UDFs, no shuffles; at
+100 TB these run at scan speed and the split needs no global
+coordination (contrast a row_number()-based split, which would funnel
+the corpus through one sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- PII
+
+#: category → (pattern, replacement token). Dict order IS scrub order:
+#: SSN before phone (3-2-4 vs 3-3-4 would not collide, but a stable
+#: documented order keeps outputs reproducible as patterns evolve).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    "ipv4": (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "[IPV4]",
+    ),
+    "ssn": (
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "[SSN]",
+    ),
+    "phone": (
+        r"\b(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        "[PHONE]",
+    ),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category match counts (``regexp_count`` — one
+    codegen'd pass per pattern, JVM-side)."""
+    c = _c(col)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(rx)).alias(name)
+            for name, (rx, _tok) in PII_PATTERNS.items()
+        ]
+    )
+
+
+def scrub_pii(col: Column | str, categories: list[str] | None = None) -> Column:
+    """Replace every PII match with its placeholder token, applying the
+    categories in ``PII_PATTERNS`` order (NULL text stays NULL)."""
+    out = _c(col)
+    for name, (rx, tok) in PII_PATTERNS.items():
+        if categories is None or name in categories:
+            out = F.regexp_replace(out, rx, tok)
+    return out
+
+
+# ------------------------------------------------------------ C4 rules
+
+#: C4 §2.2 line-keep rule: terminal punctuation AND ≥ 5 words.
+C4_MIN_WORDS = 5
+C4_TERMINAL_RX = r'[.!?"]\s*$'
+
+
+def _c4_keep(x: Column) -> Column:
+    # factory-free lambda is safe here: no default-arg closure (PySpark
+    # infers HOF arity from the signature)
+    return x.rlike(C4_TERMINAL_RX) & (
+        F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_WORDS
+    )
+
+
+def c4_kept_lines(col: Column | str) -> Column:
+    """Array of lines surviving the C4 keep rule."""
+    return F.filter(F.split(_c(col), r"\r?\n"), _c4_keep)
+
+
+def c4_flags(col: Column | str) -> Column:
+    """Struct of C4 document-level signals: line totals/kept plus the
+    published page-level disqualifiers (lorem ipsum, code brace)."""
+    c = _c(col)
+    ln = F.split(c, r"\r?\n")
+    kept = c4_kept_lines(c)
+    return F.struct(
+        F.size(ln).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem"),
+        c.contains("{").alias("has_brace"),
+    )
+
+
+def c4_clean(col: Column | str) -> Column:
+    """Text rebuilt from kept lines (the C4 transform itself)."""
+    return F.array_join(c4_kept_lines(col), "\n")
+
+
+# ------------------------------------------------- deterministic splits
+
+SPLIT_MOD = 2_147_483_647  # 2^31 − 1 (Mersenne): products stay < 2^62
+SPLIT_MUL = 48_271         # minstd multiplier (Park–Miller)
+
+
+def split_bucket(
+    id_col: Column | str, n_buckets: int = 10_000, portable: bool = False
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the id — a pure
+    projection, identical on any partitioning/cluster size.
+
+    ``portable=False`` (production): ``pmod(xxhash64(id), n)`` — full
+    avalanche. ``portable=True``: Lehmer ``((id mod M)·A) mod M mod n``
+    replayable bit-for-bit in ANSI SQL / DuckDB for the oracle.
+    """
+    c = _c(id_col)
+    if portable:
+        h = F.pmod(
+            F.pmod(c.cast("long"), F.lit(SPLIT_MOD)) * F.lit(SPLIT_MUL),
+            F.lit(SPLIT_MOD),
+        )
+        return F.pmod(h, F.lit(n_buckets))
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    n_buckets: int = 10_000,
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test (or any weighted label set) by its
+    deterministic id bucket. Weights must sum to ≈ 1; label order in the
+    dict defines the bucket ranges, so the mapping is reproducible.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = split_bucket(id_col, n_buckets=n_buckets, portable=portable)
+    expr = None
+    hi = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        hi += w
+        cond = b < int(round(hi * n_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr).withColumn(f"{out_col}_bucket", b)

@@ -287,6 +287,13 @@ def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:
     column like the reference's per-column ``nunique()`` loop. At north-
     rule scale the natural key (repo, path, commit) is fixed and this is
     only needed for reference-parity mode (SURVEY A9).
+
+    The HLL estimate only PREFILTERS: its ±2 %-typical (worse-tailed)
+    error sits right on the 0.95 gate for genuinely-unique columns, so
+    every column whose estimated ratio clears 0.9 gets one exact
+    ``count_distinct`` confirm (second scan over just those columns —
+    same estimate-then-confirm shape as profile's unique flag) and the
+    gate + tie-break use exact ratios.
     """
     # one scan: the row count rides the same aggregate as the distinct
     # estimates (a separate df.count() paid a second full scan per call)
@@ -297,6 +304,12 @@ def best_uid_column(df: DataFrame, sample_rows: int = 10_000) -> str | None:
     n = int(row.pop("__n") or 0)
     if n == 0:
         return None
+    near = [c for c in df.columns if row[f"{c}::d"] / n >= 0.9]
+    if near:
+        exact = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}::d") for c in near]
+        ).collect()[0].asDict()
+        row.update(exact)
     sample = df.limit(sample_rows).toPandas()
     dtypes = dict(df.dtypes)
 

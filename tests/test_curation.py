@@ -1,0 +1,143 @@
+"""PII scrub, C4 line filters, deterministic splits (operators/curation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.curation import (
+    PII_PATTERNS,
+    SPLIT_MOD,
+    SPLIT_MUL,
+    assign_split,
+    c4_clean,
+    c4_flags,
+    pii_counts,
+    scrub_pii,
+    split_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "Mail me at jo.doe+x@corp.example.org today."),
+        (2, "Server 10.0.255.7 and 256.1.1.1 (invalid) and 1.2.3.4."),
+        (3, "SSN 123-45-6789, phone (555) 123-4567 or +1 555.123.4567."),
+        (4, "No pii here, just text."),
+        (5, None),
+        (6, "two emails: a@b.io c@d.net"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestPII:
+    def test_counts(self, docs):
+        out = {
+            r["id"]: r
+            for r in docs.select("id", pii_counts("text").alias("p"))
+            .select("id", "p.*")
+            .collect()
+        }
+        assert out[1]["email"] == 1 and out[1]["ipv4"] == 0
+        # 256.x is not a valid octet; 10.0.255.7 and 1.2.3.4 are
+        assert out[2]["ipv4"] == 2
+        assert out[3]["ssn"] == 1 and out[3]["phone"] == 2
+        assert out[4]["email"] == out[4]["phone"] == 0
+        assert out[6]["email"] == 2
+
+    def test_scrub(self, docs):
+        out = {
+            r["id"]: r["s"]
+            for r in docs.select("id", scrub_pii("text").alias("s")).collect()
+        }
+        assert out[1] == "Mail me at [EMAIL] today."
+        assert "[IPV4]" in out[2] and "256.1.1.1" in out[2]
+        assert "[SSN]" in out[3] and out[3].count("[PHONE]") == 2
+        assert out[4] == "No pii here, just text."
+        assert out[5] is None
+        assert out[6] == "two emails: [EMAIL] [EMAIL]"
+
+    def test_patterns_are_re2_safe(self):
+        # the oracle replays these in DuckDB's RE2: no lookaround allowed
+        for rx, _tok in PII_PATTERNS.values():
+            assert "(?=" not in rx and "(?<" not in rx and "(?!" not in rx
+
+
+class TestC4:
+    def test_flags_and_clean(self, spark):
+        text = (
+            "This is a proper sentence with enough words.\n"
+            "short line.\n"
+            "no terminal punctuation even though it has many words\n"
+            'He said "stop right there please everyone!"\n'
+            "function() { return 1; }"
+        )
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        r = df.select(
+            c4_flags("text").alias("f"), c4_clean("text").alias("clean")
+        ).collect()[0]
+        f = r["f"]
+        assert f["n_lines"] == 5
+        # line 1 (ends '.', 8 words) and line 4 (ends '!"', 7 words) kept
+        assert f["n_kept"] == 2
+        assert f["has_brace"] is True and f["has_lorem"] is False
+        assert r["clean"].splitlines() == [
+            "This is a proper sentence with enough words.",
+            'He said "stop right there please everyone!"',
+        ]
+
+    def test_lorem_flag_case_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Filler Lorem Ipsum dolor sit amet here.")],
+            "id long, text string",
+        )
+        assert df.select(c4_flags("text")["has_lorem"].alias("x")).collect()[0][
+            "x"
+        ]
+
+
+class TestSplits:
+    def test_portable_bucket_matches_python_model(self, spark):
+        df = spark.range(0, 500).select(F.col("id"))
+        got = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", split_bucket("id", portable=True).alias("b")
+            ).collect()
+        }
+        for i in range(500):
+            assert got[i] == ((i % SPLIT_MOD) * SPLIT_MUL) % SPLIT_MOD % 10_000
+
+    def test_assign_split_deterministic_and_weighted(self, spark):
+        df = spark.range(0, 20_000).select(F.col("id"))
+        out = assign_split(df, "id", portable=True)
+        frac = {
+            r["split"]: r["n"] / 20_000
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert abs(frac["train"] - 0.9) < 0.02
+        assert abs(frac["val"] - 0.05) < 0.01
+        assert abs(frac["test"] - 0.05) < 0.01
+        # re-running (and re-partitioning) never moves a row
+        again = assign_split(df.repartition(7), "id", portable=True)
+        a = {r["id"]: r["split"] for r in out.collect()}
+        b = {r["id"]: r["split"] for r in again.collect()}
+        assert a == b
+
+    def test_production_xxhash_split_stable(self, spark):
+        df = spark.range(0, 1000)
+        one = {
+            r["id"]: r["split"]
+            for r in assign_split(df, "id").collect()
+        }
+        two = {
+            r["id"]: r["split"]
+            for r in assign_split(df.repartition(5), "id").collect()
+        }
+        assert one == two
+
+    def test_bad_weights_raise(self, spark):
+        df = spark.range(3)
+        with pytest.raises(ValueError):
+            assign_split(df, "id", weights={"a": 0.5, "b": 0.2})
