@@ -236,11 +236,70 @@ def minhash_bands(
     )
 
 
+def _fit_bucket_cap(
+    bands_df: DataFrame,
+    max_bucket: int,
+    max_total_pairs: int,
+    label: str = "candidate_pairs",
+) -> int:
+    """Largest bucket cap ≤ ``max_bucket`` whose kept buckets emit
+    ≤ ``max_total_pairs`` candidate pairs.
+
+    A per-bucket cap alone does NOT bound the join: Σ n·(n−1)/2 over
+    thousands of sub-cap hot buckets can reach billions of pairs
+    (measured 4.2e9 on a 50k-doc corpus with a 40-word vocabulary —
+    every bucket under the 10k cap, executor memory exhausted). One
+    ≤64-row log2 histogram of bucket sizes picks the largest power-of-two
+    class boundary whose cumulative pair count fits the budget —
+    df-cut semantics: the hottest (least informative) shingles/buckets
+    go first, the rare shingles that actually signal near-duplication
+    are kept. No driver-side scan; one extra aggregate on the same
+    shuffle key the downstream window/join already uses.
+    """
+    hist = (
+        bands_df.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .groupBy(F.floor(F.log2(F.col("_n"))).alias("_b"))
+        .agg(
+            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_pairs"),
+            F.sum("_n").alias("_rows"),
+        )
+        .orderBy("_b")
+        .collect()
+    )
+    total = 0.0
+    cap = 1
+    dropped_rows = 0
+    fits = True
+    for r in hist:
+        # the cap is a contiguous size threshold: the first class that
+        # busts the budget ends accumulation — a later (hotter) class
+        # cannot be accepted without re-admitting this one
+        if fits and total + float(r["_pairs"]) <= max_total_pairs:
+            total += float(r["_pairs"])
+            cap = min(2 ** (int(r["_b"]) + 1) - 1, max_bucket)
+        else:
+            fits = False
+            dropped_rows += int(r["_rows"])
+    if hist and cap < max_bucket and dropped_rows:
+        logger.warning(
+            "%s: pair-budget guard lowered the bucket cap %d → %d "
+            "(~%d candidate pairs kept ≤ budget %d; %d rows in hotter "
+            "buckets dropped) — near-dup coverage is incomplete for keys "
+            "shared only through hot buckets",
+            label, max_bucket, cap, int(total), max_total_pairs, dropped_rows,
+        )
+        return cap
+    return max_bucket
+
+
 def _prune_buckets(
     bands_df: DataFrame,
     max_bucket: int,
     log_drops: bool = False,
     label: str = "candidate_pairs",
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Drop over-``max_bucket`` buckets (quadratic guard) from a
     ``(..., band, band_hash)`` frame.
@@ -260,6 +319,10 @@ def _prune_buckets(
     """
     from pyspark.sql import Window
 
+    if max_total_pairs is not None:
+        max_bucket = _fit_bucket_cap(
+            bands_df, max_bucket, max_total_pairs, label=label
+        )
     w = Window.partitionBy("band", "band_hash")
     counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
     if log_drops:
@@ -496,6 +559,7 @@ def shingle_jaccard_pairs(
     min_jaccard: float = 0.0,
     max_posting: int = 10_000,
     log_drops: bool = False,
+    max_total_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """EXACT Jaccard pairs ``(id1, id2, jaccard)`` ≥ ``min_jaccard`` via
     the inverted-index join — intersection sizes computed DURING the
@@ -509,7 +573,15 @@ def shingle_jaccard_pairs(
     while no posting exceeds ``max_posting``), but skips the
     array_intersect/array_union work and the two full-array joins —
     measured ~3× on the verify stage. Skew/quadratic guard identical to
-    the LSH paths.
+    the LSH paths, plus ``max_total_pairs``: the per-posting cap alone
+    does not bound the join (thousands of sub-cap hot postings summed to
+    4.2e9 pairs on a 50k-doc low-entropy corpus), so a df-cut picked
+    from a log2 size histogram keeps total candidates within budget —
+    hot shingles go first, the rare ones that signal true near-dups
+    stay. Dropped intersections only LOWER the estimated Jaccard
+    (union sizes come from the full shingle sets), so the cut is
+    conservative: it can miss pairs, never fabricate them. Set
+    ``max_total_pairs=None`` for the lossless oracle-scale behavior.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -518,7 +590,8 @@ def shingle_jaccard_pairs(
         ),
     ).withColumn("band", F.lit(0))
     pruned = _prune_buckets(
-        sh, max_posting, log_drops=log_drops, label="shingle_jaccard_pairs"
+        sh, max_posting, log_drops=log_drops, label="shingle_jaccard_pairs",
+        max_total_pairs=max_total_pairs,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")

@@ -259,3 +259,62 @@ def test_shingle_jaccard_pairs_equals_array_path(spark):
         ).collect()
     }
     assert via_postings == via_arrays and (1, 4) in via_postings
+
+
+class TestPairBudgetGuard:
+    def _bands(self, spark, sizes):
+        # one bucket per entry, bucket i holding `sizes[i]` member ids
+        rows = [
+            (f"d{b}_{i}", 0, b)
+            for b, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "id string, band int, band_hash long")
+
+    def test_budget_lowers_cap_hot_classes_first(self, spark):
+        from schema_validata_spark.operators.dedup import _fit_bucket_cap
+
+        # classes: size-2 buckets (40 pairs), size-8 buckets (28 pairs
+        # each ×3 = 84), one size-64 bucket (2016 pairs)
+        bands = self._bands(spark, [2] * 40 + [8] * 3 + [64])
+        # budget fits 2s and 8s (124 pairs) but not the 64 bucket
+        cap = _fit_bucket_cap(bands, 10_000, 500)
+        assert 8 <= cap < 64
+        # everything fits → cap stays max_bucket
+        assert _fit_bucket_cap(bands, 10_000, 10_000) == 10_000
+        # nothing fits → cap 1 (no pairs at all)
+        assert _fit_bucket_cap(bands, 10_000, 0) == 1
+
+    def test_contiguity_no_reentry_after_bust(self, spark):
+        from schema_validata_spark.operators.dedup import _fit_bucket_cap
+
+        # size-4 class busts the budget; the later size-16 class is
+        # cheaper in total but must NOT re-raise the cap past 4
+        bands = self._bands(spark, [4] * 100 + [16])
+        cap = _fit_bucket_cap(bands, 10_000, 100)
+        assert cap < 4
+
+    def test_shingle_pairs_budget_conservative_not_fabricating(self, spark):
+        from schema_validata_spark.operators.dedup import shingle_jaccard_pairs
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g X"),   # true near-dup of 1
+        ] + [(100 + i, "common words everywhere common words") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in shingle_jaccard_pairs(
+                df, "text", "doc_id", k=3, max_total_pairs=None
+            ).collect()
+        }
+        budget = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in shingle_jaccard_pairs(
+                df, "text", "doc_id", k=3, max_total_pairs=60
+            ).collect()
+        }
+        # budget output is a subset with identical-or-lower jaccard
+        for k_, v in budget.items():
+            assert k_ in full and v <= full[k_] + 1e-9
+        assert (1, 2) in budget  # rare-shingle pair survives the df-cut
