@@ -256,14 +256,33 @@ def _fit_bucket_cap(
     are kept. No driver-side scan; one extra aggregate on the same
     shuffle key the downstream window/join already uses.
     """
+    sizes = bands_df.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return _fit_cap_from_sizes(
+        sizes, "_n", max_bucket, max_total_pairs, label=label
+    )
+
+
+def _fit_cap_from_sizes(
+    sizes_df: DataFrame,
+    count_col: str,
+    max_bucket: int,
+    max_total_pairs: int,
+    label: str = "candidate_pairs",
+) -> int:
+    """:func:`_fit_bucket_cap` over an already-computed bucket-size frame
+    (any grouping keys — the LSH table/bucket layout uses this too)."""
     hist = (
-        bands_df.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .groupBy(F.floor(F.log2(F.col("_n"))).alias("_b"))
+        sizes_df.filter(
+            (F.col(count_col) > 1) & (F.col(count_col) <= max_bucket)
+        )
+        .groupBy(F.floor(F.log2(F.col(count_col))).alias("_b"))
         .agg(
-            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_pairs"),
-            F.sum("_n").alias("_rows"),
+            F.sum(F.col(count_col) * (F.col(count_col) - 1) / 2).alias(
+                "_pairs"
+            ),
+            F.sum(count_col).alias("_rows"),
         )
         .orderBy("_b")
         .collect()

@@ -397,14 +397,31 @@ def embedding_near_duplicates(
     n_tables: int = 6,
     max_bucket: int = 2000,
     log_drops: bool = False,
+    max_total_pairs: int | None = 20_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(id1, id2, cos_sim)`` ≥
     ``threshold``: LSH buckets → in-bucket self-join (AQE-skew-split,
     quadratic-bucket guard) → exact cosine verify. ``log_drops`` reports
     buckets discarded by the guard (one extra aggregate over the tiny
-    bucket-size frame) so coverage loss is never silent."""
+    bucket-size frame) so coverage loss is never silent.
+
+    ``max_total_pairs`` bounds the VERIFY volume, not just a bucket:
+    hyperplane buckets are skewed, and sub-cap buckets on a 50k-vector
+    corpus at 4 planes summed to ~3e8 cosine folds (measured 276 s —
+    82× the 10%-corpus time). The log2-histogram df-cut
+    (dedup._fit_cap_from_sizes) lowers the effective cap so total pairs
+    fit the budget; when a corpus outgrows its plane count the right
+    operating point is MORE planes (n_planes ≈ log2(n_docs/target
+    bucket)), which the guard log calls out. ``None`` disables."""
     idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
     sizes = idx.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    if max_total_pairs is not None:
+        from schema_validata_spark.operators.dedup import _fit_cap_from_sizes
+
+        max_bucket = _fit_cap_from_sizes(
+            sizes, "_n", max_bucket, max_total_pairs,
+            label="embedding_near_duplicates",
+        )
     if log_drops:
         import logging
 
