@@ -214,3 +214,91 @@ class TestRealPNGDecode:
 
         with _pytest.raises(Exception, match="PNG|IHDR|corrupt"):
             image_features(df, "payload", ["id"], strict=True).collect()
+
+
+def _make_wav(freq=440.0, sr=8000, seconds=0.5, channels=1, width=2, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        full = 2 ** (8 * width - 1) - 1
+        for i in range(n):
+            v = int(amp * full * math.sin(2 * math.pi * freq * i / sr))
+            if width == 1:
+                frame = struct.pack("b", max(-128, min(127, v)))
+            elif width == 2:
+                frame = struct.pack("<h", v)
+            else:
+                frame = struct.pack("<i", v)
+            w.writeframesraw(frame * channels)
+    return buf.getvalue()
+
+
+class TestAudioFeatures:
+    def test_real_wav_decode_sine(self, spark):
+        from schema_validata_spark.operators.multimodal import audio_features
+
+        wav = _make_wav(freq=440.0, sr=8000, seconds=0.5, amp=0.5)
+        df = spark.createDataFrame([(1, wav)], "media_id long, payload binary")
+        r = audio_features(df, "payload", ["media_id"], strict=True).collect()[0]
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["n_frames"] == 4000 and r["duration_ms"] == 500
+        # sine RMS = amp/sqrt(2); zero crossings = 2*f/sr per sample
+        assert abs(r["rms"] - 0.5 / 2 ** 0.5) < 0.01
+        assert abs(r["zero_cross_rate"] - 2 * 440.0 / 8000) < 0.01
+        import hashlib
+
+        assert r["content_sha"] == hashlib.sha256(wav).hexdigest()
+        assert r["n_bytes"] == len(wav)
+
+    def test_stereo_and_8bit(self, spark):
+        from schema_validata_spark.operators.multimodal import audio_features
+
+        stereo = _make_wav(sr=16000, seconds=0.25, channels=2, width=2)
+        eight = _make_wav(sr=8000, seconds=0.1, channels=1, width=1)
+        df = spark.createDataFrame(
+            [(1, stereo), (2, eight)], "media_id long, payload binary"
+        )
+        out = {
+            r["media_id"]: r
+            for r in audio_features(df, "payload", ["media_id"], strict=True)
+            .collect()
+        }
+        assert out[1]["n_channels"] == 2 and out[1]["sample_rate"] == 16000
+        assert out[1]["duration_ms"] == 250
+        assert out[2]["sample_rate"] == 8000 and out[2]["n_frames"] == 800
+
+    def test_non_wav_strict_raises_fake_otherwise(self, spark):
+        from schema_validata_spark.operators.multimodal import audio_features
+
+        df = spark.createDataFrame(
+            [(1, b"ID3\x03fake-mp3-bytes")], "media_id long, payload binary"
+        )
+        with pytest.raises(PythonException, match="NotImplementedError"):
+            audio_features(df, "payload", ["media_id"], strict=True).collect()
+        r = audio_features(df, "payload", ["media_id"], strict=False).collect()[0]
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        # fake is deterministic
+        r2 = audio_features(df, "payload", ["media_id"]).collect()[0]
+        assert r.asDict() == r2.asDict()
+
+    def test_corrupt_wav_falls_back_not_crashes(self, spark):
+        from schema_validata_spark.operators.multimodal import audio_features
+
+        corrupt = _make_wav()[:40]  # signed RIFF/WAVE header, truncated body
+        df = spark.createDataFrame(
+            [(1, corrupt), (2, None)], "media_id long, payload binary"
+        )
+        out = {
+            r["media_id"]: r
+            for r in audio_features(df, "payload", ["media_id"]).collect()
+        }
+        assert out[1]["sample_rate"] is not None  # fake substituted
+        assert out[2]["content_sha"] is None and out[2]["rms"] is None
