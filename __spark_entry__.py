@@ -610,9 +610,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_validata_spark.operators.similarity import embedding_near_duplicates
 
     df = _read(spark, sf_dir, "embeddings")
+    # lossless mode: the oracle replays the UNBUDGETED pipeline, so the
+    # engine must not let the pair-budget df-cut bind here
     return embedding_near_duplicates(
         df, "embedding", "vec_id", dim=_EMB_DIM, threshold=_EMB_THR,
-        n_planes=_EMB_PLANES, n_tables=_EMB_TABLES,
+        n_planes=_EMB_PLANES, n_tables=_EMB_TABLES, max_total_pairs=None,
     )
 
 
@@ -629,8 +631,11 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = _read(spark, sf_dir, "documents")
+    # lossless mode (no pair budget): the docstring's equals-cross-join
+    # claim and the exhaustive DuckDB oracle both require it
     pairs = shingle_jaccard_pairs(
-        df, "text", "doc_id", k=3, min_jaccard=0.6, max_posting=100_000
+        df, "text", "doc_id", k=3, min_jaccard=0.6, max_posting=100_000,
+        max_total_pairs=None,
     )
     return near_dup_clusters(df, "doc_id", pairs)
 
@@ -1315,9 +1320,13 @@ def _c4_flags_sql() -> str:
         f"'code block {{ return 1; }}' ELSE '' END"
     )
     lines = "string_split_regex(t, '\\r?\\n')"
+    # edge-strip with the full \s class, mirroring _c4_keep (trim() is
+    # space-only in BOTH engines — a tab-led line would inflate counts)
     kept = (
         f"list_filter({lines}, x -> regexp_matches(x, '{C4_TERMINAL_RX}') "
-        f"AND len(string_split_regex(trim(x), '\\s+')) >= {C4_MIN_WORDS})"
+        f"AND len(string_split_regex("
+        f"regexp_replace(x, '^\\s+|\\s+$', '', 'g'), '\\s+')) "
+        f">= {C4_MIN_WORDS})"
     )
     return (
         f"SELECT doc_id, CAST(len({lines}) AS BIGINT) AS n_lines, "

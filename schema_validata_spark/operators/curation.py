@@ -48,8 +48,11 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
         "[SSN]",
     ),
+    # \b sits BETWEEN the optional '('/'+' prefix and the first digit: a
+    # word boundary before '(' can never match (space and paren are both
+    # non-word), which left '(' / '+' residue around the token
     "phone": (
-        r"\b(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        r"(?:\+?1[-. ])?\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
         "[PHONE]",
     ),
 }
@@ -90,9 +93,12 @@ C4_TERMINAL_RX = r'[.!?"]\s*$'
 
 def _c4_keep(x: Column) -> Column:
     # factory-free lambda is safe here: no default-arg closure (PySpark
-    # infers HOF arity from the signature)
+    # infers HOF arity from the signature). Edge-strip with the full \s
+    # class — F.trim strips ONLY ASCII space, so a tab-led line would
+    # split into a phantom leading '' token and inflate the word count.
+    stripped = F.regexp_replace(x, r"^\s+|\s+$", "")
     return x.rlike(C4_TERMINAL_RX) & (
-        F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_WORDS
+        F.size(F.split(stripped, r"\s+")) >= C4_MIN_WORDS
     )
 
 
@@ -162,6 +168,17 @@ def assign_split(
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    if portable:
+        # the Lehmer path multiplies the id as a long; a string/uuid id
+        # would ANSI-crash (or NULL-bucket everything into the last
+        # label with ANSI off) — fail loudly, the xxhash64 production
+        # path handles any type
+        t = dict(df.dtypes).get(id_col, "").lower()
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"portable split needs an integral id column, got "
+                f"{id_col}:{t}; use portable=False (xxhash64) or pre-hash"
+            )
     b = split_bucket(id_col, n_buckets=n_buckets, portable=portable)
     expr = None
     hi = 0.0

@@ -253,8 +253,12 @@ def _fit_bucket_cap(
     class boundary whose cumulative pair count fits the budget —
     df-cut semantics: the hottest (least informative) shingles/buckets
     go first, the rare shingles that actually signal near-duplication
-    are kept. No driver-side scan; one extra aggregate on the same
-    shuffle key the downstream window/join already uses.
+    are kept. The histogram collect is a SEPARATE job that recomputes
+    the banded upstream once (its exchange cannot be reused by the later
+    window/join — different actions); that one extra pass is the price
+    of never letting the candidate join OOM, and the same collect also
+    carries the over-cap drop statistics so ``log_drops`` costs no
+    second job when a budget is set.
     """
     sizes = bands_df.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("_n")
@@ -264,34 +268,44 @@ def _fit_bucket_cap(
     )
 
 
-def _fit_cap_from_sizes(
+def _fit_cap_stats(
     sizes_df: DataFrame,
     count_col: str,
     max_bucket: int,
     max_total_pairs: int,
     label: str = "candidate_pairs",
-) -> int:
-    """:func:`_fit_bucket_cap` over an already-computed bucket-size frame
-    (any grouping keys — the LSH table/bucket layout uses this too)."""
+) -> tuple[int, int, int]:
+    """Budget fit over an already-computed bucket-size frame (any
+    grouping keys). Returns ``(cap, dropped_buckets, dropped_rows)``
+    where the drop stats cover everything over the EFFECTIVE cap
+    (over-``max_bucket`` mass plus budget-dropped classes) — derived
+    from the same ≤130-row histogram, so callers need no second
+    aggregate to log coverage loss."""
+    n = F.col(count_col)
     hist = (
-        sizes_df.filter(
-            (F.col(count_col) > 1) & (F.col(count_col) <= max_bucket)
+        sizes_df.filter(n > 1)
+        .groupBy(
+            (n > max_bucket).alias("_over"),
+            F.floor(F.log2(n)).alias("_b"),
         )
-        .groupBy(F.floor(F.log2(F.col(count_col))).alias("_b"))
         .agg(
-            F.sum(F.col(count_col) * (F.col(count_col) - 1) / 2).alias(
-                "_pairs"
-            ),
-            F.sum(count_col).alias("_rows"),
+            F.sum(n * (n - 1) / 2).alias("_pairs"),
+            F.sum(n).alias("_rows"),
+            F.count(F.lit(1)).alias("_buckets"),
         )
-        .orderBy("_b")
+        .orderBy("_over", "_b")
         .collect()
     )
+    dropped_rows = sum(int(r["_rows"]) for r in hist if r["_over"])
+    dropped_buckets = sum(int(r["_buckets"]) for r in hist if r["_over"])
     total = 0.0
     cap = 1
-    dropped_rows = 0
+    budget_rows = 0
+    budget_buckets = 0
     fits = True
     for r in hist:
+        if r["_over"]:
+            continue
         # the cap is a contiguous size threshold: the first class that
         # busts the budget ends accumulation — a later (hotter) class
         # cannot be accepted without re-admitting this one
@@ -300,17 +314,36 @@ def _fit_cap_from_sizes(
             cap = min(2 ** (int(r["_b"]) + 1) - 1, max_bucket)
         else:
             fits = False
-            dropped_rows += int(r["_rows"])
-    if hist and cap < max_bucket and dropped_rows:
+            budget_rows += int(r["_rows"])
+            budget_buckets += int(r["_buckets"])
+    if not any(not r["_over"] for r in hist):
+        return max_bucket, dropped_buckets, dropped_rows
+    if fits:
+        cap = max_bucket
+    if cap < max_bucket and budget_rows:
         logger.warning(
             "%s: pair-budget guard lowered the bucket cap %d → %d "
             "(~%d candidate pairs kept ≤ budget %d; %d rows in hotter "
             "buckets dropped) — near-dup coverage is incomplete for keys "
             "shared only through hot buckets",
-            label, max_bucket, cap, int(total), max_total_pairs, dropped_rows,
+            label, max_bucket, cap, int(total), max_total_pairs, budget_rows,
         )
-        return cap
-    return max_bucket
+    return cap, dropped_buckets + budget_buckets, dropped_rows + budget_rows
+
+
+def _fit_cap_from_sizes(
+    sizes_df: DataFrame,
+    count_col: str,
+    max_bucket: int,
+    max_total_pairs: int,
+    label: str = "candidate_pairs",
+) -> int:
+    """:func:`_fit_cap_stats` returning just the cap (the LSH
+    table/bucket layout in similarity.py uses this)."""
+    cap, _b, _r = _fit_cap_stats(
+        sizes_df, count_col, max_bucket, max_total_pairs, label=label
+    )
+    return cap
 
 
 def _prune_buckets(
@@ -339,9 +372,27 @@ def _prune_buckets(
     from pyspark.sql import Window
 
     if max_total_pairs is not None:
-        max_bucket = _fit_bucket_cap(
-            bands_df, max_bucket, max_total_pairs, label=label
+        sizes = bands_df.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n")
         )
+        max_bucket, dropped_b, dropped_r = _fit_cap_stats(
+            sizes, "_n", max_bucket, max_total_pairs, label=label
+        )
+        if log_drops:
+            # drop stats already rode the budget histogram — reporting
+            # them here avoids the second aggregate job below
+            if dropped_b:
+                logger.warning(
+                    "%s: quadratic-bucket guard dropped %d bucket(s) / "
+                    "%d row(s) over max_bucket=%d — near-dup coverage is "
+                    "incomplete for those keys",
+                    label, dropped_b, dropped_r, max_bucket,
+                )
+            else:
+                logger.info(
+                    "%s: no buckets over max_bucket=%d", label, max_bucket
+                )
+            log_drops = False
     w = Window.partitionBy("band", "band_hash")
     counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
     if log_drops:

@@ -229,10 +229,15 @@ def _decode_audio(payload: bytes, strict: bool) -> dict:
                 raw = w.readframes(n)
             import numpy as np
 
-            dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
-            if dt is None:  # 24-bit PCM etc.
+            if width == 1:
+                # WAV stores 8-bit PCM UNSIGNED (0–255, midpoint 128);
+                # int8 would read silence (0x80) as full-scale −128
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            elif width in (2, 4):
+                dt = {2: np.int16, 4: np.int32}[width]
+                x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            else:  # 24-bit PCM etc.
                 raise ValueError(f"unsupported PCM width {width}")
-            x = np.frombuffer(raw, dtype=dt).astype(np.float64)
             if ch > 1:
                 x = x.reshape(-1, ch).mean(axis=1)
             full = float(2 ** (8 * width - 1))

@@ -416,12 +416,24 @@ def embedding_near_duplicates(
     idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
     sizes = idx.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     if max_total_pairs is not None:
-        from schema_validata_spark.operators.dedup import _fit_cap_from_sizes
+        from schema_validata_spark.operators.dedup import _fit_cap_stats
 
-        max_bucket = _fit_cap_from_sizes(
+        max_bucket, dropped_b, dropped_r = _fit_cap_stats(
             sizes, "_n", max_bucket, max_total_pairs,
             label="embedding_near_duplicates",
         )
+        if log_drops:
+            # drop stats rode the budget histogram — skip the second
+            # aggregate job below
+            import logging
+
+            if dropped_b:
+                logging.getLogger(__name__).warning(
+                    "embedding_near_duplicates: guard dropped %d bucket(s) "
+                    "/ %d row(s) over max_bucket=%d",
+                    dropped_b, dropped_r, max_bucket,
+                )
+            log_drops = False
     if log_drops:
         import logging
 

@@ -53,7 +53,9 @@ class TestPII:
         }
         assert out[1] == "Mail me at [EMAIL] today."
         assert "[IPV4]" in out[2] and "256.1.1.1" in out[2]
-        assert "[SSN]" in out[3] and out[3].count("[PHONE]") == 2
+        # the '(' and '+1 ' prefixes are consumed by the match — no
+        # residue around the token (regression: \b before '(' was dead)
+        assert out[3] == "SSN [SSN], phone [PHONE] or [PHONE]."
         assert out[4] == "No pii here, just text."
         assert out[5] is None
         assert out[6] == "two emails: [EMAIL] [EMAIL]"
@@ -86,6 +88,16 @@ class TestC4:
             "This is a proper sentence with enough words.",
             'He said "stop right there please everyone!"',
         ]
+
+    def test_tab_led_line_not_inflated(self, spark):
+        """F.trim strips only ASCII space: a tab-led 4-word line must NOT
+        count a phantom leading token and sneak past the 5-word gate."""
+        df = spark.createDataFrame(
+            [(1, "\tOne two three four.\n\tOne two three four five.")],
+            "id long, text string",
+        )
+        r = df.select(c4_clean("text").alias("c")).collect()[0]["c"]
+        assert r == "\tOne two three four five."
 
     def test_lorem_flag_case_insensitive(self, spark):
         df = spark.createDataFrame(
@@ -141,3 +153,12 @@ class TestSplits:
         df = spark.range(3)
         with pytest.raises(ValueError):
             assign_split(df, "id", weights={"a": 0.5, "b": 0.2})
+
+    def test_portable_split_rejects_string_ids(self, spark):
+        """cast('long') on a uuid id would ANSI-crash or NULL-bucket
+        everything into the last label — fail loudly instead."""
+        df = spark.createDataFrame([("a-b-c",)], "doc string")
+        with pytest.raises(ValueError, match="integral id"):
+            assign_split(df, "doc", portable=True)
+        # production xxhash64 path handles strings fine
+        assert assign_split(df, "doc").count() == 1

@@ -232,7 +232,8 @@ def _make_wav(freq=440.0, sr=8000, seconds=0.5, channels=1, width=2, amp=0.5):
         for i in range(n):
             v = int(amp * full * math.sin(2 * math.pi * freq * i / sr))
             if width == 1:
-                frame = struct.pack("b", max(-128, min(127, v)))
+                # 8-bit WAV is UNSIGNED with midpoint 128 (the spec)
+                frame = struct.pack("B", max(0, min(255, v + 128)))
             elif width == 2:
                 frame = struct.pack("<h", v)
             else:
@@ -274,6 +275,28 @@ class TestAudioFeatures:
         assert out[1]["n_channels"] == 2 and out[1]["sample_rate"] == 16000
         assert out[1]["duration_ms"] == 250
         assert out[2]["sample_rate"] == 8000 and out[2]["n_frames"] == 800
+        # unsigned-8-bit decode: sine RMS ~ amp/sqrt(2), not garbage
+        assert abs(out[2]["rms"] - 0.5 / 2 ** 0.5) < 0.02
+
+    def test_8bit_silence_is_silent(self, spark):
+        """Spec 8-bit silence is 0x80 bytes — signed decode would read it
+        as full-scale −128 (rms 1.0)."""
+        import io
+        import wave as wv
+
+        from schema_validata_spark.operators.multimodal import audio_features
+
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframesraw(b"\x80" * 800)
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "media_id long, payload binary"
+        )
+        r = audio_features(df, "payload", ["media_id"], strict=True).collect()[0]
+        assert r["rms"] < 1e-9 and r["zero_cross_rate"] == 0.0
 
     def test_non_wav_strict_raises_fake_otherwise(self, spark):
         from schema_validata_spark.operators.multimodal import audio_features
