@@ -1362,6 +1362,88 @@ def _split_assign_sql() -> str:
     )
 
 
+def q_script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (text.py::script_counts) over documents
+    with deterministically-planted non-Latin scripts: vowels
+    transliterated to Cyrillic on doc_id%3, a CJK+digit suffix on
+    doc_id%5 — the all-ASCII corpus exercises every block."""
+    from schema_validata_spark.operators.text import script_counts
+
+    df = _read(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.translate(F.col("text"), "aeiou", "аеиоу"),
+    ).otherwise(F.col("text"))
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 世界 ακμή 2024")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = df.select("doc_id", t.alias("t")).select(
+        "doc_id", script_counts("t").alias("s")
+    )
+    from schema_validata_spark.operators.text import SCRIPT_BLOCKS
+
+    return out.select(
+        "doc_id",
+        *[F.col(f"s.{k}").cast("long").alias(f"n_{k}") for k in SCRIPT_BLOCKS],
+    )
+
+
+def _script_profile_sql() -> str:
+    from schema_validata_spark.operators.text import SCRIPT_BLOCKS
+
+    t = (
+        "CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aeiou', 'аеиоу') "
+        "ELSE text END || CASE WHEN doc_id % 5 = 0 "
+        "THEN ' 世界 ακμή 2024' ELSE '' END"
+    )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, '["
+        + "".join(f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" for a, b in ranges)
+        + f"]')) AS BIGINT) AS n_{name}"
+        for name, ranges in SCRIPT_BLOCKS.items()
+    )
+    return (
+        f"SELECT doc_id, {counts} FROM (SELECT doc_id, {t} AS t FROM documents)"
+    )
+
+
+def q_dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scrub (text.py::dedup_lines): rebuild
+    each doc into lines with planted repeats (l1, l2, l1, l3, l2) and
+    keep first occurrences only."""
+    from schema_validata_spark.operators.text import dedup_lines
+
+    df = _read(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    s1 = F.array_join(F.slice(w, 1, 4), " ")
+    s2 = F.array_join(F.slice(w, 5, 4), " ")
+    s3 = F.array_join(F.slice(w, 9, 4), " ")
+    t = F.concat_ws("\n", s1, s2, s1, s3, s2)
+    out = df.select("doc_id", t.alias("t"))
+    return out.select("doc_id", dedup_lines("t").alias("deduped"))
+
+
+def _dedup_lines_sql() -> str:
+    w = "string_split_regex(trim(text), '\\s+')"
+    mk = (
+        f"concat_ws(chr(10), "
+        f"COALESCE(array_to_string(list_slice({w}, 1, 4), ' '), ''), "
+        f"COALESCE(array_to_string(list_slice({w}, 5, 8), ' '), ''), "
+        f"COALESCE(array_to_string(list_slice({w}, 1, 4), ' '), ''), "
+        f"COALESCE(array_to_string(list_slice({w}, 9, 12), ' '), ''), "
+        f"COALESCE(array_to_string(list_slice({w}, 5, 8), ' '), ''))"
+    )
+    lines = "string_split_regex(t, '\\r?\\n')"
+    return (
+        f"SELECT doc_id, array_to_string(list_filter({lines}, "
+        f"(x, i) -> list_position({lines}, x) = i), chr(10)) AS deduped "
+        f"FROM (SELECT doc_id, {mk} AS t FROM documents)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1406,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": q_pii_scrub_documents,
         "c4_flags_documents": q_c4_flags_documents,
         "split_assign_documents": q_split_assign_documents,
+        "script_profile_documents": q_script_profile_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
     }
 
 
@@ -2229,4 +2313,6 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "pii_scrub_documents": _pii_scrub_sql(),
         "c4_flags_documents": _c4_flags_sql(),
         "split_assign_documents": _split_assign_sql(),
+        "script_profile_documents": _script_profile_sql(),
+        "dedup_lines_documents": _dedup_lines_sql(),
     }

@@ -326,6 +326,58 @@ def shingle_hashes(col: Column | str, k: int = 5) -> Column:
     return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
 
 
+#: Unicode script blocks (codepoint ranges) for script profiling —
+#: shared constants; the per-engine regex is GENERATED from these
+#: (Java wants \uXXXX, RE2/DuckDB wants \x{XXXX}), so the two dialects
+#: cannot drift on the ranges themselves.
+SCRIPT_BLOCKS: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "greek": [(0x0370, 0x03FF)],
+    "arabic": [(0x0600, 0x06FF)],
+    "cjk": [(0x4E00, 0x9FFF), (0x3040, 0x30FF)],  # han + kana
+    "hangul": [(0xAC00, 0xD7AF)],
+    "digit": [(0x0030, 0x0039)],
+}
+
+
+def _script_class_java(ranges: list[tuple[int, int]]) -> str:
+    return "[" + "".join(f"\\u{a:04X}-\\u{b:04X}" for a, b in ranges) + "]"
+
+
+def script_counts(col: Column | str) -> Column:
+    """Struct of per-script character counts (``regexp_count`` per
+    block — codegen'd JVM passes, no UDF). The dominant script and
+    non-Latin ratios are standard corpus-curation signals alongside
+    :func:`lang_id`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(_script_class_java(ranges))).alias(name)
+            for name, ranges in SCRIPT_BLOCKS.items()
+        ]
+    )
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Remove duplicate lines within a document, keeping the FIRST
+    occurrence (the transform counterpart of
+    :func:`duplicate_line_fraction` — Gopher-style repetition scrub).
+
+    Pure expression: ``filter`` with the index lambda keeps line i iff
+    its first position in the array is i. The line array is bound once
+    via the transform-wrapper pattern (see :func:`shingles`) so the
+    split isn't re-evaluated per line."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.array(F.split(c, r"\r?\n")),
+        lambda ln: F.array_join(
+            F.filter(ln, lambda x, i: F.array_position(ln, x) == i + 1),
+            "\n",
+        ),
+    )[0]
+
+
 def text_stats_df(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     """Ready-made per-document stats: tokens, BPE estimate, quality,
     language, fingerprint — one scan, all codegen'd."""

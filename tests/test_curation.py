@@ -162,3 +162,37 @@ class TestSplits:
             assign_split(df, "doc", portable=True)
         # production xxhash64 path handles strings fine
         assert assign_split(df, "doc").count() == 1
+
+
+class TestScriptAndLineDedup:
+    def test_script_counts_mixed(self, spark):
+        from schema_validata_spark.operators.text import script_counts
+
+        df = spark.createDataFrame(
+            [(1, "Hello мир 世界 123 αβ こんにちは"), (2, None)],
+            "id long, t string",
+        )
+        out = {
+            r["id"]: r
+            for r in df.select("id", script_counts("t").alias("s"))
+            .select("id", "s.*")
+            .collect()
+        }
+        assert out[1]["latin"] == 5 and out[1]["cyrillic"] == 3
+        assert out[1]["cjk"] == 2 + 5  # han + kana block
+        assert out[1]["digit"] == 3 and out[1]["greek"] == 2
+        assert out[2]["latin"] is None
+
+    def test_dedup_lines_keeps_first_occurrence_order(self, spark):
+        from schema_validata_spark.operators.text import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\nc\r\nb\nd"), (2, ""), (3, None)],
+            "id long, t string",
+        )
+        out = {
+            r["id"]: r["d"]
+            for r in df.select("id", dedup_lines("t").alias("d")).collect()
+        }
+        assert out[1] == "a\nb\nc\nd"
+        assert out[2] == "" and out[3] is None
