@@ -421,13 +421,19 @@ def _candidate_pairs(
     bands_df: DataFrame,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Distinct (id1 < id2) pairs sharing ≥ 1 band bucket.
 
     Self-join on the band key after the quadratic-bucket guard
     (:func:`_prune_buckets`); AQE skew-join splits what remains.
+    ``max_total_pairs`` additionally bounds the TOTAL join volume via
+    the log2-histogram df-cut (:func:`_fit_cap_stats`).
     """
-    pruned = _prune_buckets(bands_df, max_bucket, log_drops=log_drops)
+    pruned = _prune_buckets(
+        bands_df, max_bucket, log_drops=log_drops,
+        max_total_pairs=max_total_pairs,
+    )
     l = pruned.alias("l")
     r = pruned.alias("r")
     return (
@@ -489,6 +495,7 @@ def minhash_near_duplicates(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
     portable: bool = False,
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup pairs ``(id1, id2, jaccard)`` with
     exact-Jaccard verification ≥ ``threshold``. ``log_drops`` reports
@@ -499,7 +506,10 @@ def minhash_near_duplicates(
     bands_df = minhash_bands(
         df, text_col, id_col, num_perm, bands, k, portable=portable
     )
-    cand = _candidate_pairs(bands_df, max_bucket, log_drops=log_drops)
+    cand = _candidate_pairs(
+        bands_df, max_bucket, log_drops=log_drops,
+        max_total_pairs=max_total_pairs,
+    )
     return jaccard_pairs(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
     )
@@ -576,6 +586,7 @@ def simhash_near_duplicates(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
     portable: bool = False,
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
     any pair with hamming ≤ 7 shares a band) → verify exact hamming via
@@ -598,7 +609,8 @@ def simhash_near_duplicates(
     ).select("id", "sh", F.col("b.band"), F.col("b.band_hash"))
 
     pruned = _prune_buckets(
-        bands_df, max_bucket, log_drops=log_drops, label="simhash_near_duplicates"
+        bands_df, max_bucket, log_drops=log_drops,
+        label="simhash_near_duplicates", max_total_pairs=max_total_pairs,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -709,6 +721,7 @@ def shingle_candidate_pairs(
     k: int = 3,
     max_posting: int = 10_000,
     log_drops: bool = False,
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate (id1 < id2) pairs sharing ≥ 1 exact k-shingle — the
     inverted-index blocking for an EXACT similarity join.
@@ -730,7 +743,10 @@ def shingle_candidate_pairs(
             "band_hash"
         ),
     ).withColumn("band", F.lit(0))
-    return _candidate_pairs(sh, max_bucket=max_posting, log_drops=log_drops)
+    return _candidate_pairs(
+        sh, max_bucket=max_posting, log_drops=log_drops,
+        max_total_pairs=max_total_pairs,
+    )
 
 
 # ------------------------------------------ pair → cluster resolution
