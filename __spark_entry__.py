@@ -1362,6 +1362,58 @@ def _split_assign_sql() -> str:
     )
 
 
+def q_cc_luhn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card detection with Luhn verification
+    (curation.py::cc_counts): a valid test number planted on doc_id%4,
+    a card-SHAPED but checksum-failing run on doc_id%6 — the oracle
+    replays the full mod-10 fold."""
+    from schema_validata_spark.operators.curation import cc_counts
+
+    df = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" card 4111 1111 1111 1111 ok")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.lit(" ref 1234-5678-9012-3456 x")
+        ).otherwise(F.lit("")),
+    )
+    out = df.select("doc_id", t.alias("t")).select(
+        "doc_id", cc_counts("t").alias("c")
+    )
+    return out.select(
+        "doc_id",
+        F.col("c.n_cc_candidates").cast("long").alias("n_cc_candidates"),
+        F.col("c.n_cc_valid").cast("long").alias("n_cc_valid"),
+    )
+
+
+def _cc_luhn_sql() -> str:
+    from schema_validata_spark.operators.curation import CC_CANDIDATE_RX
+
+    t = (
+        "text || CASE WHEN doc_id % 4 = 0 THEN ' card 4111 1111 1111 1111 "
+        "ok' ELSE '' END || CASE WHEN doc_id % 6 = 0 THEN "
+        "' ref 1234-5678-9012-3456 x' ELSE '' END"
+    )
+    # DuckDB lambda indexes are 1-BASED: position i here is Spark's i−1,
+    # so "double every second digit from the right" is i % 2 = 0
+    luhn = (
+        "length(d) BETWEEN 13 AND 19 AND list_sum(list_transform("
+        "list_transform(string_split_regex(reverse(d), ''), "
+        "y -> CAST(y AS INTEGER)), (x, i) -> CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN x*2 > 9 THEN x*2 - 9 ELSE x*2 END ELSE x END)) % 10 = 0"
+    )
+    cands = f"regexp_extract_all(t, '{CC_CANDIDATE_RX}')"
+    stripped = f"list_transform({cands}, x -> regexp_replace(x, '[ -]', '', 'g'))"
+    return (
+        f"SELECT doc_id, CAST(len({cands}) AS BIGINT) AS n_cc_candidates, "
+        f"CAST(len(list_filter({stripped}, d -> {luhn})) AS BIGINT) "
+        f"AS n_cc_valid FROM (SELECT doc_id, {t} AS t FROM documents)"
+    )
+
+
 def q_script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script profiling (text.py::script_counts) over documents
     with deterministically-planted non-Latin scripts: vowels
@@ -1490,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_documents": q_split_assign_documents,
         "script_profile_documents": q_script_profile_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "cc_luhn_documents": q_cc_luhn_documents,
     }
 
 
@@ -2315,4 +2368,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "split_assign_documents": _split_assign_sql(),
         "script_profile_documents": _script_profile_sql(),
         "dedup_lines_documents": _dedup_lines_sql(),
+        "cc_luhn_documents": _cc_luhn_sql(),
     }

@@ -84,6 +84,49 @@ def scrub_pii(col: Column | str, categories: list[str] | None = None) -> Column:
     return out
 
 
+#: card-shaped digit runs (13–19 digits, optional single space/dash
+#: separators) — candidates only; Luhn separates real numbers from
+#: arbitrary digit runs
+CC_CANDIDATE_RX = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """Luhn check-digit validation of a digits-only string (the public
+    mod-10 algorithm): from the RIGHT, double every second digit,
+    subtract 9 when > 9, valid iff the sum ≡ 0 (mod 10) and the length
+    is a real card length (13–19). Pure expression — works on lambda
+    variables inside higher-order functions."""
+    c = _c(col)
+    digits = F.split(F.reverse(c), "")
+    d = lambda x: x.cast("int")  # noqa: E731
+    vals = F.transform(
+        digits,
+        lambda x, i: F.when(
+            i % 2 == 1,
+            F.when(d(x) * 2 > 9, d(x) * 2 - 9).otherwise(d(x) * 2),
+        ).otherwise(d(x)),
+    )
+    n = F.length(c)
+    total = F.aggregate(vals, F.lit(0), lambda a, b: a + b)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def cc_counts(col: Column | str) -> Column:
+    """Struct ``(n_cc_candidates, n_cc_valid)``: card-shaped digit runs
+    found, and how many pass Luhn — the checksum kills the false
+    positives a shape regex alone would flag (order ids, timestamps)."""
+    c = _c(col)
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_RX), F.lit(0))
+    stripped = F.transform(
+        cands, lambda x: F.regexp_replace(x, r"[ -]", "")
+    )
+    valid = F.filter(stripped, luhn_valid)
+    return F.struct(
+        F.size(cands).alias("n_cc_candidates"),
+        F.size(valid).alias("n_cc_valid"),
+    )
+
+
 # ------------------------------------------------------------ C4 rules
 
 #: C4 §2.2 line-keep rule: terminal punctuation AND ≥ 5 words.

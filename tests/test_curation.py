@@ -196,3 +196,46 @@ class TestScriptAndLineDedup:
         }
         assert out[1] == "a\nb\nc\nd"
         assert out[2] == "" and out[3] is None
+
+
+class TestLuhn:
+    def test_known_numbers(self, spark):
+        from schema_validata_spark.operators.curation import luhn_valid
+
+        rows = [
+            (1, "4111111111111111", True),    # canonical Visa test number
+            (2, "5500005555555559", True),    # MC test number
+            (3, "4111111111111112", False),   # off-by-one check digit
+            (4, "1234567890123456", False),
+            (5, "411111111111", False),       # 12 digits — too short
+            (6, "", False),
+        ]
+        df = spark.createDataFrame([(i, s) for i, s, _ in rows], "id long, s string")
+        got = {
+            r["id"]: r["v"]
+            for r in df.select("id", luhn_valid("s").alias("v")).collect()
+        }
+        for i, _s, want in rows:
+            assert got[i] is want, (i, got[i])
+
+    def test_cc_counts_with_separators(self, spark):
+        from schema_validata_spark.operators.curation import cc_counts
+
+        df = spark.createDataFrame(
+            [
+                (1, "pay 4111 1111 1111 1111 or 1234-5678-9012-3456 today"),
+                (2, "order 20240817123456789 is not a card"),
+                (3, None),
+            ],
+            "id long, t string",
+        )
+        out = {
+            r["id"]: r
+            for r in df.select("id", cc_counts("t").alias("c"))
+            .select("id", "c.*")
+            .collect()
+        }
+        assert out[1]["n_cc_candidates"] == 2 and out[1]["n_cc_valid"] == 1
+        # a 17-digit run IS card-shaped (candidate) but fails Luhn
+        assert out[2]["n_cc_valid"] == 0
+        assert out[3]["n_cc_candidates"] is None
