@@ -110,8 +110,11 @@ def main() -> None:
         # dedup resolution and the LSH embedding near-dup pass
         "near_dup_clusters": lambda: near_dup_clusters(
             documents, "doc_id",
+            # explicit budget: the guard is opt-in on the exact API
+            # (round-4); the bench keeps the production posture
             shingle_jaccard_pairs(documents, "text", "doc_id", k=3,
-                                  min_jaccard=0.6),
+                                  min_jaccard=0.6,
+                                  max_total_pairs=50_000_000),
         ).count(),
         "embedding_near_dups": lambda: embedding_near_duplicates(
             embeddings, "embedding", "vec_id", dim=64, threshold=0.4,

@@ -91,21 +91,64 @@ def strip_comments_and_strings(sql: str) -> str:
 
 
 
+def _placeholder(
+    inner: str,
+    total: int,
+    idx: int,
+    taken: set[str],
+    mapping: dict[str, str],
+) -> str:
+    """A ``total``-char plain-identifier placeholder that is (a) unique
+    among the placeholders issued so far and (b) not a word that already
+    appears in the statement — a genuine identifier spelled ``_q0_``
+    must never collide with a generated token, or ``_unsub`` would
+    rewrite it to the quoted name's spelling. Zero/one-char quoted names
+    (``total`` 2–3) can't hold ``_qN``; they get ``_<base36(k)>``
+    instead, with ``k`` advanced past collisions so two short names never
+    mangle to the same token (the pre-fix behavior collapsed them all to
+    ``'__'``, overwriting mapping entries)."""
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    k = idx
+    for _ in range(36 ** max(total - 1, 1) + 36):
+        key = f"_q{k}"
+        if len(key) <= total:
+            tok = key + "_" * (total - len(key))
+        else:
+            # too short for _qN: base36 counter in the space we have
+            b36, v = "", k
+            while True:
+                b36 = digits[v % 36] + b36
+                v //= 36
+                if v == 0:
+                    break
+            tok = ("_" + b36)[:total].ljust(total, "_")
+        if tok not in taken and tok not in mapping:
+            return tok
+        k += 1
+    # unreachable in practice (needs 36^(total-1) colliding words); keep
+    # the original mangle as the absolute fallback
+    return ("_" + re.sub(r"[^A-Za-z0-9_]", "_", inner))[:total].ljust(total, "_")
+
+
 def _sub_quoted(sql: str) -> tuple[str, dict[str, str]]:
     """Replace backtick-quoted identifiers (Spark's quoting for names
     with spaces/specials) with SAME-LENGTH plain-identifier placeholders
     so the tokenizer sees one token; returns (substituted sql,
     placeholder → original name). Length preservation keeps every index
     computed downstream valid against the substituted text. A quoted
-    name too short to hold its placeholder falls back to in-place
-    mangling (non-identifier chars → '_'), losing the original spelling
-    but never the token boundary.
+    name too short to hold its ``_qN`` placeholder gets a base36 counter
+    token instead (see ``_placeholder``), losing the original spelling
+    in the substituted text but never the token boundary or the mapping.
 
     Quote-aware scan, NOT a bare regex: a backtick inside a '...'/"..."
     string literal must stay verbatim — a regex would pair it with the
     next backtick anywhere in the statement and swallow the real SQL
     between them."""
     mapping: dict[str, str] = {}
+    # words already in the statement — generated placeholders must avoid
+    # them (see _placeholder); includes words inside string literals and
+    # quoted names, a superset that can only skip a few counter values
+    taken = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql))
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -129,13 +172,7 @@ def _sub_quoted(sql: str) -> tuple[str, dict[str, str]]:
                 break
             inner = sql[i + 1 : j]
             total = j - i + 1  # includes both backticks
-            key = f"_q{len(mapping)}"
-            if len(key) <= total:
-                tok = key + "_" * (total - len(key))
-            else:
-                tok = ("_" + re.sub(r"[^A-Za-z0-9_]", "_", inner))[
-                    :total
-                ].ljust(total, "_")
+            tok = _placeholder(inner, total, len(mapping), taken, mapping)
             mapping[tok] = inner
             out.append(tok)
             i = j + 1

@@ -296,6 +296,48 @@ def _fit_cap_stats(
         .orderBy("_over", "_b")
         .collect()
     )
+    return _cap_from_hist(hist, max_bucket, max_total_pairs, label)
+
+
+def _fit_cap_stats_rows(
+    counted_df: DataFrame,
+    count_col: str,
+    max_bucket: int,
+    max_total_pairs: int,
+    label: str = "candidate_pairs",
+) -> tuple[int, int, int]:
+    """:func:`_fit_cap_stats` over a ROW-level frame that already carries
+    its bucket size per row (the window-count output): a bucket of size
+    ``n`` contributes ``n`` rows each tagged ``n``, so per log2 class
+    ``Σ(n−1)/2`` over rows = Σ n(n−1)/2 over buckets, ``count(*)`` =
+    Σ n, and ``Σ 1/n`` = bucket count. Lets the guard read the SAME
+    materialized frame the downstream join consumes — no second pass
+    over the expensive banded upstream (round-4 guard-overhead fix)."""
+    n = F.col(count_col)
+    hist = (
+        counted_df.filter(n > 1)
+        .groupBy(
+            (n > max_bucket).alias("_over"),
+            F.floor(F.log2(n)).alias("_b"),
+        )
+        .agg(
+            F.sum((n - 1) / 2).alias("_pairs"),
+            F.count(F.lit(1)).alias("_rows"),
+            F.round(F.sum(1.0 / n)).cast("long").alias("_buckets"),
+        )
+        .orderBy("_over", "_b")
+        .collect()
+    )
+    return _cap_from_hist(hist, max_bucket, max_total_pairs, label)
+
+
+def _cap_from_hist(
+    hist: list,
+    max_bucket: int,
+    max_total_pairs: int,
+    label: str,
+) -> tuple[int, int, int]:
+    """Shared driver-side fold over the ≤130-row log2 histogram."""
     dropped_rows = sum(int(r["_rows"]) for r in hist if r["_over"])
     dropped_buckets = sum(int(r["_buckets"]) for r in hist if r["_over"])
     total = 0.0
@@ -363,24 +405,36 @@ def _prune_buckets(
 
     ``log_drops=True`` removes the silent-cap smell: one extra
     ``groupBy(band, band_hash)`` aggregate reports how many buckets/rows
-    the guard discarded. It recomputes the upstream once (an explicit
-    aggregate, NOT a persist of the window output: a persisted frame
-    here cannot be unpersisted before the downstream join runs, and
-    streaming callers invoke this per micro-batch — leaked cache blocks
-    would accumulate for the life of the stream).
+    the guard discarded. On the no-budget path it recomputes the
+    upstream once (an explicit aggregate, NOT a persist of the window
+    output: a persisted frame here cannot be unpersisted before the
+    downstream join runs, and streaming callers invoke this per
+    micro-batch — leaked cache blocks would accumulate for the life of
+    the stream).
+
+    With a ``max_total_pairs`` budget the window-counted frame is
+    ``localCheckpoint``-ed instead (round-4): the expensive banded
+    upstream runs ONCE, the budget histogram and the downstream join
+    both read the materialized blocks (checkpoint blocks are freed by
+    the ContextCleaner when the returned frame is GC'd — unlike an
+    explicit persist there is no unpersist() to mis-place). Measured at
+    sf0.1 this removed the guard's ~1 s duplicate pass on
+    near_dup_clusters. Trade: localCheckpoint truncates lineage, so an
+    executor loss fails the stage instead of recomputing — acceptable
+    for a bounded batch stage; pass ``max_total_pairs=None`` to keep
+    pure-lineage plans.
     """
     from pyspark.sql import Window
 
+    w = Window.partitionBy("band", "band_hash")
     if max_total_pairs is not None:
-        sizes = bands_df.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        max_bucket, dropped_b, dropped_r = _fit_cap_stats(
-            sizes, "_n", max_bucket, max_total_pairs, label=label
+        counted = bands_df.withColumn(
+            "_n", F.count(F.lit(1)).over(w)
+        ).localCheckpoint(eager=True)
+        max_bucket, dropped_b, dropped_r = _fit_cap_stats_rows(
+            counted, "_n", max_bucket, max_total_pairs, label=label
         )
         if log_drops:
-            # drop stats already rode the budget histogram — reporting
-            # them here avoids the second aggregate job below
             if dropped_b:
                 logger.warning(
                     "%s: quadratic-bucket guard dropped %d bucket(s) / "
@@ -392,8 +446,7 @@ def _prune_buckets(
                 logger.info(
                     "%s: no buckets over max_bucket=%d", label, max_bucket
                 )
-            log_drops = False
-    w = Window.partitionBy("band", "band_hash")
+        return counted.filter(F.col("_n") <= max_bucket).drop("_n")
     counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
     if log_drops:
         d = (
@@ -641,9 +694,15 @@ def shingle_jaccard_pairs(
     min_jaccard: float = 0.0,
     max_posting: int = 10_000,
     log_drops: bool = False,
-    max_total_pairs: int | None = 50_000_000,
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard pairs ``(id1, id2, jaccard)`` ≥ ``min_jaccard`` via
+    """EXACT Jaccard pairs — and exact BY DEFAULT: ``max_total_pairs``
+    (the pair-budget guard that drops the hottest postings when the
+    candidate join would exceed the budget) is **opt-in** here, because
+    an API named "exact" must not silently truncate results under a
+    default (round-4 ADVICE; a production corpus run should pass an
+    explicit budget, e.g. 50M, and read the guard's WARNING log /
+    coverage stats). ``(id1, id2, jaccard)`` ≥ ``min_jaccard`` via
     the inverted-index join — intersection sizes computed DURING the
     blocking join instead of re-joining full shingle arrays afterward.
 
@@ -662,8 +721,7 @@ def shingle_jaccard_pairs(
     hot shingles go first, the rare ones that signal true near-dups
     stay. Dropped intersections only LOWER the estimated Jaccard
     (union sizes come from the full shingle sets), so the cut is
-    conservative: it can miss pairs, never fabricate them. Set
-    ``max_total_pairs=None`` for the lossless oracle-scale behavior.
+    conservative: it can miss pairs, never fabricate them.
     """
     sh = df.select(
         F.col(id_col).alias("id"),

@@ -17,7 +17,7 @@ def quota_sample(
     strata_col: str | Column,
     n_per_stratum: int,
     order_col: str | Column,
-    salt_partitions: int | None = None,
+    salt_partitions: int | None | str = "auto",
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, chosen as the FIRST
     rows by ``order_col`` within each stratum — the per-language /
@@ -56,10 +56,24 @@ def quota_sample(
     identity unconditionally.) With duplicate ``order_col`` values both
     forms are underdetermined at the quota boundary (``row_number`` tie
     order is partitioning-dependent) — use a unique order column.
+
+    ``salt_partitions="auto"`` (the default, round-4): since the salted
+    form is proven output-identical, scale safety should not be opt-in —
+    the salt count derives from the input's partition count,
+    ``clamp(P // 8, 1, 256)``, so small inputs (P ≤ 15: tests, spec
+    sheets) keep the single-window plan and any input wide enough for
+    ``n × P`` to matter gets the two-phase form without the caller
+    knowing to ask. ``None`` / ``1`` forces the single-window plan; an
+    explicit int pins the salt width.
     """
     sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     n = int(n_per_stratum)
+    if salt_partitions == "auto":
+        # getNumPartitions only converts the plan (no job); the clamp
+        # floor keeps tiny local inputs on the cheaper single-window form
+        p = df.rdd.getNumPartitions()
+        salt_partitions = max(1, min(256, p // 8))
     if salt_partitions is not None and int(salt_partitions) > 1:
         s = int(salt_partitions)
         w1 = Window.partitionBy(sc, F.col("__salt")).orderBy(oc)

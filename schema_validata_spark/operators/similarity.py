@@ -19,11 +19,14 @@ arrays costs more than the codegen'd fold at this dimensionality).
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _as_double_array(col: Column | str) -> Column:
@@ -387,17 +390,90 @@ def read_ivf_probe(
     )
 
 
+def _auto_lsh_layout(
+    n_docs: int,
+    threshold: float,
+    target_bucket: int = 200,
+    recall_target: float = 0.99,
+    max_total_pairs: int | None = None,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from corpus size, threshold and (when
+    given) the pair budget.
+
+    ``n_planes = log2(n_docs / target_bucket)`` keeps the EXPECTED
+    bucket near ``target_bucket`` rows so the candidate join is bounded
+    by design rather than by the pair-budget guard truncating coverage
+    (the round-3 sf1 lesson: a fixed 10-plane layout under-partitions a
+    grown corpus and the guard then drops real near-dup pairs). When a
+    ``max_total_pairs`` budget exists, the plane count additionally must
+    make the EXPECTED candidate volume fit it — for uniform buckets the
+    self-join yields ``T · n² / 2^(planes+1)`` pairs, so
+    ``planes ≥ log2(T·n²/(2·budget))`` — otherwise the layout would hand
+    the guard a candidate set it can only trim by dropping whole buckets
+    (and the planted pairs inside them), which is exactly the recall
+    loss auto-layout exists to prevent.
+
+    ``n_tables`` then holds recall: for random hyperplanes the chance
+    two vectors at cosine ``t`` agree on one plane is
+    ``p = 1 − acos(t)/π`` (public SimHash/LSH result, Charikar 2002),
+    a whole bucket is ``p^planes``, and ``T`` independent tables miss
+    with ``(1 − p^planes)^T`` — solve for the target recall. Planes and
+    tables feed each other (more tables → more candidate volume → more
+    planes → lower per-table recall → more tables), so iterate the
+    fixed point; both are clamped, so it terminates."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+
+    def planes_for(n_tables: int) -> int:
+        by_size = (
+            math.ceil(math.log2(max(n_docs, 1) / max(target_bucket, 1)))
+            if n_docs > target_bucket else 4
+        )
+        by_budget = 0
+        if max_total_pairs and n_docs > 1:
+            expected = n_tables * n_docs * n_docs / 2.0
+            if expected > max_total_pairs:
+                by_budget = math.ceil(
+                    math.log2(expected / max_total_pairs)
+                )
+        return max(4, min(24, max(by_size, by_budget)))
+
+    def tables_for(n_planes: int) -> int:
+        p_bucket = p ** n_planes
+        if p_bucket >= 1.0 - 1e-12:
+            return 1
+        if p_bucket <= 1e-12:
+            return 32
+        return max(2, min(32, math.ceil(
+            math.log(1.0 - recall_target) / math.log(1.0 - p_bucket)
+        )))
+
+    n_tables = 1
+    n_planes = planes_for(n_tables)
+    for _ in range(8):
+        n_tables_new = tables_for(n_planes)
+        n_planes_new = planes_for(n_tables_new)
+        if (n_planes_new, n_tables_new) == (n_planes, n_tables):
+            break
+        n_planes, n_tables = n_planes_new, n_tables_new
+    return n_planes, n_tables
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
-    n_tables: int = 6,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     max_bucket: int = 2000,
     log_drops: bool = False,
     max_total_pairs: int | None = 20_000_000,
+    target_bucket: int = 200,
+    recall_target: float = 0.99,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(id1, id2, cos_sim)`` ≥
     ``threshold``: LSH buckets → in-bucket self-join (AQE-skew-split,
@@ -405,60 +481,110 @@ def embedding_near_duplicates(
     buckets discarded by the guard (one extra aggregate over the tiny
     bucket-size frame) so coverage loss is never silent.
 
-    ``max_total_pairs`` bounds the VERIFY volume, not just a bucket:
-    hyperplane buckets are skewed, and sub-cap buckets on a 50k-vector
-    corpus at 4 planes summed to ~3e8 cosine folds (measured 276 s —
-    82× the 10%-corpus time). The log2-histogram df-cut
-    (dedup._fit_cap_from_sizes) lowers the effective cap so total pairs
-    fit the budget; when a corpus outgrows its plane count the right
-    operating point is MORE planes (n_planes ≈ log2(n_docs/target
-    bucket)), which the guard log calls out. ``None`` disables."""
-    idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
-    sizes = idx.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    if max_total_pairs is not None:
-        from schema_validata_spark.operators.dedup import _fit_cap_stats
+    ``n_planes``/``n_tables`` default to ``None`` = **auto-scaled from
+    the corpus** (round-4): one cheap ``df.count()`` sizes the layout via
+    :func:`_auto_lsh_layout`, so a corpus that outgrows a fixed plane
+    count gets more planes (smaller buckets — the guard stops needing to
+    truncate) and enough tables to hold ``recall_target``. Pass explicit
+    ints to pin the layout (the oracle queries do — their DuckDB replay
+    hard-codes the plane set).
 
-        max_bucket, dropped_b, dropped_r = _fit_cap_stats(
-            sizes, "_n", max_bucket, max_total_pairs,
+    ``max_total_pairs`` stays as the backstop: it bounds the VERIFY
+    volume, not just a bucket — hyperplane buckets are skewed, and
+    sub-cap buckets on a 50k-vector corpus at 4 planes summed to ~3e8
+    cosine folds (measured 276 s — 82× the 10%-corpus time). The
+    log2-histogram df-cut (dedup._fit_cap_from_sizes) lowers the
+    effective cap so total pairs fit the budget. ``None`` disables.
+    ``stats_out`` (a caller-supplied dict) receives the chosen layout
+    and the guard's drop counts, so batch jobs can record coverage loss
+    in their own metrics instead of scraping WARNING logs."""
+    if n_planes is None or n_tables is None:
+        n_docs = df.count()
+        auto_p, auto_t = _auto_lsh_layout(
+            n_docs, threshold, target_bucket, recall_target,
+            max_total_pairs=max_total_pairs,
+        )
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
+        logger.info(
+            "embedding_near_duplicates: auto layout n_planes=%d "
+            "n_tables=%d for %d docs (target_bucket=%d, recall>=%.2f "
+            "at cos>=%.2f)",
+            n_planes, n_tables, n_docs, target_bucket, recall_target,
+            threshold,
+        )
+    if stats_out is not None:
+        stats_out.update(
+            {"n_planes": n_planes, "n_tables": n_tables,
+             "bucket_cap": max_bucket,
+             "dropped_buckets": 0, "dropped_rows": 0}
+        )
+    idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
+    if max_total_pairs is not None:
+        from schema_validata_spark.operators.dedup import _fit_cap_stats_rows
+        from pyspark.sql import Window
+
+        # window-count bucket sizes onto the index rows and materialize
+        # ONCE (localCheckpoint — blocks freed on GC, see
+        # dedup._prune_buckets): the budget histogram, the prune filter
+        # and the self-join all read the same blocks instead of
+        # re-running the hyperplane folds per consumer (round-4
+        # guard-overhead fix, was ~0.5 s duplicate work at sf0.1)
+        w = Window.partitionBy("table", "bucket")
+        counted = idx.withColumn(
+            "_n", F.count(F.lit(1)).over(w)
+        ).localCheckpoint(eager=True)
+        max_bucket, dropped_b, dropped_r = _fit_cap_stats_rows(
+            counted, "_n", max_bucket, max_total_pairs,
             label="embedding_near_duplicates",
         )
+        if stats_out is not None:
+            stats_out.update(
+                {"bucket_cap": max_bucket, "dropped_buckets": dropped_b,
+                 "dropped_rows": dropped_r}
+            )
+        if log_drops and dropped_b:
+            logger.warning(
+                "embedding_near_duplicates: guard dropped %d bucket(s) "
+                "/ %d row(s) over max_bucket=%d",
+                dropped_b, dropped_r, max_bucket,
+            )
+        pruned_base = counted.filter(F.col("_n") <= max_bucket).drop("_n")
+    else:
+        sizes = idx.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
         if log_drops:
-            # drop stats rode the budget histogram — skip the second
-            # aggregate job below
-            import logging
-
-            if dropped_b:
-                logging.getLogger(__name__).warning(
+            d = (
+                sizes.filter(F.col("_n") > max_bucket)
+                .agg(F.count(F.lit(1)).alias("b"), F.sum("_n").alias("r"))
+                .collect()[0]
+            )
+            if int(d["b"] or 0) > 0:
+                logger.warning(
                     "embedding_near_duplicates: guard dropped %d bucket(s) "
                     "/ %d row(s) over max_bucket=%d",
-                    dropped_b, dropped_r, max_bucket,
+                    int(d["b"]), int(d["r"] or 0), max_bucket,
                 )
-            log_drops = False
-    if log_drops:
-        import logging
-
-        d = (
-            sizes.filter(F.col("_n") > max_bucket)
-            .agg(F.count(F.lit(1)).alias("b"), F.sum("_n").alias("r"))
-            .collect()[0]
+                if stats_out is not None:
+                    stats_out.update(
+                        {"dropped_buckets": int(d["b"]),
+                         "dropped_rows": int(d["r"] or 0)}
+                    )
+        pruned_base = idx.join(
+            sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+            on=["table", "bucket"],
+            how="left_semi",
         )
-        if int(d["b"] or 0) > 0:
-            logging.getLogger(__name__).warning(
-                "embedding_near_duplicates: guard dropped %d bucket(s) / "
-                "%d row(s) over max_bucket=%d",
-                int(d["b"]), int(d["r"] or 0), max_bucket,
-            )
-    pruned = idx.join(
-        sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
-        on=["table", "bucket"],
-        how="left_semi",
+    pruned = pruned_base.withColumn(
         # norm is a per-DOCUMENT quantity: fold it once per index row
         # (n_tables folds per doc) instead of twice per candidate pair —
         # at 469k pairs from 2k docs that is 938k interpreted folds
         # replaced by 8k. The division below multiplies the two
         # precomputed norms, so cos_sim values are bit-equal to
         # cosine()'s norm(a)*norm(b) (same fold, same order).
-    ).withColumn("_nrm", norm(_as_double_array(F.col("embedding"))))
+        "_nrm", norm(_as_double_array(F.col("embedding")))
+    )
     l = pruned.alias("l")
     r = pruned.alias("r")
     pairs = (

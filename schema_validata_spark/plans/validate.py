@@ -24,6 +24,7 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from schema_validata_spark.operators.duplicates import (
     duplicate_counts_for_columns,
@@ -154,6 +155,7 @@ def validate_table(
     list_errors: bool = True,
     ignore: tuple[str, ...] = DEFAULT_IGNORE,
     enumerate_dups: bool = True,
+    max_partition_values: int | None = 100_000,
 ) -> TableValidation:
     """Stages A–D for one table.
 
@@ -165,6 +167,15 @@ def validate_table(
     back to the distinct-excess formula) — used by
     ``validate_tables_fused``, whose GLOBAL unique verdicts over the
     sheet union are discarded and recomputed per sheet.
+
+    ``max_partition_values`` guards the rollup ``collect()``: the design
+    assumes a LOW-cardinality partition column (lang, status, date) — one
+    driver row per value. A caller passing e.g. the document id would
+    collect the whole table; a cheap single-column
+    ``approx_count_distinct`` pre-check fails fast with a clear message
+    instead (HLL error is irrelevant here — the bound is an order-of-
+    magnitude sanity gate, not a correctness decision). ``None``
+    disables for callers who know their column.
     """
     spec_cols = [c for c in spec.column_names if c in df.columns]
     # Stage A: single-pass stats. With a partition column, ONE rollup scan
@@ -201,6 +212,18 @@ def validate_table(
     dtypes = dict(df.dtypes)
     part_stats = None
     counts_by_part: dict = {}
+    if partition_col is not None and max_partition_values is not None:
+        est = df.agg(
+            F.approx_count_distinct(partition_col).alias("_n")
+        ).collect()[0]["_n"]
+        if est > max_partition_values:
+            raise ValueError(
+                f"partition_col={partition_col!r} has ~{est} distinct "
+                f"values (> max_partition_values={max_partition_values}); "
+                "per-partition verdicts collect one driver row per value "
+                "— pick a low-cardinality partition column or raise/"
+                "disable max_partition_values"
+            )
     if partition_col is not None:
         rollup = stats_rollup_df(
             df, partition_col, spec_cols,

@@ -103,6 +103,28 @@ def _spark_csv_encoding(path: str) -> str:
         if enc == "utf-32":
             return "UTF-32LE" if head.startswith(b"\xff\xfe\x00\x00") else "UTF-32BE"
         return "UTF-16LE" if head.startswith(b"\xff\xfe") else "UTF-16BE"
+    if enc == "windows-1252":
+        # Spark's CSV reader has no cp1252 charset; the ISO-8859-1
+        # superset-by-position substitution is byte-identical EXCEPT
+        # 0x80–9F (curly quotes, en/em dash, €, …) which decode as C1
+        # controls. Silent per-file corruption is worse than the
+        # substitution itself — when the sample actually contains those
+        # bytes, say so (per-file, with a count) so the run log shows
+        # exactly which inputs carried mojibake into verdicts.
+        with open(path, "rb") as f:
+            sample = f.read(1 << 20)
+        n_c1 = sum(1 for b in sample if 0x80 <= b <= 0x9F)
+        if n_c1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: sniffed windows-1252 but Spark reads it as "
+                "ISO-8859-1; %d byte(s) in 0x80-9F in the first 1MB "
+                "will decode as C1 control chars (curly quotes/dashes/"
+                "euro become \\x80-\\x9f). Re-encode the file to UTF-8 "
+                "or read it driver-side (load_spec_csv) for exact cp1252.",
+                path, n_c1,
+            )
     return _java_charset(enc)
 
 

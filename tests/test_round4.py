@@ -1,0 +1,219 @@
+"""Round-4 fixes: quota_sample auto-salt, validate_table partition-col
+cardinality guard, sqltools placeholder collisions, embedding LSH
+auto-layout + stats surfacing, prune-bucket checkpoint equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- quota_sample auto-salt
+
+def test_quota_sample_auto_salts_wide_input(spark):
+    """A wide input (many partitions) gets the two-phase salted plan
+    WITHOUT the caller opting in — two Window nodes in the physical
+    plan; a narrow input keeps the single-window form."""
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("lang"), F.col("id").alias("doc_id")
+    )
+    wide = df.repartition(64)
+    plan = quota_sample(wide, "lang", 5, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # "Window [row_number" counts the actual Window operator nodes
+    # (a bare "Window" also matches WindowGroupLimit)
+    assert plan.count("Window [row_number") == 2, plan
+    assert "__salt" in plan
+    narrow = df.coalesce(2)
+    plan1 = quota_sample(narrow, "lang", 5, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan1.count("Window [row_number") == 1, plan1
+    assert "__salt" not in plan1
+
+
+def test_quota_sample_auto_equals_unsalted(spark):
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    df = spark.range(3000).select(
+        (F.col("id") % 4).alias("lang"), F.col("id").alias("doc_id")
+    ).repartition(64)
+    auto = sorted(
+        (r["lang"], r["doc_id"])
+        for r in quota_sample(df, "lang", 7, "doc_id").collect()
+    )
+    plain = sorted(
+        (r["lang"], r["doc_id"])
+        for r in quota_sample(
+            df, "lang", 7, "doc_id", salt_partitions=None
+        ).collect()
+    )
+    assert auto == plain and len(auto) == 28
+
+
+# ------------------------------------- validate_table partition guard
+
+def test_validate_table_rejects_high_cardinality_partition(spark):
+    from schema_validata_spark.plans.validate import validate_table
+    from schema_validata_spark.sources.spec import ColumnSpec, TableSpec
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    spec = TableSpec(
+        name="t",
+        columns=(ColumnSpec(field_name="v", allow_null=False),),
+    )
+    with pytest.raises(ValueError, match="max_partition_values"):
+        validate_table(
+            df, spec, key_cols=["k"], partition_col="k",
+            max_partition_values=100,
+        )
+    # low-cardinality column passes the same gate
+    tv = validate_table(
+        df, spec, key_cols=["k"], partition_col="v",
+        max_partition_values=100,
+    )
+    assert tv.verdicts
+
+
+# --------------------------------------------- sqltools placeholders
+
+def test_sub_quoted_skips_identifier_spelled_like_placeholder():
+    from schema_validata_spark.functions.sqltools import _sub_quoted, _unsub
+
+    sql = "SELECT _q0_, `my col` FROM t WHERE _q0_ > 1"
+    s, qmap = _sub_quoted(sql)
+    assert len(s) == len(sql)
+    # the genuine _q0_ column must not be a generated placeholder key
+    assert "_q0_" not in qmap
+    assert _unsub("_q0_", qmap) == "_q0_"
+    # the quoted name still round-trips
+    tok = next(k for k, v in qmap.items() if v == "my col")
+    assert tok in s
+
+
+def test_sub_quoted_short_names_get_distinct_placeholders():
+    from schema_validata_spark.functions.sqltools import _sub_quoted
+
+    sql = "SELECT `a`, `b`, `c` FROM t"
+    s, qmap = _sub_quoted(sql)
+    assert len(s) == len(sql)
+    assert sorted(qmap.values()) == ["a", "b", "c"]
+    assert len(qmap) == 3  # no mapping entry overwritten
+
+
+# ------------------------------------------- embedding LSH auto-layout
+
+def test_auto_lsh_layout_scales_with_corpus():
+    from schema_validata_spark.operators.similarity import _auto_lsh_layout
+
+    p_small, t_small = _auto_lsh_layout(1000, 0.95)
+    p_big, t_big = _auto_lsh_layout(1_000_000, 0.95)
+    assert p_big > p_small
+    assert 4 <= p_small <= 24 and 4 <= p_big <= 24
+    assert 1 <= t_small <= 32 and 1 <= t_big <= 32
+    # more planes -> smaller per-table recall -> needs >= as many tables
+    assert t_big >= t_small
+    # degenerate thresholds don't blow up
+    assert _auto_lsh_layout(0, 1.0)[1] == 1
+    assert _auto_lsh_layout(10**12, -1.0)[0] == 24
+
+
+def test_embedding_near_dups_stats_out_and_auto(spark):
+    import random
+
+    from schema_validata_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(400):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i < 30:  # planted exact duplicates
+            rows.append((10_000 + i, list(v)))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    stats: dict = {}
+    pairs = embedding_near_duplicates(
+        df, "embedding", "vec_id", dim=dim, threshold=0.99,
+        stats_out=stats,
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    planted = {(i, 10_000 + i) for i in range(30)}
+    assert planted <= got
+    assert stats["n_planes"] >= 4 and stats["n_tables"] >= 1
+    assert "dropped_rows" in stats and stats["dropped_rows"] == 0
+
+
+def test_embedding_auto_recall_not_worse_than_fixed(spark):
+    """Planted near-dup recall with the auto layout >= a deliberately
+    under-planed fixed layout under the same tight pair budget — the
+    round-3 failure mode (guard truncating recall because the plane
+    count ignored corpus size)."""
+    import random
+
+    from schema_validata_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(4000):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i < 100:
+            rows.append((100_000 + i, list(v)))
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).repartition(8).persist()
+    df.count()
+    planted = {(i, 100_000 + i) for i in range(100)}
+    budget = 40_000
+
+    def recall(**kw):
+        got = {
+            (r["id1"], r["id2"])
+            for r in embedding_near_duplicates(
+                df, "embedding", "vec_id", dim=dim, threshold=0.99,
+                max_total_pairs=budget, **kw,
+            ).collect()
+        }
+        return len(got & planted) / len(planted)
+
+    r_fixed = recall(n_planes=2, n_tables=2)
+    r_auto = recall()
+    df.unpersist()
+    assert r_auto >= r_fixed
+    assert r_auto >= 0.95
+
+
+# --------------------------------- prune-buckets checkpoint equivalence
+
+def test_budgeted_prune_equals_unbudgeted_when_budget_large(spark):
+    """The localCheckpoint budget path must produce the same pairs as
+    the pure-lineage path when the budget is not binding."""
+    from schema_validata_spark.operators.dedup import shingle_jaccard_pairs
+
+    docs = [
+        (i, f"the quick brown fox jumps over dog {i % 5} again and again")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    a = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in shingle_jaccard_pairs(
+            df, "text", "doc_id", k=3, max_total_pairs=None
+        ).collect()
+    )
+    b = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in shingle_jaccard_pairs(
+            df, "text", "doc_id", k=3, max_total_pairs=10_000_000
+        ).collect()
+    )
+    assert a == b and len(a) > 0
