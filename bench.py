@@ -25,6 +25,23 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (scripts/make_sf1.py, 10×) needs more execution memory for the
 # dedup/posting joins — override without editing the committed config
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+# hypervisor-steal taint threshold for a timed draw (percent of CPU time
+# stolen DURING the draw). Idle-probe steal reads 0 on this host even
+# when loaded steal hits 4-17% — measuring around the loaded section is
+# the only honest protocol (BASELINE.md round-3 findings).
+STEAL_TAINT_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_TAINT_PCT", "2.0"))
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line. Returns (0, 0) where /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def main() -> None:
@@ -122,19 +139,43 @@ def main() -> None:
         ).count(),
     }
 
-    # Untimed warmup of each EXACT query: local-mode codegen/JIT
-    # compilation is single-threaded and plan-shape-specific (a sampled
-    # warmup compiles a different generated class), and a cluster
-    # amortizes it across long-lived executors. Timings below measure
-    # steady-state operator cost.
-    for fn in benches.values():
-        fn()
-
-    times: dict[str, float] = {}
+    # Untimed-in-the-headline warmup of each EXACT query: local-mode
+    # codegen/JIT compilation is single-threaded and plan-shape-specific
+    # (a sampled warmup compiles a different generated class), and a
+    # cluster amortizes it across long-lived executors. Timings below
+    # measure steady-state operator cost — but the warmup pass IS timed
+    # separately and reported as cold_* so the warm/cold delta is on
+    # record (round-3 verdict ask).
+    cold_times: dict[str, float] = {}
     for name, fn in benches.items():
         t0 = time.time()
         fn()
-        times[name] = round(time.time() - t0, 3)
+        cold_times[name] = round(time.time() - t0, 3)
+
+    def timed_draw() -> tuple[dict[str, float], float]:
+        """One full timed pass plus the hypervisor steal%% measured
+        around it (steal must be sampled UNDER the load — an idle probe
+        reads zero on this host even in 4-17%% steal windows)."""
+        tj0, sj0 = _cpu_times()
+        draw: dict[str, float] = {}
+        for name, fn in benches.items():
+            t0 = time.time()
+            fn()
+            draw[name] = round(time.time() - t0, 3)
+        tj1, sj1 = _cpu_times()
+        dt = tj1 - tj0
+        steal = round(100.0 * (sj1 - sj0) / dt, 2) if dt > 0 else 0.0
+        return draw, steal
+
+    times, steal_pct = timed_draw()
+    retried = False
+    if steal_pct > STEAL_TAINT_PCT:
+        # one auto-retry on a stolen window; keep the quieter draw
+        retry_times, retry_steal = timed_draw()
+        retried = True
+        if retry_steal < steal_pct:
+            times, steal_pct = retry_times, retry_steal
+    tainted = steal_pct > STEAL_TAINT_PCT
 
     total = round(sum(times.values()), 3)
     # constraint evaluations: verdict rules × rows for the flagship table
@@ -156,6 +197,11 @@ def main() -> None:
                 "extras": {
                     "validated_constraint_evals_per_sec": rows_per_sec,
                     "cpus": CPUS,
+                    "steal_pct": steal_pct,
+                    "tainted": tainted,
+                    "retried": retried,
+                    "cold_total_sec": round(sum(cold_times.values()), 3),
+                    "cold_queries": cold_times,
                 },
             }
         )
