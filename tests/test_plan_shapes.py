@@ -1,0 +1,121 @@
+"""Golden physical-plan shapes for the flagship operators (round-4).
+
+PLANS.md documents the audited shapes in prose; these tests pin them so
+a future change can't silently regress a plan: violations = one scan /
+zero shuffles with a pruned ReadSchema, FK = broadcast LeftAnti with
+IsNotNull pushed to the fact scan, Stage A = exactly one exchange of
+partial rows, ANN top-k = TakeOrderedAndProject (no global sort
+shuffle), banded near-dup = a hash join (never a nested-loop/cartesian
+candidate product).
+
+Parquet-backed inputs are required: RDD-backed createDataFrame frames
+report unknown plan statistics (no broadcast gating) and have no scan
+node to push filters into — the sf0.001 driver testdata is the fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    """Explain string. ``formatted`` prints every node TWICE (tree +
+    details section) — count node occurrences on ``simple`` mode and
+    read scan details (ReadSchema/PushedFilters) from ``formatted``."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_extract_violations_one_scan_zero_shuffles(spark):
+    from __spark_entry__ import ORDERS_SPEC, _FAILED_PAIRS
+    from schema_validata_spark.operators.violations import extract_violations
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    viol = extract_violations(orders, ORDERS_SPEC, ["o_orderkey"], _FAILED_PAIRS)
+    tree = _plan(viol, "simple")
+    plan = _plan(viol)
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    # fused CASE-WHEN hit array explodes once per row
+    assert "Generate" in tree, tree
+    # column pruning: the scan must NOT read columns no failed rule
+    # references (orders has 9 columns; o_comment/o_clerk are unused)
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "o_comment" not in read_schema, read_schema
+    assert "o_clerk" not in read_schema, read_schema
+
+
+def test_fk_violations_broadcast_anti_join_with_pushdown(spark):
+    from schema_validata_spark.operators.integrity import fk_violations
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    fk = fk_violations(
+        orders, customer, ["o_custkey"], ["c_custkey"], ["o_orderkey"]
+    )
+    tree = _plan(fk, "simple")
+    plan = _plan(fk)
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree, tree
+    # NA-key exemption runs inside the fact-side parquet scan
+    assert "PushedFilters" in plan and "IsNotNull(o_custkey)" in plan, plan
+    # dim side reduced to distinct keys before the broadcast
+    assert "HashAggregate" in tree, tree
+    # the only hash exchange is the dim-side distinct (PLANS.md §2:
+    # HashAggregate/Exchange/HashAggregate under the BroadcastExchange);
+    # the fact side itself never shuffles, so the hash exchange must sit
+    # BELOW the broadcast in the tree
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+    assert tree.index("BroadcastExchange") < tree.index(
+        "Exchange hashpartitioning"
+    ), tree
+
+
+def test_stats_agg_single_exchange_partial_agg(spark):
+    from schema_validata_spark.operators.stats import stats_agg_df
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    tree = _plan(stats_agg_df(lineitem), "simple")
+    # partial -> single exchange -> final: the treeAggregate property
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_brute_force_topk_no_global_sort(spark):
+    from schema_validata_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    target = [float(x) for x in emb.limit(1).first()["embedding"]]
+    plan = _plan(brute_force_topk(emb, "embedding", "vec_id", target, topk=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    # per-partition heaps + driver merge — a global sort would shuffle
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_candidates_are_hash_joined_never_nested_loop(spark):
+    from schema_validata_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(
+        minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.5, num_perm=16, bands=4, k=3
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the band-bucket self-join is an equi-join on (band, band_hash)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
