@@ -109,11 +109,18 @@ def stateful_near_dedup_batch(
        trade-off: state stays fixed-size per doc (no text, no shingle
        arrays), so the table grows with EMITTED docs only and the
        estimator's resolution is 1/num_perm.
-    3. Survivors append their (band, band_hash, sig, batch_id) rows to
-       the state table; ``retention_batches`` evicts buckets older than
-       N batches at read time (the watermark analogue — a near-dup of a
-       doc emitted longer ago than the retention is the same documented
-       trade-off as ``dropDuplicatesWithinWatermark``).
+    3. Survivors append their (band, band_hash, sig) rows to the state
+       table, PARTITIONED by ``batch_id``; ``retention_batches`` evicts
+       buckets older than N batches (the watermark analogue — a
+       near-dup of a doc emitted longer ago than the retention is the
+       same documented trade-off as ``dropDuplicatesWithinWatermark``).
+       Eviction is physical, not just read-time: after each append the
+       partition directories older than the retention are DELETED
+       (batch_id is the partition key, so eviction is a directory drop —
+       no rewrite of live state), which bounds the state table's file
+       count and listing cost for the life of the stream, and the
+       read-side ``batch_id`` filters become partition pruning instead
+       of a full scan.
 
     At-least-once safety: candidate lookup reads only state rows with
     ``batch_id < current`` — a REPLAYED batch never matches the rows it
@@ -229,9 +236,37 @@ def stateful_near_dedup_batch(
     kept_state = banded.join(
         kept.select(F.col(id_col).alias("id")), on="id", how="left_semi"
     ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-    kept_state.write.mode("append").parquet(state_dir)
+    kept_state.write.mode("append").partitionBy("batch_id").parquet(state_dir)
+    if retention_batches is not None:
+        _evict_state_partitions(
+            spark, state_dir, int(batch_id) - int(retention_batches)
+        )
     kept._svs_persisted = surv  # wrapper unpersists after the sink
     return kept
+
+
+def _evict_state_partitions(spark, state_dir: str, min_keep_batch: int) -> None:
+    """Delete ``batch_id=<n>`` partition directories with n <
+    ``min_keep_batch``. Hadoop FS API, so any scheme the state dir lives
+    on works (local, HDFS, s3a). foreachBatch serializes batches, so no
+    concurrent reader holds the deleted listings; a crash between append
+    and eviction only leaves extra directories for the NEXT batch's
+    eviction pass — never lost state."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < min_keep_batch:
+            fs.delete(st.getPath(), True)
 
 
 def streaming_near_dedup_stateful(

@@ -169,3 +169,42 @@ def test_replayed_batch_does_not_lose_documents(spark, tmp_path):
         method="minhash", threshold=0.7, num_perm=64, bands=16,
     )
     assert later.collect() == []
+
+
+def test_retention_physically_evicts_partition_dirs(spark, tmp_path):
+    """ADVICE r3: the state table must not grow without bound. With
+    retention set, batch_id partition directories older than the
+    retention are DELETED after each append, bounding file count and
+    listing cost for a long-running stream."""
+    import os
+
+    st = str(tmp_path / "st")
+    batches = [[(10 * i + 1, _doc(200 + i))] for i in range(5)]
+    _run(
+        spark, st, batches,
+        method="minhash", threshold=0.7, num_perm=64, bands=16,
+        retention_batches=2,
+    )
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(st)
+        if d.startswith("batch_id=")
+    )
+    # after batch 4 (min_keep = 4 - 2 = 2) only partitions 2..4 remain
+    assert parts == [2, 3, 4], parts
+
+
+def test_no_retention_keeps_all_state(spark, tmp_path):
+    import os
+
+    st = str(tmp_path / "st")
+    _run(
+        spark, st, [[(i + 1, _doc(300 + i))] for i in range(3)],
+        method="minhash", threshold=0.7, num_perm=64, bands=16,
+    )
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(st)
+        if d.startswith("batch_id=")
+    )
+    assert parts == [0, 1, 2], parts
