@@ -10,10 +10,13 @@ The Spark-side plumbing — schema, partition-preserving ``mapInPandas``
 iteration, Arrow batch shapes, deterministic output schema — is real and
 tested. Codec status: PNG images decode for REAL via the from-scratch
 stdlib codec (sources/png.py — no Pillow in this container, so the
-format is implemented from its public spec, like the xlsx codec), and
-PCM WAV audio decodes for REAL via the stdlib ``wave`` module (header +
-sample-level RMS / zero-crossing stats). Remaining codec work
-(JPEG/WebP decode, mp3/flac audio, video frame extraction) stays
+format is implemented from its public spec, like the xlsx codec), PCM
+WAV audio decodes for REAL via the stdlib ``wave`` module (header +
+sample-level RMS / zero-crossing stats), and JPEG yields REAL header
+metadata — width/height/channels from the SOF frame header
+(sources/jpeg.py, stdlib marker-stream scan) — with only the PIXEL
+stats stubbed (``decode_ok=False``). Remaining codec work
+(JPEG/WebP pixel decode, mp3/flac audio, video frame extraction) stays
 STUBBED: each kernel raises ``NotImplementedError``
 (strict mode) or produces a deterministic fake derived from the payload
 hash (test mode) with the exact schema a real decoder would emit.
@@ -48,6 +51,13 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),     # decoded-pixel stat
         T.StructField("phash", T.LongType()),            # perceptual hash
+        # decode_ok semantics: True = PIXELS were really decoded, so
+        # mean_luma/phash are genuine (PNG via sources/png.py). False =
+        # pixel stats are the deterministic hash-fake; width/height may
+        # STILL be real (JPEG header metadata via sources/jpeg.py) —
+        # dimensions come from the container header, pixel stats need a
+        # codec. Filter on it before trusting luma/phash downstream.
+        T.StructField("decode_ok", T.BooleanType()),
     ]
 )
 
@@ -69,32 +79,54 @@ def _fake_decode_image(payload: bytes) -> dict:
         "height": 64 + h[1] % 64,
         "mean_luma": h[2] / 255.0,
         "phash": int.from_bytes(h[3:11], "big", signed=True),
+        "decode_ok": False,
     }
 
 
 def _decode_image(payload: bytes, strict: bool) -> dict:
     """REAL decode for PNG via the from-scratch stdlib codec
     (sources/png.py): actual width/height, Rec.601 mean luma, and the
-    8×8 average-hash over decoded pixels. Other formats (JPEG/WebP/…)
-    still need an external codec: ``strict=True`` raises; otherwise the
-    deterministic hash-fake stands in (clearly a fake — tests rely on
-    its stability, pipelines on its schema)."""
+    8×8 average-hash over decoded pixels — ``decode_ok=True``. JPEG gets
+    REAL width/height from its marker stream (sources/jpeg.py, SOF
+    frame header — stdlib-only, no pixel decode) with the hash-fake
+    standing in for the pixel stats, ``decode_ok=False``. Other formats
+    (WebP/…): ``strict=True`` raises; otherwise the full deterministic
+    hash-fake stands in (clearly a fake — tests rely on its stability,
+    pipelines on its schema)."""
+    from schema_validata_spark.sources import jpeg as _jpeg
     from schema_validata_spark.sources import png as _png
 
     if _png.is_png(payload):
         try:
             w, h, mode, pixels = _png.decode_png(payload)
             luma, ahash = _png.luma_and_ahash(w, h, mode, pixels)
-            return {"width": w, "height": h, "mean_luma": luma, "phash": ahash}
+            return {
+                "width": w, "height": h, "mean_luma": luma,
+                "phash": ahash, "decode_ok": True,
+            }
         except _png.PNGError:
             if strict:
                 raise
+            return _fake_decode_image(payload)
+    if _jpeg.is_jpeg(payload) and not strict:
+        # header metadata is REAL even without a pixel codec; pixel
+        # stats stay stubbed-honest (decode_ok=False flags them)
+        try:
+            info = _jpeg.jpeg_header_info(payload)
+            fake = _fake_decode_image(payload)
+            return {
+                "width": info["width"], "height": info["height"],
+                "mean_luma": fake["mean_luma"], "phash": fake["phash"],
+                "decode_ok": False,
+            }
+        except _jpeg.JPEGError:
             return _fake_decode_image(payload)
     if strict:
         raise NotImplementedError(
             "non-PNG image decode requires a codec library (not in this "
             "container); PNG decodes natively — run with strict=False "
-            "for the deterministic fake decoder on other formats"
+            "for JPEG header metadata + the deterministic fake decoder "
+            "on other formats"
         )
     return _fake_decode_image(payload)
 
@@ -160,6 +192,9 @@ def image_features(
             out["phash"] = decoded.map(
                 lambda d: None if d is None else d["phash"]
             ).astype("Int64")
+            out["decode_ok"] = decoded.map(
+                lambda d: None if d is None else d["decode_ok"]
+            ).astype("boolean")
             yield out[[f.name for f in out_schema.fields]]
 
     pruned = df.select(*id_cols, payload_col)

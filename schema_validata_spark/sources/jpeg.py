@@ -1,0 +1,86 @@
+"""Stdlib-only JPEG header metadata (no pixel decode).
+
+A full JPEG decoder needs an entropy/DCT codec library that is not in
+this container, but the HEADER is plain marker soup defined by the
+public ITU-T T.81 spec: segments are ``FF xx`` markers followed (for
+most markers) by a 2-byte big-endian length that includes itself. The
+frame header (SOF0 baseline, SOF2 progressive, and the other SOFn
+variants) carries ``[precision:1][height:2][width:2][n_components:1]``
+— everything a metadata pipeline needs (dimensions, channel count,
+progressive flag) without decoding a single pixel.
+
+Mirrors ``sources/png.py``'s role for PNG, but deliberately stops at
+the header: ``image_features`` marks JPEG pixel stats as fake/stubbed
+(``decode_ok`` stays False) while returning REAL width/height.
+"""
+
+from __future__ import annotations
+
+
+class JPEGError(ValueError):
+    """Malformed or truncated JPEG marker stream."""
+
+
+#: SOFn markers that carry a frame header. C4 (DHT), C8 (JPG,
+#: reserved) and CC (DAC) sit in the same numeric range but are NOT
+#: frame headers — the classic off-by-marker bug in naive parsers.
+_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+#: markers with NO length field: SOI/EOI, restart markers, temp/fill
+_BARE_MARKERS = frozenset({0xD8, 0xD9, 0x01}) | frozenset(range(0xD0, 0xD8))
+#: progressive DCT frames (SOF2/6/10/14)
+_PROGRESSIVE = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
+
+
+def is_jpeg(payload: bytes) -> bool:
+    """SOI magic: every JPEG/JFIF/EXIF stream starts ``FF D8 FF``."""
+    return len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff"
+
+
+def jpeg_header_info(payload: bytes) -> dict:
+    """Scan the marker stream to the first SOFn frame header and return
+    ``{"width", "height", "n_channels", "progressive"}``.
+
+    Raises :class:`JPEGError` on non-JPEG input, truncation before the
+    frame header, or a corrupt segment length. Scanning stops at SOS
+    (``FF DA``) — entropy-coded data follows and a conforming stream
+    puts the frame header before it.
+    """
+    if not is_jpeg(payload):
+        raise JPEGError("not a JPEG (missing FF D8 FF SOI magic)")
+    n = len(payload)
+    i = 2  # past SOI
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise JPEGError(f"expected marker at offset {i}")
+        # fill bytes: consecutive FFs pad before a marker byte
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            break
+        marker = payload[i + 1]
+        i += 2
+        if marker in _BARE_MARKERS:
+            continue
+        if i + 2 > n:
+            raise JPEGError("truncated before segment length")
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        if seg_len < 2 or i + seg_len > n:
+            raise JPEGError(f"corrupt segment length {seg_len} at {i}")
+        if marker in _SOF_MARKERS:
+            if seg_len < 8:
+                raise JPEGError("SOF segment too short")
+            height = int.from_bytes(payload[i + 3 : i + 5], "big")
+            width = int.from_bytes(payload[i + 5 : i + 7], "big")
+            n_components = payload[i + 7]
+            return {
+                "width": width,
+                "height": height,
+                "n_channels": n_components,
+                "progressive": marker in _PROGRESSIVE,
+            }
+        if marker == 0xDA:  # SOS — frame header must have come first
+            raise JPEGError("reached SOS without a SOF frame header")
+        i += seg_len
+    raise JPEGError("no SOF frame header found")

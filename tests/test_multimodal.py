@@ -325,3 +325,83 @@ class TestAudioFeatures:
         }
         assert out[1]["sample_rate"] is not None  # fake substituted
         assert out[2]["content_sha"] is None and out[2]["rms"] is None
+
+
+# ------------------------------------------ JPEG header metadata (r4)
+
+def _mk_jpeg(width: int, height: int, progressive: bool = False,
+             channels: int = 3) -> bytes:
+    """A structurally real JPEG: SOI, APP0/JFIF, DQT, SOF, DHT, SOS,
+    minimal entropy data, EOI — every segment length correct per the
+    public T.81 layout. Pixel data is not decodable garbage, which is
+    the point: the header parser must not need a pixel codec."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(channels)
+    )
+    sof = seg(
+        sof_marker,
+        b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([channels]) + comps,
+    )
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"")
+    sos = seg(0xDA, bytes([channels]) + b"".join(
+        bytes([i + 1, 0]) for i in range(channels)
+    ) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + b"\x12\x34" + b"\xff\xd9"
+
+
+def test_jpeg_header_info_baseline_and_progressive():
+    from schema_validata_spark.sources.jpeg import JPEGError, jpeg_header_info
+
+    info = jpeg_header_info(_mk_jpeg(1920, 1080))
+    assert info == {"width": 1920, "height": 1080, "n_channels": 3,
+                    "progressive": False}
+    info = jpeg_header_info(_mk_jpeg(33, 7, progressive=True, channels=1))
+    assert info == {"width": 33, "height": 7, "n_channels": 1,
+                    "progressive": True}
+    with pytest.raises(JPEGError):
+        jpeg_header_info(b"\x89PNG not a jpeg")
+    with pytest.raises(JPEGError):   # truncated before SOF
+        jpeg_header_info(_mk_jpeg(8, 8)[:10])
+    # DHT (C4) in the SOF numeric range must NOT be taken as a frame
+    from schema_validata_spark.sources.jpeg import _SOF_MARKERS
+
+    assert 0xC4 not in _SOF_MARKERS and 0xCC not in _SOF_MARKERS
+
+
+def test_image_features_jpeg_real_dimensions_fake_pixels(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_mk_jpeg(320, 200))),
+         (2, bytearray(b"not an image at all"))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in
+            image_features(df, "payload", ["id"], strict=False).collect()}
+    # JPEG: REAL header dimensions, pixel stats flagged fake
+    assert rows[1]["width"] == 320 and rows[1]["height"] == 200
+    assert rows[1]["decode_ok"] is False
+    assert rows[1]["mean_luma"] is not None  # deterministic stand-in
+    # unknown format: full fake, also flagged
+    assert rows[2]["decode_ok"] is False
+    # strict still raises for JPEG (no pixel codec available)
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        image_features(df, "payload", ["id"], strict=True).collect()
+
+
+def test_image_features_png_decode_ok_true(spark):
+    from schema_validata_spark.sources.png import encode_png
+
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(2, 2, px, "RGB")))], "id long, payload binary"
+    )
+    row = image_features(df, "payload", ["id"], strict=True).collect()[0]
+    assert row["decode_ok"] is True
+    assert row["width"] == 2 and row["height"] == 2
