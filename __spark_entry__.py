@@ -1496,6 +1496,40 @@ def _dedup_lines_sql() -> str:
     )
 
 
+
+def q_lang_id_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle character-n-gram language ID
+    (operators/langid.py) over planted multilingual docs: each
+    ``doc_id < 220`` carries the held-out sample sentence of
+    ``LANGS[doc_id % 11]`` plus a per-doc numeric suffix (so every
+    document ranks a slightly different gram set). The DuckDB oracle
+    replays the FULL pipeline — profile building from the embedded
+    seed paragraphs, document n-gram ranking, the cross-join-free
+    out-of-place distance, and the argmin — so a hash match proves
+    the whole algorithm end to end, not just the verdicts."""
+    from schema_validata_spark.operators.langid import (
+        LANG_SAMPLES,
+        LANGS,
+        lang_id_ngram,
+    )
+
+    df = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 220
+    )
+    n = len(LANGS)
+    idx = (F.col("doc_id") % n + 1).cast("int")
+    lang_true = F.element_at(F.array(*[F.lit(l) for l in LANGS]), idx)
+    text = F.concat(
+        F.element_at(F.array(*[F.lit(LANG_SAMPLES[l]) for l in LANGS]), idx),
+        F.lit(" "),
+        F.col("doc_id").cast("string"),
+    )
+    base = df.select(
+        "doc_id", lang_true.alias("lang_true"), text.alias("text")
+    )
+    return lang_id_ngram(base, "text", ["doc_id", "lang_true"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1543,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile_documents": q_script_profile_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
         "cc_luhn_documents": q_cc_luhn_documents,
+        "lang_id_ngram_planted": q_lang_id_ngram_planted,
     }
 
 
@@ -2095,6 +2130,92 @@ FROM b GROUP BY "column", bucket
 """
 
 
+
+def _lang_id_ngram_sql() -> str:
+    """Full DuckDB replay of operators/langid.py: seeds → profiles →
+    doc gram ranking → rewritten out-of-place distance → argmin.
+    Generated from the SAME module constants (seeds, samples, N_MAX,
+    TOP_K_*, PENALTY) so the two implementations cannot drift."""
+    from schema_validata_spark.operators.langid import (
+        LANG_SAMPLES,
+        LANG_SEEDS,
+        LANGS,
+        N_MAX,
+        PENALTY,
+        TOP_K_DOC,
+        TOP_K_PROFILE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    n = len(LANGS)
+    rx = r"[ \t\n\r\f]+"
+    lang_case = (
+        f"CASE CAST(doc_id % {n} AS INT) "
+        + " ".join(f"WHEN {i} THEN '{l}'" for i, l in enumerate(LANGS))
+        + " END"
+    )
+    text_case = (
+        f"CASE CAST(doc_id % {n} AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{q(LANG_SAMPLES[l])}'"
+            for i, l in enumerate(LANGS)
+        )
+        + " END"
+    )
+    seed_values = ", ".join(
+        f"('{l}', '{q(LANG_SEEDS[l])}')" for l in LANGS
+    )
+    flat = "flatten([" + ", ".join(
+        f"list_transform(range(1, greatest(length(s) - {k} + 2, 1)), "
+        f"i -> substr(s, i, {k}))"
+        for k in range(1, N_MAX + 1)
+    ) + "])"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {lang_case} AS lang_true,
+         {text_case} || ' ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 220
+),
+dnorm AS (SELECT doc_id, trim(regexp_replace(lower(text), '{rx}', ' ', 'g')) AS s FROM base),
+dgrams AS (SELECT doc_id, unnest({flat}) AS gram FROM dnorm),
+dcounts AS (SELECT doc_id, gram, count(*) AS cnt FROM dgrams GROUP BY 1, 2),
+dranked AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS drank
+  FROM dcounts QUALIFY drank <= {TOP_K_DOC}
+),
+dtop AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS g_n FROM dranked),
+seeds (lang, stext) AS (VALUES {seed_values}),
+pnorm AS (SELECT lang, trim(regexp_replace(lower(stext), '{rx}', ' ', 'g')) AS s FROM seeds),
+pgrams AS (SELECT lang, unnest({flat}) AS gram FROM pnorm),
+pcounts AS (SELECT lang, gram, count(*) AS cnt FROM pgrams GROUP BY 1, 2),
+prof AS (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS prank
+  FROM pcounts QUALIFY prank <= {TOP_K_PROFILE}
+),
+matched AS (
+  SELECT d.doc_id, p.lang, d.g_n, abs(d.drank - p.prank) - {PENALTY} AS adj
+  FROM dtop d JOIN prof p USING (gram)
+),
+scores AS (
+  SELECT doc_id, lang, max(g_n) * {PENALTY} + sum(adj) AS dist
+  FROM matched GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, dist,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+  FROM scores QUALIFY rn = 1
+)
+SELECT b.doc_id, b.lang_true,
+       coalesce(w.lang, 'und') AS lang_pred,
+       CAST(w.dist AS BIGINT) AS oop_distance
+FROM base b LEFT JOIN best w USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -2369,4 +2490,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "script_profile_documents": _script_profile_sql(),
         "dedup_lines_documents": _dedup_lines_sql(),
         "cc_luhn_documents": _cc_luhn_sql(),
+        "lang_id_ngram_planted": _lang_id_ngram_sql(),
     }

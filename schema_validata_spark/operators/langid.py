@@ -1,0 +1,409 @@
+"""Character-n-gram language identification (Cavnar–Trenkle 1994).
+
+The marker-stopword ``text.lang_id`` baseline cannot classify languages
+without whitespace-delimited stopwords (Chinese/Japanese/Korean) and
+covers only four Latin-script languages. This module implements the
+public Cavnar–Trenkle "N-Gram-Based Text Categorization" method: rank a
+document's most frequent character n-grams and compare the ranking
+against per-language profiles with the *out-of-place* distance — the
+language whose profile ordering best matches the document wins.
+
+Why this shape at 100 TB scale
+------------------------------
+Everything is DataFrame-native and bounded per document:
+
+* n-gram extraction is a pure Column expression (``sequence`` +
+  ``transform`` + ``substring`` HOFs — whole-stage codegen, no Python);
+* the per-document profile is one ``groupBy(doc, gram)`` + one
+  ``row_number`` window, and the ``rank ≤ TOP_K_DOC`` filter caps the
+  downstream volume at ≤ ``TOP_K_DOC`` rows per document regardless of
+  document length;
+* language profiles are a tiny static table (n_langs × TOP_K_PROFILE
+  rows) broadcast to every executor — the scoring join never shuffles
+  the corpus side beyond its per-doc top-K rows.
+
+Out-of-place distance without a doc × language cross join
+---------------------------------------------------------
+Classic C–T: ``dist(doc, L) = Σ_{g ∈ doc grams} penalty(g)`` where
+``penalty(g) = |rank_doc(g) − rank_L(g)|`` if ``g`` is in L's profile,
+else the constant ``PENALTY``. Rewriting over only the MATCHED grams:
+
+    dist(doc, L) = n_doc_grams · PENALTY
+                   + Σ_{matched g} (|rank_doc(g) − rank_L(g)| − PENALTY)
+
+Each matched term is strictly negative whenever
+``max(TOP_K_DOC, TOP_K_PROFILE) − 1 < PENALTY`` (guaranteed by the
+module constants), so the winner always has ≥ 1 matched gram and
+languages with zero matches never need materializing — one broadcast
+inner join on ``gram`` replaces the doc × language cross join. A
+document matching NO profile gram at all classifies ``'und'``.
+
+Profiles are built at import time from the embedded seed paragraphs
+below (original text written for this engine; the METHOD is the
+published public algorithm). ``LANG_SAMPLES`` holds held-out sentences
+— never used for profile building — for accuracy tests and the planted
+oracle query.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: n-gram sizes extracted from documents and profiles (1..N_MAX chars).
+#: 4-grams are load-bearing: they capture whole function words with
+#: their flanking spaces (' the', 'der ', ' les') — the signal the
+#: published method leans on to separate related languages.
+N_MAX = 4
+#: ranks kept per language profile (the published method's 300)
+TOP_K_PROFILE = 300
+#: ranks kept per document profile
+TOP_K_DOC = 200
+#: out-of-place penalty for a doc gram absent from a language profile.
+#: MUST exceed max(TOP_K_DOC, TOP_K_PROFILE) − 1 so every matched gram
+#: strictly lowers the rewritten distance (see module docstring).
+PENALTY = TOP_K_PROFILE
+
+# Seed paragraphs (profile training text), one per language. Held-out
+# sample sentences (LANG_SAMPLES) are deliberately different text.
+LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "The old house stood at the end of the road, and every morning "
+        "the children walked past it on their way to school. It was a "
+        "quiet place where nothing much ever happened, but the people "
+        "who lived there knew the value of good neighbours and honest "
+        "work. In the evening the lamps were lit and the smell of fresh "
+        "bread drifted through the windows."
+            " When the rain finally stopped, we carried the boxes down to"
+        " the river and waited for the boat. My grandmother used to "
+        "say that patience was worth more than silver, and on that "
+        "cold afternoon I began to understand what she meant. There "
+        "is always another road, she said, and those who keep walking"
+        " will find it."
+    ),
+    "de": (
+        "Das alte Haus stand am Ende der Straße, und jeden Morgen "
+        "gingen die Kinder auf ihrem Weg zur Schule daran vorbei. Es "
+        "war ein ruhiger Ort, an dem selten etwas geschah, aber die "
+        "Menschen dort kannten den Wert guter Nachbarn und ehrlicher "
+        "Arbeit. Am Abend wurden die Lampen angezündet und der Duft "
+        "von frischem Brot zog durch die Fenster."
+            " Als der Regen endlich aufhörte, trugen wir die Kisten "
+        "hinunter zum Fluss und warteten auf das Boot. Meine "
+        "Großmutter sagte immer, dass Geduld mehr wert sei als "
+        "Silber, und an jenem kalten Nachmittag begann ich zu "
+        "verstehen, was sie meinte. Es gibt immer einen anderen Weg, "
+        "sagte sie, und wer weitergeht, wird ihn finden."
+    ),
+    "fr": (
+        "La vieille maison se trouvait au bout de la route, et chaque "
+        "matin les enfants passaient devant elle en allant à l'école. "
+        "C'était un endroit tranquille où il ne se passait presque "
+        "rien, mais les gens qui y vivaient connaissaient la valeur "
+        "des bons voisins et du travail honnête. Le soir, on allumait "
+        "les lampes et l'odeur du pain frais passait par les fenêtres."
+            " Quand la pluie s'est enfin arrêtée, nous avons porté les "
+        "caisses jusqu'à la rivière et nous avons attendu le bateau. "
+        "Ma grand-mère disait toujours que la patience valait plus "
+        "que l'argent, et cet après-midi-là, dans le froid, j'ai "
+        "commencé à comprendre ce qu'elle voulait dire. Il y a "
+        "toujours un autre chemin, disait-elle, et celui qui continue"
+        " de marcher finira par le trouver."
+    ),
+    "es": (
+        "La vieja casa estaba al final del camino, y cada mañana los "
+        "niños pasaban delante de ella camino de la escuela. Era un "
+        "lugar tranquilo donde casi nunca pasaba nada, pero la gente "
+        "que vivía allí conocía el valor de los buenos vecinos y del "
+        "trabajo honrado. Por la tarde se encendían las lámparas y el "
+        "olor del pan recién hecho entraba por las ventanas."
+            " Cuando por fin dejó de llover, llevamos las cajas hasta el "
+        "río y esperamos el barco. Mi abuela siempre decía que la "
+        "paciencia valía más que la plata, y aquella tarde fría "
+        "empecé a entender lo que quería decir. Siempre hay otro "
+        "camino, decía, y quien sigue andando acabará por "
+        "encontrarlo."
+    ),
+    "it": (
+        "La vecchia casa si trovava alla fine della strada, e ogni "
+        "mattina i bambini le passavano davanti andando a scuola. Era "
+        "un luogo tranquillo dove non succedeva quasi mai niente, ma "
+        "la gente che ci viveva conosceva il valore dei buoni vicini e "
+        "del lavoro onesto. La sera si accendevano le lampade e il "
+        "profumo del pane fresco usciva dalle finestre."
+            " Quando finalmente smise di piovere, portammo le casse giù "
+        "al fiume e aspettammo la barca. Mia nonna diceva sempre che "
+        "la pazienza valeva più dell'argento, e in quel freddo "
+        "pomeriggio cominciai a capire che cosa volesse dire. C'è "
+        "sempre un'altra strada, diceva, e chi continua a camminare "
+        "finirà per trovarla."
+    ),
+    "pt": (
+        "A velha casa ficava no fim da estrada, e todas as manhãs as "
+        "crianças passavam por ela a caminho da escola. Era um lugar "
+        "tranquilo onde quase nunca acontecia nada, mas as pessoas que "
+        "ali viviam conheciam o valor dos bons vizinhos e do trabalho "
+        "honesto. À noite acendiam-se as lâmpadas e o cheiro do pão "
+        "fresco entrava pelas janelas."
+            " Quando a chuva finalmente parou, levámos as caixas até ao "
+        "rio e esperámos pelo barco. A minha avó dizia sempre que a "
+        "paciência valia mais do que a prata, e naquela tarde fria "
+        "comecei a perceber o que ela queria dizer. Há sempre outro "
+        "caminho, dizia ela, e quem continua a andar acabará por "
+        "encontrá-lo."
+    ),
+    "nl": (
+        "Het oude huis stond aan het einde van de weg, en elke ochtend "
+        "liepen de kinderen erlangs op weg naar school. Het was een "
+        "rustige plek waar zelden iets gebeurde, maar de mensen die er "
+        "woonden kenden de waarde van goede buren en eerlijk werk. In "
+        "de avond gingen de lampen aan en de geur van vers brood dreef "
+        "door de ramen."
+            " Toen de regen eindelijk ophield, droegen we de dozen naar "
+        "de rivier en wachtten we op de boot. Mijn grootmoeder zei "
+        "altijd dat geduld meer waard was dan zilver, en op die koude"
+        " middag begon ik te begrijpen wat ze bedoelde. Er is altijd "
+        "een andere weg, zei ze, en wie blijft lopen zal hem vinden."
+    ),
+    "ru": (
+        "Старый дом стоял в конце дороги, и каждое утро дети проходили "
+        "мимо него по пути в школу. Это было тихое место, где почти "
+        "ничего не происходило, но люди, которые там жили, знали цену "
+        "добрым соседям и честному труду. Вечером зажигались лампы, и "
+        "запах свежего хлеба доносился из окон."
+            " Когда дождь наконец прекратился, мы отнесли ящики вниз к "
+        "реке и стали ждать лодку. Моя бабушка всегда говорила, что "
+        "терпение дороже серебра, и в тот холодный день я начал "
+        "понимать, что она имела в виду. Всегда есть другая дорога, "
+        "говорила она, и тот, кто продолжает идти, обязательно её "
+        "найдёт."
+    ),
+    "zh": (
+        "老房子坐落在路的尽头，每天早晨孩子们上学都会从它面前经过。"
+        "那是一个安静的地方，几乎没有发生过什么事，但住在那里的人们"
+        "懂得好邻居和诚实劳动的价值。傍晚时分灯亮了，新鲜面包的香气"
+        "从窗户里飘出来。"
+            " 雨终于停了，我们把箱子搬到河边，等着那条船。我的祖母常常说，耐心比银子更值钱，在那个寒冷的下午，我开始明白她的意思。她"
+        "说，路总是有的，只要继续走下去，就一定能找到。"
+    ),
+    "ja": (
+        "古い家は道の突き当たりに建っていて、毎朝子供たちは学校へ行く"
+        "途中にその前を通った。そこはほとんど何も起こらない静かな場所"
+        "だったが、住んでいる人々は良い隣人と正直な仕事の価値を知って"
+        "いた。夕方になると明かりがともり、焼きたてのパンの香りが窓か"
+        "ら漂ってきた。"
+            " 雨がやっと上がると、私たちは箱を川まで運び、船を待った。祖母はいつも、辛抱は銀よりも値打ちがあると言っていた。あの寒い"
+        "午後、私はその言葉の意味が分かり始めた。道はいつでもある、歩き続ける者がそれを見つけるのだと、祖母は言った。"
+    ),
+    "ko": (
+        "오래된 집은 길 끝에 서 있었고, 아이들은 매일 아침 학교 가는 "
+        "길에 그 앞을 지나갔다. 그곳은 거의 아무 일도 일어나지 않는 "
+        "조용한 곳이었지만, 그곳에 사는 사람들은 좋은 이웃과 정직한 "
+        "일의 가치를 알고 있었다. 저녁이 되면 등불이 켜지고 갓 구운 "
+        "빵 냄새가 창문으로 흘러나왔다."
+            " 비가 마침내 그치자 우리는 상자를 강가로 옮기고 배를 기다렸다. 할머니는 늘 인내가 은보다 값지다고 "
+        "말씀하셨고, 그 추운 오후에 나는 그 말의 뜻을 이해하기 시작했다. 길은 언제나 있으며, 계속 걸어가는 "
+        "사람이 그 길을 찾는다고 할머니는 말씀하셨다."
+    ),
+}
+
+#: held-out sentences — NOT used for profiles; tests + planted oracle
+LANG_SAMPLES: dict[str, str] = {
+    "en": (
+        "She opened the letter slowly and read the news with a growing "
+        "smile, because after all these years her brother was finally "
+        "coming home for the winter holidays."
+    ),
+    "de": (
+        "Sie öffnete den Brief langsam und las die Nachricht mit einem "
+        "wachsenden Lächeln, denn nach all den Jahren kam ihr Bruder "
+        "endlich für die Wintertage nach Hause."
+    ),
+    "fr": (
+        "Elle ouvrit la lettre lentement et lut la nouvelle avec un "
+        "sourire grandissant, car après toutes ces années son frère "
+        "revenait enfin à la maison pour les vacances d'hiver."
+    ),
+    "es": (
+        "Ella abrió la carta despacio y leyó la noticia con una "
+        "sonrisa creciente, porque después de tantos años su hermano "
+        "por fin volvía a casa para las fiestas de invierno."
+    ),
+    "it": (
+        "Lei aprì la lettera lentamente e lesse la notizia con un "
+        "sorriso crescente, perché dopo tanti anni suo fratello "
+        "tornava finalmente a casa per le feste d'inverno."
+    ),
+    "pt": (
+        "Ela abriu a carta devagar e leu a notícia com um sorriso "
+        "crescente, porque depois de tantos anos o irmão voltava "
+        "finalmente para casa para as festas de inverno."
+    ),
+    "nl": (
+        "Ze opende de brief langzaam en las het nieuws met een "
+        "groeiende glimlach, want na al die jaren kwam haar broer "
+        "eindelijk naar huis voor de winterdagen."
+    ),
+    "ru": (
+        "Она медленно открыла письмо и прочитала новость с растущей "
+        "улыбкой, потому что после стольких лет её брат наконец "
+        "возвращался домой на зимние праздники."
+    ),
+    "zh": (
+        "她慢慢打开信，带着越来越多的笑容读着这个消息，因为这么多年"
+        "以后她的哥哥终于要回家过冬了。"
+    ),
+    "ja": (
+        "彼女はゆっくりと手紙を開き、笑顔を浮かべながらその知らせを"
+        "読んだ。長い年月を経て、兄がついに冬の休みに家へ帰ってくる"
+        "のだ。"
+    ),
+    "ko": (
+        "그녀는 천천히 편지를 열고 점점 커지는 미소로 그 소식을 "
+        "읽었다. 오랜 세월이 지나 드디어 오빠가 겨울 방학에 집으로 "
+        "돌아오기 때문이다."
+    ),
+}
+
+#: stable language order (lexicographic) — planted queries key on it
+LANGS: tuple[str, ...] = tuple(sorted(LANG_SEEDS))
+
+
+def _normalize_py(text: str) -> str:
+    """Driver-side twin of :func:`normalize_col` — MUST match the Column
+    expression (and the DuckDB oracle) byte for byte: lower →
+    collapse ASCII whitespace runs to one space → trim. ``[ \\t\\n\\r\\f]``
+    not ``\\s`` because Java/RE2 ``\\s`` is ASCII-only while Python's is
+    Unicode-wide; the explicit class behaves identically in all three
+    engines."""
+    return re.sub(r"[ \t\n\r\f]+", " ", text.lower()).strip()
+
+
+def _char_ngrams_py(text: str, n_max: int = N_MAX) -> list[str]:
+    s = _normalize_py(text)
+    out: list[str] = []
+    for n in range(1, n_max + 1):
+        out.extend(s[i : i + n] for i in range(len(s) - n + 1))
+    return out
+
+
+def _rank_grams(grams: list[str], top_k: int) -> list[tuple[str, int]]:
+    """(gram, rank) with rank 1..top_k by (count desc, gram asc) — the
+    same total order the engine's ``row_number`` window and the DuckDB
+    oracle use, so all three rankings agree exactly."""
+    counts: dict[str, int] = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(g, i + 1) for i, (g, _) in enumerate(ordered[:top_k])]
+
+
+@lru_cache(maxsize=None)
+def profile_rows() -> tuple[tuple[str, str, int], ...]:
+    """(lang, gram, rank) for every language profile — deterministic,
+    built once per process from the embedded seeds."""
+    rows: list[tuple[str, str, int]] = []
+    for lang in LANGS:
+        for gram, rank in _rank_grams(
+            _char_ngrams_py(LANG_SEEDS[lang]), TOP_K_PROFILE
+        ):
+            rows.append((lang, gram, rank))
+    return tuple(rows)
+
+
+def normalize_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f]+", " "))
+
+
+def _gram_at(s: Column, n: int):
+    """Single-arg lambda factory — PySpark HOFs infer the SQL lambda
+    arity from the Python signature, so a default-arg ``_n=n`` closure
+    would be called as the TWO-arg (element, index) form and silently
+    bind ``n`` to the array index (same trap as text._isin_filter)."""
+    return lambda i: F.substring(s, i, n)
+
+
+def char_ngrams(col: Column | str, n_max: int = N_MAX) -> Column:
+    """All 1..n_max character n-grams of the normalized text, one flat
+    ``array<string>`` — pure HOF expression. ``sequence`` needs the
+    short-text guard: ``sequence(1, 0)`` yields the DESCENDING ``[1,0]``
+    (step auto-inference), not an empty array."""
+    s = normalize_col(col)
+    ln = F.length(s)
+    parts = []
+    for n in range(1, n_max + 1):
+        idx = F.when(
+            ln >= n, F.sequence(F.lit(1), ln - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        parts.append(F.transform(idx, _gram_at(s, n)))
+    return F.flatten(F.array(*parts))
+
+
+def lang_profile_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(profile_rows()), "lang string, gram string, prank int"
+    )
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    top_k_doc: int = TOP_K_DOC,
+) -> DataFrame:
+    """Classify each row's ``text_col``: returns ``id_cols`` +
+    ``lang_pred`` (``'und'`` when no document gram appears in any
+    profile) + ``oop_distance`` (null for ``'und'``).
+
+    Plan shape (see module docstring for the cross-join-free distance):
+    one shuffle on ``(id, gram)`` for doc-gram counts, one on ``id``
+    for the ranking window (the ``rank ≤ top_k_doc`` cut caps later
+    stages at ≤ top_k_doc rows/doc), a broadcast join against the
+    static profile table, one ``(id, lang)`` aggregate, one ``id``
+    min-struct aggregate, and a final left join back to the id set so
+    profile-less documents still emit a row.
+    """
+    assert top_k_doc <= PENALTY, "penalty must dominate doc ranks"
+    spark = df.sparkSession
+    ids = [F.col(c) for c in id_cols]
+
+    grams = df.select(*ids, F.explode(char_ngrams(text_col)).alias("gram"))
+    counts = grams.groupBy(*id_cols, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    ranked = counts.withColumn("drank", F.row_number().over(w)).filter(
+        F.col("drank") <= top_k_doc
+    )
+    # g_n rides a count window over the SAME partitioning — Catalyst
+    # reuses the row_number exchange, no extra shuffle
+    ranked = ranked.withColumn(
+        "g_n", F.count(F.lit(1)).over(Window.partitionBy(*id_cols))
+    )
+    matched = ranked.join(
+        F.broadcast(lang_profile_df(spark)), on="gram", how="inner"
+    )
+    scores = matched.groupBy(*id_cols, "lang").agg(
+        (
+            F.max("g_n").cast("long") * F.lit(PENALTY)
+            + F.sum(F.abs(F.col("drank") - F.col("prank")) - F.lit(PENALTY))
+        ).alias("dist")
+    )
+    best = scores.groupBy(*id_cols).agg(
+        F.min(F.struct(F.col("dist"), F.col("lang"))).alias("_b")
+    )
+    return (
+        df.select(*ids)
+        .join(best, on=id_cols, how="left")
+        .select(
+            *ids,
+            F.coalesce(F.col("_b.lang"), F.lit("und")).alias("lang_pred"),
+            F.col("_b.dist").alias("oop_distance"),
+        )
+    )

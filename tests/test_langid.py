@@ -1,0 +1,129 @@
+"""Cavnar–Trenkle character-n-gram language ID (operators/langid.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.langid import (
+    LANG_SAMPLES,
+    LANG_SEEDS,
+    LANGS,
+    PENALTY,
+    TOP_K_DOC,
+    TOP_K_PROFILE,
+    _char_ngrams_py,
+    char_ngrams,
+    lang_id_ngram,
+    profile_rows,
+)
+
+
+def test_profile_invariants():
+    assert PENALTY > max(TOP_K_DOC, TOP_K_PROFILE) - 1
+    rows = profile_rows()
+    by_lang: dict[str, list[tuple[str, int]]] = {}
+    for lang, gram, rank in rows:
+        by_lang.setdefault(lang, []).append((gram, rank))
+    assert set(by_lang) == set(LANGS) == set(LANG_SEEDS) == set(LANG_SAMPLES)
+    for lang, pairs in by_lang.items():
+        ranks = sorted(r for _, r in pairs)
+        assert ranks == list(range(1, len(pairs) + 1)), lang
+        assert len(pairs) <= TOP_K_PROFILE
+        assert len({g for g, _ in pairs}) == len(pairs), lang
+
+
+def test_char_ngrams_matches_python_model(spark):
+    cases = [
+        "",
+        " ",
+        "a",
+        "ab",
+        "abc",
+        "ABC  def\t\nghi ",
+        "École à l'été",
+        "老房子 在路口",
+        "도로 끝에 집",
+        "x" * 3,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    got = {r["i"]: r["g"] for r in df.select("i", char_ngrams("t").alias("g")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == _char_ngrams_py(t), repr(t)
+
+
+def test_heldout_accuracy_beats_marker_baseline(spark):
+    """Held-out sentences (never seen by profile building) must all
+    classify correctly — including the CJK + Cyrillic languages the
+    marker-stopword baseline cannot represent at all."""
+    from schema_validata_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        list(LANG_SAMPLES.items()), "lang_true string, text string"
+    )
+    ngram = {
+        r["lang_true"]: r["lang_pred"]
+        for r in lang_id_ngram(df, "text", ["lang_true"]).collect()
+    }
+    marker = {
+        r["lang_true"]: r["m"]
+        for r in df.select("lang_true", lang_id(F.col("text")).alias("m")).collect()
+    }
+    ngram_acc = sum(ngram[l] == l for l in LANGS)
+    marker_acc = sum(marker[l] == l for l in LANGS)
+    assert ngram_acc == len(LANGS), ngram
+    assert ngram_acc > marker_acc
+    # the whole point: scripts with no whitespace stopwords classify
+    for lang in ("zh", "ja", "ko", "ru"):
+        assert ngram[lang] == lang
+        assert marker[lang] == "und"
+
+
+def test_und_for_profile_less_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t\n "), (3, None), (4, "090990900099")],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in lang_id_ngram(df, "text", ["id"]).collect()}
+    assert len(out) == 4  # every input row emits a verdict
+    for i in (1, 2, 3):
+        assert out[i]["lang_pred"] == "und" and out[i]["oop_distance"] is None
+    # unbroken digit run: grams exist but none (not even the space
+    # 1-gram, which every profile contains) match any profile -> und
+    assert out[4]["lang_pred"] == "und"
+
+
+def test_seed_text_classifies_as_own_language(spark):
+    """Training-text sanity: each seed paragraph is its own nearest
+    profile (if this fails, the distance rewrite is broken)."""
+    df = spark.createDataFrame(
+        list(LANG_SEEDS.items()), "lang_true string, text string"
+    )
+    out = {
+        r["lang_true"]: r["lang_pred"]
+        for r in lang_id_ngram(df, "text", ["lang_true"]).collect()
+    }
+    assert all(out[l] == l for l in LANGS), out
+
+
+def test_plan_broadcasts_profile_and_reuses_rank_exchange(spark):
+    df = spark.createDataFrame(
+        [(i, LANG_SAMPLES[LANGS[i % len(LANGS)]]) for i in range(40)],
+        "id long, text string",
+    )
+    plan = (
+        lang_id_ngram(df, "text", ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the profile join must broadcast the tiny static side, never
+    # shuffle the corpus grams (the final per-doc id join MAY sort-merge
+    # — both of its sides are corpus-sized at scale)
+    assert "BroadcastHashJoin [gram" in plan, plan
+    # the g_n count window rides the row_number window's exchange:
+    # two Window nodes, NO Exchange between them
+    i = plan.index("Window [")
+    j = plan.index("Window [", i + 1)
+    assert plan.count("Window [") == 2, plan
+    assert "Exchange" not in plan[i:j], plan[i:j]
+    # the top-k cut plans as WindowGroupLimit (partial + final), so the
+    # rank window never materializes full per-doc gram lists
+    assert "WindowGroupLimit" in plan, plan
