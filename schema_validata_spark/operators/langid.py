@@ -329,18 +329,29 @@ def _gram_at(s: Column, n: int):
 
 def char_ngrams(col: Column | str, n_max: int = N_MAX) -> Column:
     """All 1..n_max character n-grams of the normalized text, one flat
-    ``array<string>`` — pure HOF expression. ``sequence`` needs the
-    short-text guard: ``sequence(1, 0)`` yields the DESCENDING ``[1,0]``
-    (step auto-inference), not an empty array."""
-    s = normalize_col(col)
-    ln = F.length(s)
-    parts = []
-    for n in range(1, n_max + 1):
-        idx = F.when(
-            ln >= n, F.sequence(F.lit(1), ln - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        parts.append(F.transform(idx, _gram_at(s, n)))
-    return F.flatten(F.array(*parts))
+    ``array<string>`` — pure HOF expression. Two traps handled:
+
+    * the normalized string is bound ONCE via the ``transform(array(…),
+      s -> …)`` wrapper (same as text.shingles): HOF lambdas get no
+      common-subexpression elimination, so a bare ``normalize_col``
+      reference inside the per-position lambda re-runs the
+      lower+regexp_replace chain for EVERY gram position — measured
+      ~100× on the scale smoke (225 s → 2.4 s for 20k docs);
+    * ``sequence`` needs the short-text guard: ``sequence(1, 0)``
+      yields the DESCENDING ``[1,0]`` (step auto-inference), not an
+      empty array."""
+
+    def grams(s: Column) -> Column:
+        ln = F.length(s)
+        parts = []
+        for n in range(1, n_max + 1):
+            idx = F.when(
+                ln >= n, F.sequence(F.lit(1), ln - n + 1)
+            ).otherwise(F.array().cast("array<int>"))
+            parts.append(F.transform(idx, _gram_at(s, n)))
+        return F.flatten(F.array(*parts))
+
+    return F.transform(F.array(normalize_col(col)), grams)[0]
 
 
 def lang_profile_df(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,191 @@
+"""Two-size scaling smoke for the content-length-sensitive text /
+curation operators (round-4 VERDICT #5): `script_counts`,
+`dedup_lines`, `cc_counts` (Luhn), `scrub_pii` + `pii_counts`, and the
+round-4 `lang_id_ngram` — the regex/HOF-heavy ops whose cost the sf0.1
+oracle corpus (5k docs) cannot characterize.
+
+Builds a replicated synthetic corpus from the driver's sf0.1
+`documents` table at two sizes (default 200k and 2M docs — 1000× /
+400× the oracle scale) with deterministic planted signal so every
+regex path does real work:
+
+* every 7th doc gets appended PII (email, IPv4, SSN-shaped, phone);
+* every 11th doc gets one Luhn-VALID card number and one card-shaped
+  Luhn-INVALID digit run (both regex candidates, checksum splits them);
+* every 3rd doc has vowels transliterated to Cyrillic and every 5th a
+  CJK+Greek suffix (script_counts exercises every block);
+* every doc gets a repeated line block (dedup_lines actually scrubs).
+
+Each op is timed as one full scan + a one-row aggregate that consumes
+the op's output (so Catalyst cannot prune the work away). Prints one
+JSON line: per-op seconds at both sizes, docs/sec at the big size, and
+`linearity` = (t_big / t_small) / (big_docs / small_docs) — 1.0 is
+perfectly linear, >1 superlinear (bad).
+
+Usage:  python scripts/bench_ops_scale.py [small_docs] [big_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DATA = os.path.join(ROOT, ".benchdata")
+
+
+def build(spark, n_docs: int, src_rows: int) -> str:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(DATA, f"scale_docs_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    replicas = (n_docs + src_rows - 1) // src_rows
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rep = spark.range(replicas).withColumnRenamed("id", "replica")
+    df = (
+        docs.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("replica") * 1_000_000)
+        .filter(F.col("doc_id") % 1_000_000 < F.lit(src_rows))
+        .limit(n_docs)
+    )
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0, F.translate(t, "aeiou", "аеиоу")
+    ).otherwise(t)
+    first_line = F.substring(F.col("text"), 1, 40)
+    t = F.concat_ws(
+        "\n",
+        t,
+        first_line,  # planted duplicate line
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("reach me at user"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit(
+                    "@example.com or 192.168.2.44 or 555-12-3456 "
+                    "or (415) 555-0143"
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("card 4111 1111 1111 1111 ref 1234 5678 9012 3456"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("世界 ακμή 2024")).otherwise(
+            F.lit("")
+        ),
+        first_line,  # second copy -> dedup_lines always removes one
+    )
+    df.select("doc_id", t.alias("text")).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from schema_validata_spark.operators.curation import (
+        cc_counts,
+        pii_counts,
+        scrub_pii,
+    )
+    from schema_validata_spark.operators.langid import lang_id_ngram
+    from schema_validata_spark.operators.text import (
+        SCRIPT_BLOCKS,
+        dedup_lines,
+        script_counts,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-ops-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    src_rows = spark.read.parquet(f"{SRC}/documents.parquet").count()
+
+    def op_script(df):
+        s = script_counts("text").alias("s")
+        return df.select(s).agg(
+            *[F.sum(f"s.{k}").alias(k) for k in SCRIPT_BLOCKS]
+        )
+
+    def op_dedup_lines(df):
+        return df.select(dedup_lines("text").alias("d")).agg(
+            F.sum(F.length("d")).alias("n")
+        )
+
+    def op_cc(df):
+        return df.select(cc_counts("text").alias("c")).agg(
+            F.sum("c.n_cc_candidates").alias("cand"),
+            F.sum("c.n_cc_valid").alias("valid"),
+        )
+
+    def op_pii(df):
+        return df.select(
+            scrub_pii("text").alias("s"), pii_counts("text").alias("p")
+        ).agg(
+            F.sum(F.length("s")).alias("n_chars"),
+            F.sum("p.email").alias("emails"),
+            F.sum("p.phone").alias("phones"),
+        )
+
+    def op_langid(df):
+        return (
+            lang_id_ngram(df, "text", ["doc_id"])
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ops = {
+        "script_counts": op_script,
+        "dedup_lines": op_dedup_lines,
+        "cc_luhn": op_cc,
+        "pii_scrub": op_pii,
+        "lang_id_ngram": op_langid,
+    }
+
+    out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
+    timings: dict[str, dict[int, float]] = {k: {} for k in ops}
+    for n in (small, big):
+        path = build(spark, n, src_rows)
+        df = spark.read.parquet(path)
+        for name, fn in ops.items():
+            t0 = time.monotonic()
+            rows = fn(df).collect()
+            dt = time.monotonic() - t0
+            timings[name][n] = dt
+            print(f"{name} @ {n}: {dt:.1f}s  {rows[:3]}", flush=True)
+    for name in ops:
+        ts, tb = timings[name][small], timings[name][big]
+        out["ops"][name] = {
+            "small_s": round(ts, 2),
+            "big_s": round(tb, 2),
+            "docs_per_sec_big": int(big / tb),
+            "linearity": round((tb / ts) / (big / small), 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
