@@ -167,15 +167,22 @@ def main() -> None:
 
     out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
     timings: dict[str, dict[int, float]] = {k: {} for k in ops}
+    repeats = int(os.environ.get("SCALE_SMOKE_REPEATS", "2"))
     for n in (small, big):
         path = build(spark, n, src_rows)
         df = spark.read.parquet(path)
         for name, fn in ops.items():
-            t0 = time.monotonic()
-            rows = fn(df).collect()
-            dt = time.monotonic() - t0
-            timings[name][n] = dt
-            print(f"{name} @ {n}: {dt:.1f}s  {rows[:3]}", flush=True)
+            # min of N draws: the corpus build shares the JVM, and a
+            # single draw right after it eats its GC debt (measured
+            # 211 s vs 57 s isolated for the same 200k-doc lang_id)
+            best, rows = None, None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                rows = fn(df).collect()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name][n] = best
+            print(f"{name} @ {n}: {best:.1f}s  {rows[:3]}", flush=True)
     for name in ops:
         ts, tb = timings[name][small], timings[name][big]
         out["ops"][name] = {
