@@ -1530,6 +1530,38 @@ def q_lang_id_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_ngram(base, "text", ["doc_id", "lang_true"])
 
 
+
+def q_dup_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-ROW enumeration (SURVEY §2.5 W — reference
+    value_errors_duplicates src/schema_validata.py:2704–2749): every
+    order row whose o_custkey occurs ≥ 2×, as violation rows, via the
+    size-gated broadcast dup-set join. Closes the last rows-only gap on
+    the W operator with a full value-level oracle."""
+    from schema_validata_spark.operators.duplicates import (
+        enumerate_duplicates,
+    )
+
+    return enumerate_duplicates(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderkey"]
+    )
+
+
+def q_violations_sha_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical per-row violation sha256 (SURVEY O2 / the north-rule
+    "violation rows whose content sha256 equals the reference's"): the
+    Stage-C violations with ``sha2`` over the canonical
+    ``\x1f``-joined string form — the exact row encoding
+    ``violations_checksum`` / ``violations_sha256`` hash, now proven
+    byte-identical against DuckDB's independent sha256."""
+    v = q_violations_orders(spark, sf_dir)
+    cols = ["o_orderkey", "column_name", "rule_id", "observed_value", "level"]
+    row_str = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
+    return v.select(*cols, F.sha2(row_str, 256).alias("row_sha256"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1578,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_documents": q_dedup_lines_documents,
         "cc_luhn_documents": q_cc_luhn_documents,
         "lang_id_ngram_planted": q_lang_id_ngram_planted,
+        "dup_rows_orders": q_dup_rows_orders,
+        "violations_sha_orders": q_violations_sha_orders,
     }
 
 
@@ -2216,6 +2250,32 @@ FROM base b LEFT JOIN best w USING (doc_id)
 """
 
 
+
+def _dup_rows_sql() -> str:
+    na = _na_sql("o_custkey")
+    return f"""
+WITH dv AS (
+  SELECT o_custkey FROM orders WHERE NOT {na}
+  GROUP BY o_custkey HAVING count(*) > 1
+)
+SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+       'o_custkey' AS column_name, 'unique_value' AS rule_id,
+       CAST(o.o_custkey AS VARCHAR) AS observed_value, 'Error' AS level
+FROM orders o JOIN dv USING (o_custkey)
+"""
+
+
+def _violations_sha_sql() -> str:
+    cols = ["o_orderkey", "column_name", "rule_id", "observed_value", "level"]
+    joined = ", ".join(f"coalesce({c}, chr(0))" for c in cols)
+    return f"""
+WITH v AS ({_violations_orders_sql()})
+SELECT {', '.join(cols)},
+       sha256(concat_ws(chr(31), {joined})) AS row_sha256
+FROM v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -2491,4 +2551,6 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "dedup_lines_documents": _dedup_lines_sql(),
         "cc_luhn_documents": _cc_luhn_sql(),
         "lang_id_ngram_planted": _lang_id_ngram_sql(),
+        "dup_rows_orders": _dup_rows_sql(),
+        "violations_sha_orders": _violations_sha_sql(),
     }
