@@ -127,3 +127,28 @@ def test_plan_broadcasts_profile_and_reuses_rank_exchange(spark):
     # the top-k cut plans as WindowGroupLimit (partial + final), so the
     # rank window never materializes full per-doc gram lists
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_max_chars_prefix_classification(spark):
+    """Long docs classify from a bounded prefix — same verdicts as the
+    full text when the prefix holds a few sentences, at a fraction of
+    the gram volume (first-N-chars is the standard long-doc practice)."""
+    long_docs = [
+        (lang, (text + " ") * 40) for lang, text in LANG_SAMPLES.items()
+    ]
+    df = spark.createDataFrame(long_docs, "lang_true string, text string")
+    pref = {
+        r["lang_true"]: r["lang_pred"]
+        for r in lang_id_ngram(
+            df, "text", ["lang_true"], max_chars=400
+        ).collect()
+    }
+    assert all(pref[l] == l for l in LANGS), pref
+    # the prefix cut must bound the exploded volume: ~4 grams/char
+    n = (
+        df.selectExpr("substring(text, 1, 400) AS t")
+        .select(char_ngrams("t").alias("g"))
+        .selectExpr("sum(size(g)) AS n")
+        .first()["n"]
+    )
+    assert n <= len(LANGS) * 400 * 4
