@@ -32,16 +32,7 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 STEAL_TAINT_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_TAINT_PCT", "2.0"))
 
 
-def _cpu_times() -> tuple[int, int]:
-    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
-    line. Returns (0, 0) where /proc/stat is unavailable (non-Linux)."""
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
-    except (OSError, ValueError, IndexError):
-        return 0, 0
+from benchlib import cpu_times as _cpu_times  # shared steal protocol
 
 
 def main() -> None:

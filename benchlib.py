@@ -1,0 +1,27 @@
+"""Shared bench instrumentation (imported by bench.py and the scripts).
+
+One copy of the hypervisor-steal protocol: steal must be sampled UNDER
+load — an idle probe reads 0 on this host even in 4–17 % steal windows
+(BASELINE.md round-3 findings) — so callers snapshot jiffies around the
+timed section and derive the percentage from the deltas.
+"""
+
+from __future__ import annotations
+
+
+def cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line. Returns (0, 0) where /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Steal percentage across a (cpu_times(), cpu_times()) window."""
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 2) if dt > 0 else 0.0

@@ -18,6 +18,7 @@ def quota_sample(
     n_per_stratum: int,
     order_col: str | Column,
     salt_partitions: int | None | str = "auto",
+    bytes_per_partition: int = 128 << 20,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, chosen as the FIRST
     rows by ``order_col`` within each stratum — the per-language /
@@ -59,20 +60,28 @@ def quota_sample(
 
     ``salt_partitions="auto"`` (the default, round-4): since the salted
     form is proven output-identical, scale safety should not be opt-in —
-    the salt count derives from the input's partition count,
-    ``clamp(P // 8, 1, 256)``, so small inputs (P ≤ 15: tests, spec
-    sheets) keep the single-window plan and any input wide enough for
-    ``n × P`` to matter gets the two-phase form without the caller
-    knowing to ask. ``None`` / ``1`` forces the single-window plan; an
-    explicit int pins the salt width.
+    the salt count derives from Catalyst's NO-JOB plan-size estimate
+    (``optimizedPlan().stats().sizeInBytes``, the same mechanism as the
+    broadcast gate): estimated scan partitions ``P ≈ size /
+    bytes_per_partition`` and ``salt = clamp(P // 8, 1, 256)``. Small
+    inputs (tests, spec sheets) keep the single-window plan; any input
+    wide enough for ``n × P`` to matter gets the two-phase form without
+    the caller knowing to ask, and frames with UNKNOWN stats
+    (RDD-backed) conservatively salt at the max — safe, because the
+    salted form is output-identical. ``df.rdd.getNumPartitions()`` was
+    rejected here: materializing the RDD under AQE eagerly EXECUTES the
+    upstream shuffle stages at call time (measured), and that work is
+    then re-run by the real action. ``None`` / ``1`` forces the
+    single-window plan; an explicit int pins the salt width.
     """
     sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     n = int(n_per_stratum)
     if salt_partitions == "auto":
-        # getNumPartitions only converts the plan (no job); the clamp
-        # floor keeps tiny local inputs on the cheaper single-window form
-        p = df.rdd.getNumPartitions()
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        p = max(1, est // int(bytes_per_partition))
         salt_partitions = max(1, min(256, p // 8))
     if salt_partitions is not None and int(salt_partitions) > 1:
         s = int(salt_partitions)

@@ -497,7 +497,17 @@ def embedding_near_duplicates(
     effective cap so total pairs fit the budget. ``None`` disables.
     ``stats_out`` (a caller-supplied dict) receives the chosen layout
     and the guard's drop counts, so batch jobs can record coverage loss
-    in their own metrics instead of scraping WARNING logs."""
+    in their own metrics instead of scraping WARNING logs.
+
+    NOT lazy under the defaults: auto-layout runs ``df.count()`` and the
+    pair budget materializes the bucket-counted index
+    (``localCheckpoint``, eager) AT CALL TIME — the cap must be fitted
+    from real bucket sizes before the join plan can exist. Checkpoint
+    blocks hold the index (embeddings × n_tables) until the returned
+    frame is driver-GC'd, and truncated lineage means executor loss
+    fails the job instead of recomputing. Pass ``max_total_pairs=None``
+    (and explicit ``n_planes``/``n_tables``) for a fully lazy,
+    pure-lineage plan."""
     if n_planes is None or n_tables is None:
         n_docs = df.count()
         auto_p, auto_t = _auto_lsh_layout(
@@ -554,23 +564,27 @@ def embedding_near_duplicates(
         sizes = idx.groupBy("table", "bucket").agg(
             F.count(F.lit(1)).alias("_n")
         )
-        if log_drops:
+        if log_drops or stats_out is not None:
+            # stats_out promises "coverage loss is never silent" — the
+            # drop aggregate must run whenever the caller asked for
+            # stats, not only under log_drops (a stats_out caller with
+            # log_drops=False previously read a false zero)
             d = (
                 sizes.filter(F.col("_n") > max_bucket)
                 .agg(F.count(F.lit(1)).alias("b"), F.sum("_n").alias("r"))
                 .collect()[0]
             )
-            if int(d["b"] or 0) > 0:
+            if stats_out is not None:
+                stats_out.update(
+                    {"dropped_buckets": int(d["b"] or 0),
+                     "dropped_rows": int(d["r"] or 0)}
+                )
+            if log_drops and int(d["b"] or 0) > 0:
                 logger.warning(
                     "embedding_near_duplicates: guard dropped %d bucket(s) "
                     "/ %d row(s) over max_bucket=%d",
                     int(d["b"]), int(d["r"] or 0), max_bucket,
                 )
-                if stats_out is not None:
-                    stats_out.update(
-                        {"dropped_buckets": int(d["b"]),
-                         "dropped_rows": int(d["r"] or 0)}
-                    )
         pruned_base = idx.join(
             sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
             on=["table", "bucket"],

@@ -446,6 +446,10 @@ def validate_tables_fused(
     tv = validate_table(
         union, spec, key_cols, partition_col=SHEET,
         list_errors=False, ignore=ignore, enumerate_dups=False,
+        # __sheet is a literal with cardinality len(names) by
+        # construction — the guard's approx_count_distinct pre-scan
+        # would read the whole union to learn a number we already know
+        max_partition_values=None,
     )
 
     presence = [

@@ -67,6 +67,14 @@ def streaming_near_dedup_foreach_batch(
     Returns the ``DataStreamWriter`` (caller starts it). Scope: WITHIN-
     batch duplicates only — for cross-batch near-dup, persist LSH band
     buckets to an external store and join each batch against it.
+
+    Do NOT pass ``max_total_pairs`` through ``dedup_kwargs`` on a
+    long-running stream: the pair-budget guard ``localCheckpoint``s the
+    bucket frame per invocation and those blocks are only freed when
+    the driver GC collects the batch's frames — across many
+    micro-batches they accumulate in executor storage. Micro-batches
+    are already bounded by the trigger size; rely on ``max_bucket``
+    (pure lineage) inside a stream.
     """
     from schema_validata_spark.operators.dedup import near_dedup
 

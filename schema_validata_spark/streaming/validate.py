@@ -124,6 +124,11 @@ def validate_stream_foreach_batch(
         tv = validate_table(
             batch_df, spec, key_cols,
             partition_col=partition_col, list_errors=False,
+            # the guard's approx_count_distinct pre-scan would add a
+            # full-batch job to EVERY micro-batch; a micro-batch's
+            # rollup is already bounded by the trigger size, so the
+            # unbounded-collect hazard the guard exists for cannot occur
+            max_partition_values=None,
         )
         vdf = verdicts_to_df(batch_df.sparkSession, tv.verdicts).withColumn(
             "batch_id", F.lit(batch_id)

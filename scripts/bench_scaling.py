@@ -72,17 +72,7 @@ n = df.count()  # warm the file listing; counted outside the timed section
 validate_table(df, spec, key_cols=["repo", "path", "commit"],
                partition_col="lang", list_errors=True).violations.count()
 
-def _cpu_times():
-    # (total_jiffies, steal_jiffies) — steal must be sampled UNDER load;
-    # an idle probe reads 0 on this host even in 4-17% steal windows
-    # (BASELINE.md round-3 findings; same protocol as bench.py)
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
-    except (OSError, ValueError, IndexError):
-        return 0, 0
+from benchlib import cpu_times as _cpu_times  # shared steal protocol
 
 tj0, sj0 = _cpu_times()
 t0 = time.time()

@@ -11,26 +11,46 @@ from pyspark.sql import functions as F
 # ------------------------------------------------- quota_sample auto-salt
 
 def test_quota_sample_auto_salts_wide_input(spark):
-    """A wide input (many partitions) gets the two-phase salted plan
-    WITHOUT the caller opting in — two Window nodes in the physical
-    plan; a narrow input keeps the single-window form."""
+    """An input whose plan-size estimate implies many scan partitions
+    gets the two-phase salted plan WITHOUT the caller opting in — two
+    Window nodes in the physical plan; a small input keeps the
+    single-window form. The width probe must be the NO-JOB Catalyst
+    size estimate: materializing df.rdd under AQE eagerly executes the
+    upstream stages (the round-4 review finding)."""
     from schema_validata_spark.operators.sampling import quota_sample
 
     df = spark.range(2000).select(
         (F.col("id") % 3).alias("lang"), F.col("id").alias("doc_id")
     )
-    wide = df.repartition(64)
-    plan = quota_sample(wide, "lang", 5, "doc_id")._jdf.queryExecution() \
-        .executedPlan().toString()
+    # shrink bytes_per_partition so the ~32KB range estimate implies a
+    # wide scan — same code path a 100 TB input takes at the default
+    plan = quota_sample(df, "lang", 5, "doc_id", bytes_per_partition=64) \
+        ._jdf.queryExecution().executedPlan().toString()
     # "Window [row_number" counts the actual Window operator nodes
     # (a bare "Window" also matches WindowGroupLimit)
     assert plan.count("Window [row_number") == 2, plan
     assert "__salt" in plan
-    narrow = df.coalesce(2)
-    plan1 = quota_sample(narrow, "lang", 5, "doc_id")._jdf.queryExecution() \
+    plan1 = quota_sample(df, "lang", 5, "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan1.count("Window [row_number") == 1, plan1
     assert "__salt" not in plan1
+
+
+def test_quota_sample_auto_probe_runs_no_job(spark):
+    """Constructing the auto-salted plan must not execute anything:
+    zero Spark jobs before the action."""
+    from schema_validata_spark.operators.sampling import quota_sample
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = (
+        spark.range(5000)
+        .select((F.col("id") % 7).alias("lang"), F.col("id").alias("doc_id"))
+        .groupBy("lang", "doc_id").count()  # a shuffle AQE would run
+    )
+    quota_sample(df, "lang", 5, "doc_id", bytes_per_partition=64)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
 
 
 def test_quota_sample_auto_equals_unsalted(spark):
@@ -41,7 +61,9 @@ def test_quota_sample_auto_equals_unsalted(spark):
     ).repartition(64)
     auto = sorted(
         (r["lang"], r["doc_id"])
-        for r in quota_sample(df, "lang", 7, "doc_id").collect()
+        for r in quota_sample(
+            df, "lang", 7, "doc_id", bytes_per_partition=64
+        ).collect()
     )
     plain = sorted(
         (r["lang"], r["doc_id"])
