@@ -54,9 +54,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     blocking = [v for v in tv.failed if v.level == "Error" and v.partition is None]
     print(f"verdicts: {len(tv.verdicts)}, blocking failures: {len(blocking)}")
 
-    # 2. quality filter — Gopher rule set, one scan
+    # 2. quality filter — Gopher rule set + code-corpus signals, ONE scan:
+    # drop pages failing Gopher AND files with credential material
+    # scrubbed out (secret scan runs on everything that survives)
+    from schema_validata_spark.operators.code_quality import (
+        code_quality_flags,
+        scrub_secrets,
+    )
+
     flags = T.gopher_quality_flags(F.col("text"))
-    kept = docs.withColumn("g", flags).filter(F.col("g.passes_gopher")).drop("g")
+    cq = code_quality_flags(F.col("text"))
+    kept = (
+        docs.withColumn("g", flags).withColumn("cq", cq)
+        .filter(F.col("g.passes_gopher") & ~F.col("cq.data_blob"))
+        .withColumn("text", scrub_secrets(F.col("text")))
+        .drop("g", "cq")
+    )
     print(f"quality filter: {docs.count()} -> {kept.count()} docs")
 
     # 3. near-dedup — MinHash pairs -> connected components -> winners
