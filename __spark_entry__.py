@@ -1665,6 +1665,46 @@ def q_secret_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_url_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + host-blocklist filtering (operators/curation.py
+    URL ops) over planted links: tracker/doc/good-site URLs appended per
+    doc_id residue; the oracle replays the same RE2-safe URL and host
+    patterns plus the exact-or-subdomain block rule."""
+    from schema_validata_spark.operators.curation import (
+        extract_urls,
+        host_blocked,
+        url_hosts,
+    )
+
+    df = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" see https://ads.tracker-"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com/x?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit(" ref http://docs.example.org/page")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit(" https://good-site.net/a https://Good-Site.net/b"))
+        .otherwise(F.lit("")),
+    )
+    base = df.select("doc_id", t.alias("t"))
+    block = ["tracker-0.com", "tracker-1.com", "tracker-2.com", "example.org"]
+    return base.select(
+        "doc_id",
+        F.size(extract_urls("t")).cast("long").alias("n_urls"),
+        F.array_join(url_hosts("t"), ",").alias("hosts"),
+        host_blocked("t", block).alias("blocked"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1717,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_sha_orders": q_violations_sha_orders,
         "code_quality_documents": q_code_quality_documents,
         "secret_scan_documents": q_secret_scan_documents,
+        "url_blocklist_documents": q_url_blocklist_documents,
     }
 
 
@@ -2461,6 +2502,35 @@ FROM base
 """
 
 
+
+def _url_blocklist_sql() -> str:
+    from schema_validata_spark.operators.curation import URL_HOST_RX, URL_RX
+
+    plant = (
+        "text"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' see https://ads.tracker-' || CAST(doc_id % 3 AS VARCHAR) || '.com/x?id=' || CAST(doc_id AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 6 = 0 THEN ' ref http://docs.example.org/page' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' https://good-site.net/a https://Good-Site.net/b' ELSE '' END"
+    )
+    block = ["tracker-0.com", "tracker-1.com", "tracker-2.com", "example.org"]
+    hosts = (
+        f"list_sort(list_distinct(list_filter(list_transform("
+        f"regexp_extract_all(t, '{URL_RX}'), "
+        f"u -> lower(regexp_extract(u, '{URL_HOST_RX}', 1))), h -> h != '')))"
+    )
+    cond = " OR ".join(
+        f"h = '{b}' OR ends_with(h, '.{b}')" for b in block
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {plant} AS t FROM documents),
+h AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '{URL_RX}')) AS BIGINT) AS n_urls,
+             {hosts} AS hosts FROM base)
+SELECT doc_id, n_urls, coalesce(array_to_string(hosts, ','), '') AS hosts,  -- DuckDB: array_to_string([]) is NULL, Spark array_join([]) is ''
+       len(list_filter(hosts, h -> {cond})) > 0 AS blocked
+FROM h
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -2740,4 +2810,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "violations_sha_orders": _violations_sha_sql(),
         "code_quality_documents": _code_quality_sql(),
         "secret_scan_documents": _secret_scan_sql(),
+        "url_blocklist_documents": _url_blocklist_sql(),
     }

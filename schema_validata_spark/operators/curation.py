@@ -233,3 +233,57 @@ def assign_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr).withColumn(f"{out_col}_bucket", b)
+
+
+# ------------------------------------------------------- URL / domain
+
+#: URL shape (RE2-safe, same string runs in the DuckDB oracles): scheme,
+#: then a host-ish first char, then any run of non-whitespace
+URL_RX = r"https?://[^\s/$.?#][^\s]*"
+#: capture the host from a single URL (group 1); ports/paths excluded
+URL_HOST_RX = r"https?://([^/:\s]+)"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All URLs in the text (``array<string>``) — one codegen'd
+    ``regexp_extract_all`` pass."""
+    return F.regexp_extract_all(_c(col), F.lit(URL_RX), F.lit(0))
+
+
+def url_hosts(col: Column | str) -> Column:
+    """Distinct lowercased hosts referenced by the text
+    (``array<string>``), sorted for deterministic output."""
+    hosts = F.transform(
+        extract_urls(col),
+        lambda u: F.lower(F.regexp_extract(u, URL_HOST_RX, 1)),
+    )
+    return F.array_sort(F.array_distinct(F.filter(hosts, lambda h: h != "")))
+
+
+def host_blocked(col: Column | str, blocklist: list[str]) -> Column:
+    """True when the text references any blocked host, including its
+    subdomains (``ads.example.com`` matches a blocked ``example.com``)
+    — the C4-style URL-blocklist page filter as a pure expression. The
+    blocklist is a literal array (driver-side list, the standard shape:
+    curated blocklists are thousands of entries, far below broadcast
+    scale); for million-entry lists join ``url_hosts`` against a
+    blocklist table instead."""
+    blocked = F.array(*[F.lit(b.lower()) for b in blocklist])
+    return F.exists(
+        url_hosts(col),
+        lambda h: F.exists(
+            blocked,
+            lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
+        ),
+    )
+
+
+def host_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide document frequency per host — ``(host, n_docs)``,
+    one explode + one hash aggregate (the audit view a curation run
+    uses to DISCOVER what belongs on the blocklist)."""
+    return (
+        df.select(F.explode(url_hosts(text_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
