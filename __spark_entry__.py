@@ -1700,7 +1700,8 @@ def q_url_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.size(extract_urls("t")).cast("long").alias("n_urls"),
-        F.array_join(url_hosts("t"), ",").alias("hosts"),
+        # NULL-text symmetry with the oracle's coalesce (review finding)
+        F.coalesce(F.array_join(url_hosts("t"), ","), F.lit("")).alias("hosts"),
         host_blocked("t", block).alias("blocked"),
     )
 
@@ -2440,6 +2441,7 @@ def _code_quality_sql() -> str:
         AVG_LINE_LEN,
         DATA_BLOB_RX,
         LICENSE_PHRASES,
+        MAX_DATA_BLOB_FRACTION,
         MAX_LINE_LEN,
         MIN_ALPHA_FRACTION,
         SPDX_RX,
@@ -2472,7 +2474,7 @@ SELECT doc_id, n_lines, max_line_len, avg_line_len, alpha_frac, spdx_id,
   (max_line_len > {MAX_LINE_LEN} OR avg_line_len > {AVG_LINE_LEN}) AS flag_long_lines,
   (coalesce(alpha_frac, 0.0) < {MIN_ALPHA_FRACTION}) AS flag_low_alpha,
   flag_autogen,
-  (coalesce(blob_frac, 0.0) > 0.10) AS flag_data_blob
+  (coalesce(blob_frac, 0.0) > {MAX_DATA_BLOB_FRACTION}) AS flag_data_blob
 FROM sig
 """
 

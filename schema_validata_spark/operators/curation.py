@@ -240,8 +240,16 @@ def assign_split(
 #: URL shape (RE2-safe, same string runs in the DuckDB oracles): scheme,
 #: then a host-ish first char, then any run of non-whitespace
 URL_RX = r"https?://[^\s/$.?#][^\s]*"
-#: capture the host from a single URL (group 1); ports/paths excluded
-URL_HOST_RX = r"https?://([^/:\s]+)"
+#: capture the host from a single URL (group 1) as a run of HOSTNAME
+#: characters — a positive class, not delimiter exclusion: URL_RX
+#: swallows to the next whitespace, so the host must stop at the first
+#: char that cannot be part of a hostname ('?' '#' ',' ')' ':' '/' …);
+#: the earlier [^/:\s]+ form leaked 'host?q=1' and 'host,' pseudo-hosts
+#: straight past the blocklist (round-4 review finding, repro'd live);
+#: the final [A-Za-z0-9] forces the capture to END on an alnum so a
+#: sentence period ('…example.com. Then') cannot ride along either.
+#: IDN hosts are out of scope (the corpus URL convention is ASCII).
+URL_HOST_RX = r"https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
 
 
 def extract_urls(col: Column | str) -> Column:
