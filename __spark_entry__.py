@@ -1706,6 +1706,31 @@ def q_url_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff (operators/delta.py): two synthetic
+    snapshots derived from orders — keys %7==0 absent from OLD (added),
+    keys %11==0 absent from NEW (removed), %5==0 rows price-shifted in
+    OLD (changed). The engine labels via content-sha equality of the
+    compare columns; the oracle labels via DIRECT value comparison in a
+    full-outer join — two independent methods that must agree row for
+    row."""
+    from schema_validata_spark.operators.delta import snapshot_delta
+
+    orders = _read(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.5)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0)
+    return snapshot_delta(
+        new, old, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).select("o_orderkey", "change")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1759,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_documents": q_code_quality_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "url_blocklist_documents": q_url_blocklist_documents,
+        "snapshot_delta_orders": q_snapshot_delta_orders,
     }
 
 
@@ -2533,6 +2559,29 @@ FROM h
 """
 
 
+
+def _snapshot_delta_sql() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.5 ELSE 0.0 END AS p,
+         o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 7 <> 0
+), n AS (
+  SELECT o_orderkey, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 11 <> 0
+), j AS (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN n.p IS DISTINCT FROM o.p
+                OR n.s IS DISTINCT FROM o.s THEN 'changed' END AS change
+  FROM n FULL OUTER JOIN o ON n.o_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -2813,4 +2862,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "code_quality_documents": _code_quality_sql(),
         "secret_scan_documents": _secret_scan_sql(),
         "url_blocklist_documents": _url_blocklist_sql(),
+        "snapshot_delta_orders": _snapshot_delta_sql(),
     }

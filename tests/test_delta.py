@@ -1,0 +1,73 @@
+"""Snapshot-delta and incremental validation (operators/delta.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.delta import (
+    ADDED,
+    CHANGED,
+    REMOVED,
+    snapshot_delta,
+    validate_delta,
+)
+
+
+def _snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 20.0),        # changed (v)
+         (3, "c", 31.5),        # changed (x)
+         (5, "e", 50.0)],       # added; k=4 removed
+        "k long, v string, x double",
+    )
+    return old, new
+
+
+def test_snapshot_delta_labels(spark):
+    old, new = _snapshots(spark)
+    out = {r["k"]: r for r in snapshot_delta(new, old, ["k"]).collect()}
+    assert set(out) == {2, 3, 4, 5}  # unchanged k=1 dropped
+    assert out[2]["change"] == CHANGED
+    assert out[3]["change"] == CHANGED
+    assert out[4]["change"] == REMOVED and out[4]["content_sha"] is None
+    assert out[5]["change"] == ADDED and out[5]["content_sha"] is not None
+
+
+def test_snapshot_delta_compare_cols_subset(spark):
+    old, new = _snapshots(spark)
+    # compare only v: the x-only change at k=3 becomes invisible
+    out = {r["k"]: r["change"]
+           for r in snapshot_delta(new, old, ["k"], ["v"]).collect()}
+    assert out == {2: CHANGED, 4: REMOVED, 5: ADDED}
+
+
+def test_validate_delta_scopes_to_churn(spark):
+    from schema_validata_spark import load_spec_dict
+
+    old, new = _snapshots(spark)
+    spec = load_spec_dict({"t": {
+        "k": {"required": True, "allow_null": False},
+        "x": {"range_min": 0, "range_max": 45.0},
+    }}).tables["t"]
+    tv, delta = validate_delta(new, old, spec, key_cols=["k"])
+    # only added/changed rows validated: k in {2, 3, 5}; x=50 at k=5
+    # breaks range_max — and the count proves the subset scope (the
+    # unchanged k=1 row is not re-validated)
+    by_rule = {(v.column, v.rule_id): v for v in tv.verdicts}
+    assert by_rule[("x", "range_max")].passed is False
+    viol = {r["k"] for r in tv.violations.collect()}
+    assert viol == {"5"}  # violation keys are canonical strings
+    assert {r["k"] for r in delta.collect()} == {2, 3, 4, 5}
+
+
+def test_delta_plan_single_join_no_cartesian(spark):
+    old, new = _snapshots(spark)
+    plan = snapshot_delta(new, old, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert plan.count("Join") >= 1  # one keyed full-outer join
