@@ -83,6 +83,19 @@ from schema_validata_spark.operators.integrity import (
 )
 from schema_validata_spark.functions.joins import maybe_broadcast, plan_size_bytes
 from schema_validata_spark.operators.sampling import pack_documents, quota_sample
+from schema_validata_spark.operators.langid import lang_id_ngram
+from schema_validata_spark.operators.code_quality import (
+    code_quality_flags,
+    scrub_secrets,
+    secret_counts,
+)
+from schema_validata_spark.operators.curation import (
+    host_blocked,
+    host_counts,
+    scrub_pii,
+    url_hosts,
+)
+from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
 
 __all__ = [
     "is_na",
@@ -145,6 +158,16 @@ __all__ = [
     "maybe_broadcast",
     "pack_documents",
     "quota_sample",
+    "lang_id_ngram",
+    "code_quality_flags",
+    "secret_counts",
+    "scrub_secrets",
+    "scrub_pii",
+    "url_hosts",
+    "host_blocked",
+    "host_counts",
+    "snapshot_delta",
+    "validate_delta",
     "iqr_outlier_counts",
     "plan_size_bytes",
 ]
