@@ -71,3 +71,46 @@ def test_delta_plan_single_join_no_cartesian(spark):
         .executedPlan().toString()
     assert "Cartesian" not in plan
     assert plan.count("Join") >= 1  # one keyed full-outer join
+
+
+# ------------------------------------------------- algebraic properties
+
+def test_delta_of_identical_snapshots_is_empty(spark):
+    _, new = _snapshots(spark)
+    assert snapshot_delta(new, new, ["k"]).count() == 0
+
+
+def test_delta_partitioning_invariance(spark):
+    """The labeled delta is identical under any input partitioning."""
+    old, new = _snapshots(spark)
+    a = sorted((r["k"], r["change"])
+               for r in snapshot_delta(new, old, ["k"]).collect())
+    b = sorted(
+        (r["k"], r["change"])
+        for r in snapshot_delta(
+            new.repartition(16), old.repartition(7), ["k"]
+        ).collect()
+    )
+    assert a == b
+
+
+def test_delta_roundtrip_reconstruction(spark):
+    """old + apply(delta) == new at the key/sha level: adding the added
+    and changed keys' new hashes to old-minus-removed reproduces the
+    new snapshot's hash set exactly (no row lost, none fabricated)."""
+    from schema_validata_spark.operators.delta import _content_sha
+
+    old, new = _snapshots(spark)
+    cols = [c for c in new.columns if c != "k"]
+    delta = {r["k"]: r for r in snapshot_delta(new, old, ["k"]).collect()}
+    old_sha = {r["k"]: r["sha"] for r in old.select(
+        "k", _content_sha(old, cols).alias("sha")).collect()}
+    new_sha = {r["k"]: r["sha"] for r in new.select(
+        "k", _content_sha(new, cols).alias("sha")).collect()}
+    rebuilt = dict(old_sha)
+    for k, r in delta.items():
+        if r["change"] == REMOVED:
+            rebuilt.pop(k)
+        else:
+            rebuilt[k] = r["content_sha"]
+    assert rebuilt == new_sha

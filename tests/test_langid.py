@@ -152,3 +152,31 @@ def test_max_chars_prefix_classification(spark):
         .first()["n"]
     )
     assert n <= len(LANGS) * 400 * 4
+
+
+def test_char_ngrams_property_parity(spark):
+    """Property: Spark char_ngrams == the Python model on arbitrary
+    text (random unicode incl. whitespace runs and CJK)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    alphabet = st.sampled_from(
+        list("ab zß.\t\n") + ["é", "世", "界", "и", "한"]
+    )
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts)
+    def inner(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i int, t string"
+        )
+        got = {r["i"]: r["g"] for r in
+               df.select("i", char_ngrams("t").alias("g")).collect()}
+        for i, t in enumerate(batch):
+            assert got[i] == _char_ngrams_py(t), repr(t)
+
+    inner()
