@@ -246,10 +246,15 @@ URL_RX = r"https?://[^\s/$.?#][^\s]*"
 #: char that cannot be part of a hostname ('?' '#' ',' ')' ':' '/' …);
 #: the earlier [^/:\s]+ form leaked 'host?q=1' and 'host,' pseudo-hosts
 #: straight past the blocklist (round-4 review finding, repro'd live);
-#: the final [A-Za-z0-9] forces the capture to END on an alnum so a
-#: sentence period ('…example.com. Then') cannot ride along either.
+#: the final [A-Za-z0-9_] forces the capture to END on a hostname
+#: char so a sentence period ('…example.com. Then') cannot ride
+#: along; '_' is in the class (underscore subdomains exist in the
+#: wild) and an optional userinfo prefix is consumed so
+#: 'https://user@evil.com' parses to the REAL host, not 'user'.
 #: IDN hosts are out of scope (the corpus URL convention is ASCII).
-URL_HOST_RX = r"https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
+URL_HOST_RX = (
+    r"https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9._-]*[A-Za-z0-9_])"
+)
 
 
 def extract_urls(col: Column | str) -> Column:

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 ADDED, REMOVED, CHANGED = "added", "removed", "changed"
 
 
-def _content_sha(df: DataFrame, compare_cols: list[str]):
+def _content_sha(compare_cols: list[str]):
+    """Unresolved column expression — binds to whichever frame it is
+    selected from (so there is deliberately NO DataFrame parameter)."""
     return F.sha2(
         F.to_json(F.struct(*[F.col(c) for c in compare_cols])), 256
     )
@@ -61,13 +63,20 @@ def snapshot_delta(
         ]
     n = new_df.select(
         *[F.col(c) for c in key_cols],
-        _content_sha(new_df, compare_cols).alias("__sha_new"),
-    )
+        _content_sha(compare_cols).alias("__sha_new"),
+    ).alias("n")
     o = old_df.select(
         *[F.col(c) for c in key_cols],
-        _content_sha(old_df, compare_cols).alias("__sha_old"),
-    )
-    j = n.join(o, on=key_cols, how="full_outer")
+        _content_sha(compare_cols).alias("__sha_old"),
+    ).alias("o")
+    # NULL-SAFE key equality: a corrupt row with a NULL key is exactly
+    # what a validator must see — plain equi-join keys would mismatch
+    # NULL against NULL and double-report the row as added + removed
+    # (round-4 review finding). eqNullSafe stays hash/SMJ-joinable.
+    cond = [
+        F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}")) for c in key_cols
+    ]
+    j = n.join(o, on=cond, how="full_outer")
     change = (
         F.when(F.col("__sha_old").isNull(), F.lit(ADDED))
         .when(F.col("__sha_new").isNull(), F.lit(REMOVED))
@@ -77,7 +86,10 @@ def snapshot_delta(
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(
-            *key_cols,
+            *[
+                F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                for c in key_cols
+            ],
             "change",
             F.col("__sha_new").alias("content_sha"),
         )
@@ -90,6 +102,7 @@ def validate_delta(
     spec,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    assert_unique_keys: bool = True,
     **validate_kwargs,
 ):
     """Incremental validation: Stage A–D over ONLY the rows the new
@@ -100,11 +113,50 @@ def validate_delta(
     resumed run would. Column-presence and UNIQUENESS verdicts are
     delta-scoped: a global unique check still needs the full table (or
     the previous run's distinct sketch) — documented, not hidden.
+
+    The returned ``delta`` is PERSISTED (it is O(churn) by
+    construction): the full-outer join over both snapshots would
+    otherwise re-execute for every downstream action — validate_table
+    alone runs several — and again for the caller's reads of the delta.
+    The caller unpersists when done. Duplicate keys within a snapshot
+    make delta labels ambiguous (the join fans out — a key present
+    twice in one snapshot can label 'changed' against a row that did
+    not change); ``assert_unique_keys=True`` (default) fails loudly
+    instead: one keys-only hash aggregate per snapshot (limit-1
+    short-circuit) — the same correctness-over-one-cheap-scan trade as
+    validate_table's partition guard. Pass ``False`` when uniqueness is
+    already enforced upstream (e.g. by the previous validation run's
+    green unique_value verdict on the key columns).
     """
     from schema_validata_spark.plans.validate import validate_table
 
-    delta = snapshot_delta(new_df, old_df, key_cols, compare_cols)
+    if assert_unique_keys:
+        for name, df in (("new", new_df), ("old", old_df)):
+            dup = (
+                df.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate key {tuple(dup[0][c] for c in key_cols)!r} "
+                    f"in the {name} snapshot — snapshot_delta assumes "
+                    "key_cols uniquely identify a row in each snapshot; "
+                    "dedupe the snapshots (or extend key_cols) before "
+                    "diffing, or pass assert_unique_keys=False when "
+                    "uniqueness is enforced upstream"
+                )
+    delta = snapshot_delta(new_df, old_df, key_cols, compare_cols).persist()
     touched = delta.filter(F.col("change") != REMOVED).select(*key_cols)
-    subset = new_df.join(touched, on=key_cols, how="left_semi")
+    # NULL-safe semi-join: a plain on=key_cols equi-join silently drops
+    # NULL-key churn rows — reported in the delta, never validated
+    na = new_df.alias("na")
+    tc = touched.alias("tc")
+    cond = [
+        F.col(f"na.{c}").eqNullSafe(F.col(f"tc.{c}")) for c in key_cols
+    ]
+    subset = na.join(tc, on=cond, how="left_semi")
     tv = validate_table(subset, spec, key_cols=key_cols, **validate_kwargs)
     return tv, delta

@@ -63,6 +63,10 @@ def test_validate_delta_scopes_to_churn(spark):
     viol = {r["k"] for r in tv.violations.collect()}
     assert viol == {"5"}  # violation keys are canonical strings
     assert {r["k"] for r in delta.collect()} == {2, 3, 4, 5}
+    # the churn SCOPE itself: exactly the 3 added/changed rows were
+    # validated (a regression to full-table validation would read 4)
+    assert tv.stats["k"].n == 3
+    delta.unpersist()
 
 
 def test_delta_plan_single_join_no_cartesian(spark):
@@ -104,9 +108,9 @@ def test_delta_roundtrip_reconstruction(spark):
     cols = [c for c in new.columns if c != "k"]
     delta = {r["k"]: r for r in snapshot_delta(new, old, ["k"]).collect()}
     old_sha = {r["k"]: r["sha"] for r in old.select(
-        "k", _content_sha(old, cols).alias("sha")).collect()}
+        "k", _content_sha(cols).alias("sha")).collect()}
     new_sha = {r["k"]: r["sha"] for r in new.select(
-        "k", _content_sha(new, cols).alias("sha")).collect()}
+        "k", _content_sha(cols).alias("sha")).collect()}
     rebuilt = dict(old_sha)
     for k, r in delta.items():
         if r["change"] == REMOVED:
@@ -114,3 +118,40 @@ def test_delta_roundtrip_reconstruction(spark):
         else:
             rebuilt[k] = r["content_sha"]
     assert rebuilt == new_sha
+
+
+def test_null_key_rows_are_diffed_and_validated(spark):
+    """A corrupt NULL-key row must be labeled once (not added+removed)
+    and must reach validation — the exact rows a validator exists for."""
+    from schema_validata_spark import load_spec_dict
+
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "same")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "edited")], "k long, v string"
+    )
+    d = snapshot_delta(new, old, ["k"]).collect()
+    assert [(r["k"], r["change"]) for r in d] == [(None, CHANGED)]
+    spec = load_spec_dict({"t": {
+        "k": {"required": True, "allow_null": False},
+    }}).tables["t"]
+    tv, delta = validate_delta(new, old, spec, key_cols=["k"])
+    by_rule = {(v.column, v.rule_id): v for v in tv.verdicts}
+    # the NULL-key changed row was validated: allow_null fails on it
+    assert by_rule[("k", "allow_null")].passed is False
+    assert tv.stats["k"].n == 1
+    delta.unpersist()
+
+
+def test_duplicate_keys_raise_loudly(spark):
+    import pytest
+    from schema_validata_spark import load_spec_dict
+
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k long, v string"  # key fan-out
+    )
+    spec = load_spec_dict({"t": {"k": {"required": True}}}).tables["t"]
+    with pytest.raises(ValueError, match="duplicate key"):
+        validate_delta(new, old, spec, key_cols=["k"])
