@@ -1731,6 +1731,30 @@ def q_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "change")
 
 
+
+def q_top_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram repetition signal (text.py::top_ngram_stats):
+    most frequent word {2,3}-gram per document with its character
+    fraction — the engine's O(g log g) sort+fold is checked against the
+    oracle's independent group-count + rank formulation."""
+    from schema_validata_spark.operators.text import top_ngram_stats
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        top_ngram_stats("text", 2).alias("s2"),
+        top_ngram_stats("text", 3).alias("s3"),
+    ).select(
+        "doc_id",
+        F.col("s2.gram").alias("top2_gram"),
+        F.col("s2.count").alias("top2_count"),
+        F.col("s2.char_fraction").alias("top2_frac"),
+        F.col("s3.gram").alias("top3_gram"),
+        F.col("s3.count").alias("top3_count"),
+        F.col("s3.char_fraction").alias("top3_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1785,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan_documents": q_secret_scan_documents,
         "url_blocklist_documents": q_url_blocklist_documents,
         "snapshot_delta_orders": q_snapshot_delta_orders,
+        "top_ngram_documents": q_top_ngram_documents,
     }
 
 
@@ -2582,6 +2607,39 @@ SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
 """
 
 
+
+def _top_ngram_sql() -> str:
+    tok = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+           "x -> length(x) > 0)")
+    parts = []
+    for n in (2, 3):
+        parts.append(f"""
+g{n} AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len({tok}) - {n} + 2),
+    i -> array_to_string(list_slice({tok}, i, i + {n} - 1), ' ')
+  )) AS gram FROM documents
+), c{n} AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2
+), b{n} AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c{n} QUALIFY rn = 1
+)""")
+    return f"""
+WITH {', '.join(p.strip() for p in parts)}
+SELECT d.doc_id,
+  b2.gram AS top2_gram, CAST(b2.cnt AS BIGINT) AS top2_count,
+  round(CAST(b2.cnt * length(b2.gram) AS DOUBLE) / length(d.text), 6) AS top2_frac,
+  b3.gram AS top3_gram, CAST(b3.cnt AS BIGINT) AS top3_count,
+  round(CAST(b3.cnt * length(b3.gram) AS DOUBLE) / length(d.text), 6) AS top3_frac
+FROM documents d
+LEFT JOIN b2 ON d.doc_id = b2.doc_id
+LEFT JOIN b3 ON d.doc_id = b3.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_lineitem": _profile_lineitem_sql(),
@@ -2863,4 +2921,5 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "secret_scan_documents": _secret_scan_sql(),
         "url_blocklist_documents": _url_blocklist_sql(),
         "snapshot_delta_orders": _snapshot_delta_sql(),
+        "top_ngram_documents": _top_ngram_sql(),
     }

@@ -510,3 +510,69 @@ def unigram_logprob(
         "avg_logprob",
         "perplexity",
     )
+
+
+def _raw_shingles(col: Column | str, k: int) -> Column:
+    """k-token shingles WITH duplicates (unlike :func:`shingles`) —
+    occurrence counts are the point for the repetition signals. Same
+    bind-once wrapper and short-doc guard as :func:`shingles`."""
+    return F.transform(
+        F.array(tokens(col)),
+        lambda t: F.transform(
+            F.when(
+                F.size(t) >= k,
+                F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    )[0]
+
+
+def top_ngram_stats(col: Column | str, n: int) -> Column:
+    """Struct ``(gram, count, char_fraction)`` for the most frequent
+    word n-gram (Gopher repetition signal: a page whose top {2,3,4}-gram
+    covers a large character fraction is boilerplate/spam).
+
+    O(g log g) per row as a pure expression: sort the raw shingle array,
+    then ONE ``aggregate`` fold counts the longest equal run — no
+    quadratic count-per-distinct-gram pass. Ties keep the
+    lexicographically smallest gram (first reached in sorted order,
+    strict ``>`` on the fold), which is also what the DuckDB oracle's
+    ``ORDER BY count DESC, gram ASC`` picks — deterministic parity.
+    ``char_fraction`` is the published approximation
+    ``count · len(gram) / len(text)``; NULL when the doc has < n tokens.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    sorted_g = F.array_sort(_raw_shingles(c, n))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_n"),
+        F.lit("").alias("best_g"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best_n"], new_run).alias("best_n"),
+            F.when(new_run > acc["best_n"], x)
+            .otherwise(acc["best_g"])
+            .alias("best_g"),
+        )
+
+    best = F.aggregate(sorted_g, acc0, step)
+    has = F.size(sorted_g) > 0
+    return F.struct(
+        F.when(has, best["best_g"]).alias("gram"),
+        F.when(has, best["best_n"]).cast("long").alias("count"),
+        F.when(
+            has,
+            F.round(
+                (best["best_n"] * F.length(best["best_g"])).cast("double")
+                / F.length(c).cast("double"),
+                6,
+            ),
+        ).alias("char_fraction"),
+    )
