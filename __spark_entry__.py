@@ -1737,13 +1737,17 @@ def q_top_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     most frequent word {2,3}-gram per document with its character
     fraction — the engine's O(g log g) sort+fold is checked against the
     oracle's independent group-count + rank formulation."""
-    from schema_validata_spark.operators.text import top_ngram_stats
+    from schema_validata_spark.operators.text import (
+        dup_ngram_char_fraction,
+        top_ngram_stats,
+    )
 
     df = _read(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         top_ngram_stats("text", 2).alias("s2"),
         top_ngram_stats("text", 3).alias("s3"),
+        dup_ngram_char_fraction("text", 2).alias("dup2_frac"),
     ).select(
         "doc_id",
         F.col("s2.gram").alias("top2_gram"),
@@ -1752,6 +1756,7 @@ def q_top_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s3.gram").alias("top3_gram"),
         F.col("s3.count").alias("top3_count"),
         F.col("s3.char_fraction").alias("top3_frac"),
+        "dup2_frac",
     )
 
 
@@ -2628,15 +2633,26 @@ g{n} AS (
   FROM c{n} QUALIFY rn = 1
 )""")
     return f"""
-WITH {', '.join(p.strip() for p in parts)}
+WITH {', '.join(p.strip() for p in parts)},
+d2 AS (
+  SELECT doc_id, sum(cnt * length(gram)) AS dup_chars
+  FROM c2 WHERE cnt > 1 GROUP BY doc_id
+), any2 AS (
+  SELECT DISTINCT doc_id FROM c2
+)
 SELECT d.doc_id,
   b2.gram AS top2_gram, CAST(b2.cnt AS BIGINT) AS top2_count,
   round(CAST(b2.cnt * length(b2.gram) AS DOUBLE) / length(d.text), 6) AS top2_frac,
   b3.gram AS top3_gram, CAST(b3.cnt AS BIGINT) AS top3_count,
-  round(CAST(b3.cnt * length(b3.gram) AS DOUBLE) / length(d.text), 6) AS top3_frac
+  round(CAST(b3.cnt * length(b3.gram) AS DOUBLE) / length(d.text), 6) AS top3_frac,
+  CASE WHEN any2.doc_id IS NOT NULL
+       THEN round(CAST(coalesce(d2.dup_chars, 0) AS DOUBLE) / length(d.text), 6)
+  END AS dup2_frac
 FROM documents d
 LEFT JOIN b2 ON d.doc_id = b2.doc_id
 LEFT JOIN b3 ON d.doc_id = b3.doc_id
+LEFT JOIN d2 ON d.doc_id = d2.doc_id
+LEFT JOIN any2 ON d.doc_id = any2.doc_id
 """
 
 

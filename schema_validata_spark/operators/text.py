@@ -576,3 +576,43 @@ def top_ngram_stats(col: Column | str, n: int) -> Column:
             ),
         ).alias("char_fraction"),
     )
+
+
+def dup_ngram_char_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of characters inside word n-grams that occur MORE THAN
+    ONCE in the document (the other half of Gopher's repetition suite,
+    published for n = 5..10; :func:`top_ngram_stats` covers 2..4).
+    Formula (published approximation): ``Σ_{gram: count>1} count ·
+    len(gram) / len(text)``. Same O(g log g) sort + single-fold shape as
+    :func:`top_ngram_stats`: when a sorted run reaches 2 the fold adds
+    both occurrences' chars, then one per further repeat. NULL when the
+    doc has < n tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    sorted_g = F.array_sort(_raw_shingles(c, n))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = (
+            F.when(new_run == 2, F.length(x) * 2)
+            .when(new_run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            (acc["dup_chars"] + add).alias("dup_chars"),
+        )
+
+    folded = F.aggregate(sorted_g, acc0, step)
+    has = F.size(sorted_g) > 0
+    return F.when(
+        has,
+        F.round(
+            folded["dup_chars"].cast("double") / F.length(c).cast("double"), 6
+        ),
+    )
