@@ -1504,9 +1504,11 @@ def q_lang_id_ngram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``LANGS[doc_id % 11]`` plus a per-doc numeric suffix (so every
     document ranks a slightly different gram set). The DuckDB oracle
     replays the FULL pipeline — profile building from the embedded
-    seed paragraphs, document n-gram ranking, the cross-join-free
-    out-of-place distance, and the argmin — so a hash match proves
-    the whole algorithm end to end, not just the verdicts."""
+    seed paragraphs, the DEFAULT_MAX_CHARS classification prefix
+    (round-5 scale default, replayed via substr in the SQL), document
+    n-gram ranking, the cross-join-free out-of-place distance, and the
+    argmin — so a hash match proves the whole algorithm end to end,
+    not just the verdicts."""
     from schema_validata_spark.operators.langid import (
         LANG_SAMPLES,
         LANGS,
@@ -2374,6 +2376,7 @@ def _lang_id_ngram_sql() -> str:
     Generated from the SAME module constants (seeds, samples, N_MAX,
     TOP_K_*, PENALTY) so the two implementations cannot drift."""
     from schema_validata_spark.operators.langid import (
+        DEFAULT_MAX_CHARS,
         LANG_SAMPLES,
         LANG_SEEDS,
         LANGS,
@@ -2415,7 +2418,7 @@ WITH base AS (
          {text_case} || ' ' || CAST(doc_id AS VARCHAR) AS text
   FROM documents WHERE doc_id < 220
 ),
-dnorm AS (SELECT doc_id, trim(regexp_replace(lower(text), '{rx}', ' ', 'g')) AS s FROM base),
+dnorm AS (SELECT doc_id, trim(regexp_replace(lower(substr(text, 1, {DEFAULT_MAX_CHARS})), '{rx}', ' ', 'g')) AS s FROM base),
 dgrams AS (SELECT doc_id, unnest({flat}) AS gram FROM dnorm),
 dcounts AS (SELECT doc_id, gram, count(*) AS cnt FROM dgrams GROUP BY 1, 2),
 dranked AS (
@@ -2525,13 +2528,14 @@ sig AS (
     {blob} AS blob_frac
   FROM base
 )
-SELECT doc_id, n_lines, max_line_len, avg_line_len, alpha_frac, spdx_id,
+SELECT s.doc_id, n_lines, max_line_len, avg_line_len, alpha_frac, spdx_id,
   lic_mit,
-  (max_line_len > {MAX_LINE_LEN} OR avg_line_len > {AVG_LINE_LEN}) AS flag_long_lines,
-  (coalesce(alpha_frac, 0.0) < {MIN_ALPHA_FRACTION}) AS flag_low_alpha,
-  flag_autogen,
-  (coalesce(blob_frac, 0.0) > {MAX_DATA_BLOB_FRACTION}) AS flag_data_blob
-FROM sig
+  -- NULL text => every flag false (code_quality_flags round-5 rule)
+  (b.t IS NOT NULL AND (max_line_len > {MAX_LINE_LEN} OR avg_line_len > {AVG_LINE_LEN})) AS flag_long_lines,
+  (b.t IS NOT NULL AND coalesce(alpha_frac, 0.0) < {MIN_ALPHA_FRACTION}) AS flag_low_alpha,
+  (b.t IS NOT NULL AND flag_autogen) AS flag_autogen,
+  (b.t IS NOT NULL AND coalesce(blob_frac, 0.0) > {MAX_DATA_BLOB_FRACTION}) AS flag_data_blob
+FROM sig s JOIN base b USING (doc_id)
 """
 
 

@@ -62,6 +62,13 @@ N_MAX = 4
 TOP_K_PROFILE = 300
 #: ranks kept per document profile
 TOP_K_DOC = 200
+#: default classification prefix (characters). Cavnar–Trenkle accuracy
+#: saturates within a few hundred characters; the dominant cost — the
+#: exploded (doc, gram) aggregate — is proportional to TEXT LENGTH, not
+#: document count (measured: full-text default ran at 3.6k docs/s with
+#: 1.40 linearity on the 2M-doc smoke; the prefix restores scan-class
+#: throughput). ``max_chars=None`` opts back into full text.
+DEFAULT_MAX_CHARS = 1500
 #: out-of-place penalty for a doc gram absent from a language profile.
 #: MUST exceed max(TOP_K_DOC, TOP_K_PROFILE) − 1 so every matched gram
 #: strictly lowers the rewritten distance (see module docstring).
@@ -365,7 +372,7 @@ def lang_id_ngram(
     text_col: str,
     id_cols: list[str],
     top_k_doc: int = TOP_K_DOC,
-    max_chars: int | None = None,
+    max_chars: int | None = DEFAULT_MAX_CHARS,
 ) -> DataFrame:
     """Classify each row's ``text_col``: returns ``id_cols`` +
     ``lang_pred`` (``'und'`` when no document gram appears in any
@@ -382,8 +389,10 @@ def lang_id_ngram(
     ``max_chars`` — classify on the first N characters only (the
     standard long-document practice: a few hundred characters saturate
     C–T accuracy, and the dominant cost — the exploded gram aggregate —
-    is proportional to text length, not document count). ``None`` =
-    full text, which is what the planted oracle replays.
+    is proportional to text length, not document count). Defaults to
+    :data:`DEFAULT_MAX_CHARS` (round-5: the full-text default was the
+    engine's one measured superlinear operator); ``None`` opts back
+    into full text. The planted oracle replays the default prefix.
     """
     assert top_k_doc <= PENALTY, "penalty must dominate doc ranks"
     spark = df.sparkSession
@@ -419,12 +428,16 @@ def lang_id_ngram(
     best = scores.groupBy(*id_cols).agg(
         F.min(F.struct(F.col("dist"), F.col("lang"))).alias("_b")
     )
-    return (
-        df.select(*ids)
-        .join(best, on=id_cols, how="left")
-        .select(
-            *ids,
-            F.coalesce(F.col("_b.lang"), F.lit("und")).alias("lang_pred"),
-            F.col("_b.dist").alias("oop_distance"),
-        )
+    # NULL-SAFE join back to the id set (round-5, same trap as
+    # delta.snapshot_delta): plain equality never matches a NULL id
+    # value against its own scores, silently classifying the row 'und'
+    left = df.select(*ids).alias("__lid_l")
+    cond = [
+        F.col(f"__lid_l.{c}").eqNullSafe(F.col(f"__lid_b.{c}"))
+        for c in id_cols
+    ]
+    return left.join(best.alias("__lid_b"), on=cond, how="left").select(
+        *[F.col(f"__lid_l.{c}").alias(c) for c in id_cols],
+        F.coalesce(F.col("__lid_b._b.lang"), F.lit("und")).alias("lang_pred"),
+        F.col("__lid_b._b.dist").alias("oop_distance"),
     )

@@ -72,17 +72,27 @@ def quota_sample(
     rejected here: materializing the RDD under AQE eagerly EXECUTES the
     upstream shuffle stages at call time (measured), and that work is
     then re-run by the real action. ``None`` / ``1`` forces the
-    single-window plan; an explicit int pins the salt width.
+    single-window plan; an explicit int pins the salt width. Under
+    Spark Connect (no ``_jdf``) the probe falls back to the max salt —
+    output-identical, just always two-phase.
     """
     sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     n = int(n_per_stratum)
     if salt_partitions == "auto":
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        p = max(1, est // int(bytes_per_partition))
-        salt_partitions = max(1, min(256, p // 8))
+        # the stats probe reaches into JVM internals (no public PySpark
+        # surface exposes plan statistics); under Spark Connect there is
+        # no _jdf at all and across versions the call chain is fragile —
+        # fall back to the conservative MAX salt, which is safe because
+        # the salted form is output-identical by construction (above)
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            p = max(1, est // int(bytes_per_partition))
+            salt_partitions = max(1, min(256, p // 8))
+        except Exception:  # Spark Connect / future-version drift
+            salt_partitions = 256
     if salt_partitions is not None and int(salt_partitions) > 1:
         s = int(salt_partitions)
         w1 = Window.partitionBy(sc, F.col("__salt")).orderBy(oc)

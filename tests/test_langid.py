@@ -154,6 +154,44 @@ def test_max_chars_prefix_classification(spark):
     assert n <= len(LANGS) * 400 * 4
 
 
+def test_default_prefix_bounds_classification_cost(spark):
+    """Round-5 scale default: classification reads only the first
+    DEFAULT_MAX_CHARS characters. A doc whose prefix is English but
+    whose bulk is French classifies 'en' under the default and 'fr'
+    under full text — proving the prefix is actually applied."""
+    from schema_validata_spark.operators.langid import DEFAULT_MAX_CHARS
+
+    en, fr = LANG_SAMPLES["en"], LANG_SAMPLES["fr"]
+    text = (en + " ") * 20  # first DEFAULT_MAX_CHARS chars: pure English
+    assert len(text) >= DEFAULT_MAX_CHARS
+    text = text[:DEFAULT_MAX_CHARS] + " " + (fr + " ") * 200
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    default = lang_id_ngram(df, "text", ["id"]).first()
+    explicit = lang_id_ngram(
+        df, "text", ["id"], max_chars=DEFAULT_MAX_CHARS
+    ).first()
+    full = lang_id_ngram(df, "text", ["id"], max_chars=None).first()
+    assert default["lang_pred"] == "en"
+    assert (default["lang_pred"], default["oop_distance"]) == (
+        explicit["lang_pred"], explicit["oop_distance"]
+    )
+    assert full["lang_pred"] == "fr"
+
+
+def test_null_id_value_still_classifies(spark):
+    """eqNullSafe join back to the id set (round-5 driver-advice fix):
+    a row whose id value is NULL must match its own scores instead of
+    silently falling through to 'und'."""
+    df = spark.createDataFrame(
+        [(None, LANG_SAMPLES["de"]), (7, LANG_SAMPLES["en"])],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in lang_id_ngram(df, "text", ["id"]).collect()}
+    assert out[None]["lang_pred"] == "de"
+    assert out[None]["oop_distance"] is not None
+    assert out[7]["lang_pred"] == "en"
+
+
 def test_char_ngrams_property_parity(spark):
     """Property: Spark char_ngrams == the Python model on arbitrary
     text (random unicode incl. whitespace runs and CJK)."""
