@@ -25,11 +25,16 @@ same as everywhere else in the engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: change labels emitted by snapshot_delta
 ADDED, REMOVED, CHANGED = "added", "removed", "changed"
+
+#: internal sentinel label: the key is duplicated within a snapshot, so
+#: its delta labels would be join-fanout artifacts. Never appears in
+#: snapshot_delta output; validate_delta raises on the first one.
+_DUP = "__dup_key__"
 
 
 def _content_sha(compare_cols: list[str]):
@@ -45,6 +50,7 @@ def snapshot_delta(
     old_df: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    flag_duplicate_keys: bool = False,
 ) -> DataFrame:
     """Row-level diff between two snapshots of a keyed table.
 
@@ -55,12 +61,64 @@ def snapshot_delta(
     O(churn). ``content_sha`` is the NEW snapshot's row hash (NULL for
     ``removed``). ``compare_cols`` defaults to every non-key column the
     two frames share, in ``new_df``'s column order (deterministic).
+
+    ``flag_duplicate_keys=True`` (validate_delta's guard, round-5):
+    both sides join on ONE struct-wrapped key (Spark struct equality is
+    null-safe per field — same matching semantics as the default
+    path's ``eqNullSafe``) and each side carries a per-key count
+    window partitioned by that same struct, so the window's exchange
+    IS the join's exchange — zero extra shuffles (asserted in
+    test_delta's plan test: exchange count identical with and without
+    the guard). Any key duplicated on either side emits rows labeled
+    with the internal ``_DUP`` sentinel instead of a fanout-garbled
+    added/changed label. Callers that enable it must check for and
+    strip the sentinel; the public default keeps today's plan
+    (window-free) and output exactly.
     """
     if compare_cols is None:
         shared = set(old_df.columns)
         compare_cols = [
             c for c in new_df.columns if c not in key_cols and c in shared
         ]
+    if flag_duplicate_keys:
+        jk = F.struct(*[F.col(c) for c in key_cols])
+        w = Window.partitionBy("__jk")
+        n = (
+            new_df.select(
+                jk.alias("__jk"), _content_sha(compare_cols).alias("__sha_new")
+            )
+            .withColumn("__kn_new", F.count(F.lit(1)).over(w))
+            .alias("n")
+        )
+        o = (
+            old_df.select(
+                jk.alias("__jk"), _content_sha(compare_cols).alias("__sha_old")
+            )
+            .withColumn("__kn_old", F.count(F.lit(1)).over(w))
+            .alias("o")
+        )
+        j = n.join(
+            o, on=F.col("n.__jk") == F.col("o.__jk"), how="full_outer"
+        )
+        change = F.when(
+            (F.coalesce(F.col("__kn_new"), F.lit(1)) > 1)
+            | (F.coalesce(F.col("__kn_old"), F.lit(1)) > 1),
+            F.lit(_DUP),
+        ).otherwise(
+            F.when(F.col("__sha_old").isNull(), F.lit(ADDED))
+            .when(F.col("__sha_new").isNull(), F.lit(REMOVED))
+            .when(F.col("__sha_new") != F.col("__sha_old"), F.lit(CHANGED))
+        )
+        key = F.coalesce(F.col("n.__jk"), F.col("o.__jk"))
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                *[key.getField(c).alias(c) for c in key_cols],
+                "change",
+                F.col("__sha_new").alias("content_sha"),
+            )
+        )
     n = new_df.select(
         *[F.col(c) for c in key_cols],
         _content_sha(compare_cols).alias("__sha_new"),
@@ -122,33 +180,34 @@ def validate_delta(
     make delta labels ambiguous (the join fans out — a key present
     twice in one snapshot can label 'changed' against a row that did
     not change); ``assert_unique_keys=True`` (default) fails loudly
-    instead: one keys-only hash aggregate per snapshot (limit-1
-    short-circuit) — the same correctness-over-one-cheap-scan trade as
-    validate_table's partition guard. Pass ``False`` when uniqueness is
-    already enforced upstream (e.g. by the previous validation run's
-    green unique_value verdict on the key columns).
+    instead. Round-5: the check is FOLDED INTO THE DIFF JOIN — each
+    side carries a per-key count window over the join's own exchange
+    (``snapshot_delta(flag_duplicate_keys=True)``), duplicated keys
+    surface as an internal sentinel label, and the first sentinel row
+    read back from the persisted delta raises — zero extra jobs, zero
+    extra shuffles, vs the previous two full-table pre-aggregates per
+    call. Pass ``False`` when uniqueness is already enforced upstream
+    (e.g. by the previous validation run's green unique_value verdict
+    on the key columns).
     """
     from schema_validata_spark.plans.validate import validate_table
 
+    delta = snapshot_delta(
+        new_df, old_df, key_cols, compare_cols,
+        flag_duplicate_keys=assert_unique_keys,
+    ).persist()
     if assert_unique_keys:
-        for name, df in (("new", new_df), ("old", old_df)):
-            dup = (
-                df.groupBy(*key_cols)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .collect()
+        dup = delta.filter(F.col("change") == _DUP).limit(1).collect()
+        if dup:
+            delta.unpersist()
+            raise ValueError(
+                f"duplicate key {tuple(dup[0][c] for c in key_cols)!r} "
+                "in at least one snapshot — snapshot_delta assumes "
+                "key_cols uniquely identify a row in each snapshot; "
+                "dedupe the snapshots (or extend key_cols) before "
+                "diffing, or pass assert_unique_keys=False when "
+                "uniqueness is enforced upstream"
             )
-            if dup:
-                raise ValueError(
-                    f"duplicate key {tuple(dup[0][c] for c in key_cols)!r} "
-                    f"in the {name} snapshot — snapshot_delta assumes "
-                    "key_cols uniquely identify a row in each snapshot; "
-                    "dedupe the snapshots (or extend key_cols) before "
-                    "diffing, or pass assert_unique_keys=False when "
-                    "uniqueness is enforced upstream"
-                )
-    delta = snapshot_delta(new_df, old_df, key_cols, compare_cols).persist()
     touched = delta.filter(F.col("change") != REMOVED).select(*key_cols)
     # NULL-safe semi-join: a plain on=key_cols equi-join silently drops
     # NULL-key churn rows — reported in the delta, never validated

@@ -77,6 +77,25 @@ def test_delta_plan_single_join_no_cartesian(spark):
     assert plan.count("Join") >= 1  # one keyed full-outer join
 
 
+def test_dup_guard_adds_no_shuffle_and_is_output_identical(spark):
+    """Round-5: the duplicate-key guard is folded into the diff join —
+    the per-side count windows partition by the join's own struct key,
+    so the guarded plan has EXACTLY the same exchange count as the
+    unguarded one (previously: two extra full-table aggregate jobs per
+    validate_delta call), and on unique-keyed input the output is
+    identical row for row."""
+    old, new = _snapshots(spark)
+    base = snapshot_delta(new, old, ["k"])
+    guarded = snapshot_delta(new, old, ["k"], flag_duplicate_keys=True)
+    pb = base._jdf.queryExecution().executedPlan().toString()
+    pg = guarded._jdf.queryExecution().executedPlan().toString()
+    assert pg.count("Exchange") == pb.count("Exchange"), pg
+    assert pg.count("Window") == 2  # one count window per side
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b
+
+
 # ------------------------------------------------- algebraic properties
 
 def test_delta_of_identical_snapshots_is_empty(spark):
