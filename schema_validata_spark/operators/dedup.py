@@ -394,9 +394,18 @@ def _prune_buckets(
     log_drops: bool = False,
     label: str = "candidate_pairs",
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Drop over-``max_bucket`` buckets (quadratic guard) from a
     ``(..., band, band_hash)`` frame.
+
+    ``stats_out`` (caller-supplied dict, round-5): receives the guard's
+    coverage accounting as DATA — ``bucket_cap`` (the effective cap
+    after any budget fit), ``dropped_buckets`` and ``dropped_rows`` —
+    so batch pipelines can record coverage loss programmatically
+    instead of scraping WARNING logs. On the no-budget path asking for
+    stats forces the same one extra drop aggregate ``log_drops`` runs
+    (coverage must never be silently reported as zero).
 
     Bucket sizes come from a window count over the same partitioning the
     downstream self-join needs, so the expensive upstream scan is
@@ -434,6 +443,11 @@ def _prune_buckets(
         max_bucket, dropped_b, dropped_r = _fit_cap_stats_rows(
             counted, "_n", max_bucket, max_total_pairs, label=label
         )
+        if stats_out is not None:
+            stats_out.update(
+                {"bucket_cap": max_bucket, "dropped_buckets": dropped_b,
+                 "dropped_rows": dropped_r}
+            )
         if log_drops:
             if dropped_b:
                 logger.warning(
@@ -448,7 +462,7 @@ def _prune_buckets(
                 )
         return counted.filter(F.col("_n") <= max_bucket).drop("_n")
     counted = bands_df.withColumn("_n", F.count(F.lit(1)).over(w))
-    if log_drops:
+    if log_drops or stats_out is not None:
         d = (
             bands_df.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -459,14 +473,24 @@ def _prune_buckets(
             )
             .collect()[0]
         )
-        if int(d["b"] or 0) > 0:
-            logger.warning(
-                "%s: quadratic-bucket guard dropped %d bucket(s) / %d row(s) "
-                "over max_bucket=%d — near-dup coverage is incomplete for "
-                "those keys", label, int(d["b"]), int(d["r"]), max_bucket,
+        if stats_out is not None:
+            stats_out.update(
+                {"bucket_cap": max_bucket,
+                 "dropped_buckets": int(d["b"] or 0),
+                 "dropped_rows": int(d["r"] or 0)}
             )
-        else:
-            logger.info("%s: no buckets over max_bucket=%d", label, max_bucket)
+        if log_drops:
+            if int(d["b"] or 0) > 0:
+                logger.warning(
+                    "%s: quadratic-bucket guard dropped %d bucket(s) / "
+                    "%d row(s) over max_bucket=%d — near-dup coverage is "
+                    "incomplete for those keys",
+                    label, int(d["b"]), int(d["r"]), max_bucket,
+                )
+            else:
+                logger.info(
+                    "%s: no buckets over max_bucket=%d", label, max_bucket
+                )
     return counted.filter(F.col("_n") <= max_bucket).drop("_n")
 
 
@@ -475,17 +499,20 @@ def _candidate_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_drops: bool = False,
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Distinct (id1 < id2) pairs sharing ≥ 1 band bucket.
 
     Self-join on the band key after the quadratic-bucket guard
     (:func:`_prune_buckets`); AQE skew-join splits what remains.
     ``max_total_pairs`` additionally bounds the TOTAL join volume via
-    the log2-histogram df-cut (:func:`_fit_cap_stats`).
+    the log2-histogram df-cut (:func:`_fit_cap_stats`). ``stats_out``
+    receives the guard's coverage accounting (see
+    :func:`_prune_buckets`).
     """
     pruned = _prune_buckets(
         bands_df, max_bucket, log_drops=log_drops,
-        max_total_pairs=max_total_pairs,
+        max_total_pairs=max_total_pairs, stats_out=stats_out,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -549,19 +576,25 @@ def minhash_near_duplicates(
     log_drops: bool = False,
     portable: bool = False,
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup pairs ``(id1, id2, jaccard)`` with
     exact-Jaccard verification ≥ ``threshold``. ``log_drops`` reports
-    buckets discarded by the quadratic guard (one extra cheap aggregate).
-    ``portable=True`` runs the SQL-replicable hash family end-to-end
-    (see :func:`minhash_signature`) so the banding itself — not just the
+    buckets discarded by the quadratic guard (one extra cheap aggregate);
+    ``stats_out`` (a caller-supplied dict) receives the same accounting
+    as data — ``bucket_cap``/``dropped_buckets``/``dropped_rows`` — so
+    batch jobs can record coverage loss in their own metrics instead of
+    scraping WARNING logs (round-5, mirrors
+    ``embedding_near_duplicates``). ``portable=True`` runs the
+    SQL-replicable hash family end-to-end (see
+    :func:`minhash_signature`) so the banding itself — not just the
     verifier — is oracle-checkable."""
     bands_df = minhash_bands(
         df, text_col, id_col, num_perm, bands, k, portable=portable
     )
     cand = _candidate_pairs(
         bands_df, max_bucket, log_drops=log_drops,
-        max_total_pairs=max_total_pairs,
+        max_total_pairs=max_total_pairs, stats_out=stats_out,
     )
     return jaccard_pairs(cand, df, text_col, id_col, k).filter(
         F.col("jaccard") >= threshold
@@ -640,6 +673,7 @@ def simhash_near_duplicates(
     log_drops: bool = False,
     portable: bool = False,
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band buckets (8 bands × 8 bits —
     any pair with hamming ≤ 7 shares a band) → verify exact hamming via
@@ -664,6 +698,7 @@ def simhash_near_duplicates(
     pruned = _prune_buckets(
         bands_df, max_bucket, log_drops=log_drops,
         label="simhash_near_duplicates", max_total_pairs=max_total_pairs,
+        stats_out=stats_out,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -695,6 +730,7 @@ def shingle_jaccard_pairs(
     max_posting: int = 10_000,
     log_drops: bool = False,
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs — and exact BY DEFAULT: ``max_total_pairs``
     (the pair-budget guard that drops the hottest postings when the
@@ -731,7 +767,7 @@ def shingle_jaccard_pairs(
     ).withColumn("band", F.lit(0))
     pruned = _prune_buckets(
         sh, max_posting, log_drops=log_drops, label="shingle_jaccard_pairs",
-        max_total_pairs=max_total_pairs,
+        max_total_pairs=max_total_pairs, stats_out=stats_out,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -780,6 +816,7 @@ def shingle_candidate_pairs(
     max_posting: int = 10_000,
     log_drops: bool = False,
     max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Candidate (id1 < id2) pairs sharing ≥ 1 exact k-shingle — the
     inverted-index blocking for an EXACT similarity join.
@@ -803,7 +840,7 @@ def shingle_candidate_pairs(
     ).withColumn("band", F.lit(0))
     return _candidate_pairs(
         sh, max_bucket=max_posting, log_drops=log_drops,
-        max_total_pairs=max_total_pairs,
+        max_total_pairs=max_total_pairs, stats_out=stats_out,
     )
 
 

@@ -1,0 +1,106 @@
+"""Round-5 additions: pair-budget coverage stats surfaced as DATA from
+the dedup entry points (VERDICT r4 ask #2 — round 3 delivered only the
+default-strictness half; ``embedding_near_duplicates`` gained
+``stats_out`` first, these tests pin the same contract on the
+minhash / simhash / shingle paths).
+
+Contract under test: pass ``stats_out={}`` and after the call the dict
+carries ``bucket_cap`` (the effective per-bucket cap after any
+``max_total_pairs`` fit), ``dropped_buckets`` and ``dropped_rows`` —
+zero when no coverage was lost, real counts when the guard bit. The
+stats must be populated even with ``log_drops=False`` (a metrics
+consumer must never read a false zero)."""
+
+import pytest
+
+from schema_validata_spark.operators.dedup import (
+    minhash_near_duplicates,
+    shingle_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+
+def _hot_corpus(spark, n_hot=60, n_cold=30):
+    """n_hot identical documents (one quadratic-hot LSH bucket per band)
+    plus n_cold distinct ones."""
+    hot = "the quick brown fox jumps over the lazy dog once more today"
+    rows = [(i, hot) for i in range(n_hot)]
+    rows += [
+        (1000 + j, f"unique document number {j} with entirely distinct "
+                   f"content body {j * 17} and trailing token {j * 31}")
+        for j in range(n_cold)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_minhash_stats_zero_when_guard_idle(spark):
+    df = _hot_corpus(spark, n_hot=5, n_cold=10)
+    stats: dict = {}
+    pairs = minhash_near_duplicates(
+        df, "text", "doc_id", threshold=0.7, stats_out=stats
+    ).collect()
+    assert stats["dropped_buckets"] == 0
+    assert stats["dropped_rows"] == 0
+    assert stats["bucket_cap"] >= 5
+    # the 5 identical docs still pair up
+    assert len(pairs) >= 10
+
+
+def test_minhash_stats_report_budget_bite(spark):
+    """A tight max_total_pairs forces the log2-histogram df-cut to
+    lower the bucket cap below the hot-bucket size — the dict must
+    carry the loss, and the result is a subset of the unbudgeted run
+    (the guard may only DROP pairs, never invent them)."""
+    df = _hot_corpus(spark)
+    stats: dict = {}
+    got = {
+        (r["id1"], r["id2"])
+        for r in minhash_near_duplicates(
+            df, "text", "doc_id", threshold=0.7,
+            max_total_pairs=100, stats_out=stats,
+        ).collect()
+    }
+    assert stats["dropped_rows"] > 0
+    assert stats["bucket_cap"] < 60  # hot bucket (60 ids) no longer fits
+    full = {
+        (r["id1"], r["id2"])
+        for r in minhash_near_duplicates(
+            df, "text", "doc_id", threshold=0.7
+        ).collect()
+    }
+    assert got <= full
+
+
+def test_simhash_stats_report_bucket_drop_without_logging(spark):
+    """No-budget path, log_drops=False: asking for stats alone must run
+    the drop aggregate (round-4 similarity.py fix, same rule here)."""
+    df = _hot_corpus(spark)
+    stats: dict = {}
+    simhash_near_duplicates(
+        df, "text", "doc_id", max_bucket=10, stats_out=stats,
+        log_drops=False,
+    ).collect()
+    # 60 identical docs share every byte-band bucket -> 8 dropped
+    # buckets of 60 rows each
+    assert stats["bucket_cap"] == 10
+    assert stats["dropped_buckets"] >= 8
+    assert stats["dropped_rows"] >= 60 * 8
+
+
+def test_shingle_jaccard_stats_out(spark):
+    df = _hot_corpus(spark, n_hot=40, n_cold=20)
+    stats: dict = {}
+    shingle_jaccard_pairs(
+        df, "text", "doc_id", k=3, max_posting=10, stats_out=stats
+    ).collect()
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_rows"] > 0
+
+    # and a quiet corpus reports zeros
+    stats2: dict = {}
+    shingle_jaccard_pairs(
+        _hot_corpus(spark, n_hot=2, n_cold=5), "text", "doc_id", k=3,
+        stats_out=stats2,
+    ).collect()
+    assert stats2["dropped_buckets"] == 0
+    assert stats2["dropped_rows"] == 0
