@@ -100,10 +100,21 @@ def stateful_near_dedup_batch(
     k: int = 5,
     max_hamming: int = 3,
     retention_batches: int | None = None,
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """One micro-batch of cross-batch near-dedup; returns the surviving
     rows AFTER updating the state table. Factored out of the stream
     writer so tests (and backfills) can drive batches directly.
+
+    ``compact_every`` (round-5): every N batches — at batch START,
+    before the state read, so no live plan lists the replaced files —
+    state partitions older than the current batch are compacted to a
+    single parquet file each (a partition is written once and never
+    appended again, so old multi-file partitions are rewrite-safe).
+    Bounds the state table's
+    FILE count — without it a long stream accumulates
+    (shuffle-partitions × batches-within-retention) small files and the
+    per-batch read pays the listing + open cost. ``None`` disables.
 
     Semantics per batch:
 
@@ -187,6 +198,15 @@ def stateful_near_dedup_batch(
         "id", "sig", F.explode(bexpr).alias("b")
     ).select("id", "sig", F.col("b.band"), F.col("b.band_hash"))
 
+    _check_state_layout(spark, state_dir)
+    # compaction runs at batch START, before the state read: this
+    # batch's lazy plans then list only the compacted files, and the
+    # PREVIOUS batch's plans were already consumed by its sink
+    # (foreachBatch serializes batches). Compacting after the read
+    # would delete files the returned `kept` plan re-reads on its next
+    # action (verified live: FileNotFoundException).
+    if compact_every is not None and int(batch_id) % int(compact_every) == 0:
+        _compact_state_partitions(spark, state_dir, int(batch_id))
     try:
         state = spark.read.parquet(state_dir)
     except AnalysisException:
@@ -275,6 +295,94 @@ def _evict_state_partitions(spark, state_dir: str, min_keep_batch: int) -> None:
             continue
         if bid < min_keep_batch:
             fs.delete(st.getPath(), True)
+
+
+def _check_state_layout(spark, state_dir: str) -> None:
+    """Fail loudly on a LEGACY flat state layout (round-4 ADVICE): state
+    written before the batch_id-partitioned layout kept ``batch_id`` as
+    a data column in top-level ``part-*`` files. Resuming over such a
+    directory would make ``batch_id`` both a data column and a partition
+    key — a mixed read either fails or silently mis-filters. One
+    top-level listing per batch (no recursion — data files inside
+    ``batch_id=`` directories are the current layout and not touched)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-"):
+            raise ValueError(
+                f"legacy flat dedup-state layout detected in {state_dir!r} "
+                f"(top-level data file {name!r}): this engine now "
+                "partitions state by batch_id. Reset the stream with a "
+                "fresh state_dir, or migrate once with "
+                "spark.read.parquet(state_dir).write.partitionBy("
+                "'batch_id').parquet(<new_dir>)"
+            )
+
+
+def _compact_state_partitions(
+    spark, state_dir: str, current_batch: int
+) -> None:
+    """Rewrite multi-file ``batch_id=<n>`` partitions (n < current) to
+    ONE parquet file each, bounding state file count for long streams.
+
+    Old partitions are never appended again (each batch writes only its
+    own partition), so rewrite is race-free under foreachBatch's serial
+    batches. Crash-safe ordering: the compacted file is MOVED INTO the
+    partition directory BEFORE the old files are deleted — a crash
+    in between leaves duplicate state rows, which (like an
+    at-least-once replay, see :func:`stateful_near_dedup_batch`) only
+    add redundant candidate pairs; state is never lost. Already-
+    compacted partitions (≤ 1 data file) are skipped, so the steady-
+    state cost is one listing plus rewriting only the last
+    ``compact_every`` batches' partitions."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid >= current_batch:
+            continue
+        part_dir = st.getPath()
+        data_files = [
+            f.getPath()
+            for f in fs.listStatus(part_dir)
+            if f.isFile() and f.getPath().getName().startswith("part-")
+        ]
+        if len(data_files) <= 1:
+            continue
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            state_dir, f"_compact_tmp_batch_{bid}"
+        )
+        fs.delete(tmp, True)  # stale temp from a crashed earlier pass
+        (
+            spark.read.parquet(str(part_dir.toUri()))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp.toUri()))
+        )
+        moved = []
+        for f in fs.listStatus(tmp):
+            fname = f.getPath().getName()
+            if f.isFile() and fname.startswith("part-"):
+                dest = jvm.org.apache.hadoop.fs.Path(part_dir, fname)
+                fs.rename(f.getPath(), dest)
+                moved.append(dest)
+        if moved:  # only drop originals once the replacement is live
+            for old in data_files:
+                fs.delete(old, False)
+        fs.delete(tmp, True)
 
 
 def streaming_near_dedup_stateful(
