@@ -12,12 +12,18 @@ tested. Codec status: PNG images decode for REAL via the from-scratch
 stdlib codec (sources/png.py — no Pillow in this container, so the
 format is implemented from its public spec, like the xlsx codec), PCM
 WAV audio decodes for REAL via the stdlib ``wave`` module (header +
-sample-level RMS / zero-crossing stats), and JPEG yields REAL header
-metadata — width/height/channels from the SOF frame header
-(sources/jpeg.py, stdlib marker-stream scan) — with only the PIXEL
-stats stubbed (``decode_ok=False``). Remaining codec work
-(JPEG/WebP pixel decode, mp3/flac audio, video frame extraction) stays
-STUBBED: each kernel raises ``NotImplementedError``
+sample-level RMS / zero-crossing stats), baseline/extended-sequential
+huffman JPEG decodes its LUMA plane for REAL (sources/jpeg.py, round-5
+from-scratch huffman + IDCT — genuine mean-luma / average-hash,
+``decode_ok=True``), progressive JPEG yields REAL header metadata —
+width/height/channels from the SOF frame header (stdlib marker-stream
+scan) — with only the PIXEL stats stubbed (``decode_ok=False``), and
+MP3 yields REAL header metadata — sample rate / channels / frame
+count / duration (Xing-exact for VBR, bitrate-derived for CBR) from
+the MPEG frame header (sources/mp3.py) — with only the SAMPLE stats
+stubbed. Remaining codec work (progressive-JPEG/WebP pixel decode,
+flac/ogg audio, video frame extraction) stays STUBBED: each kernel
+raises ``NotImplementedError``
 (strict mode) or produces a deterministic fake derived from the payload
 hash (test mode) with the exact schema a real decoder would emit.
 Swapping in further codecs changes only the marked inner function,
@@ -85,14 +91,16 @@ def _fake_decode_image(payload: bytes) -> dict:
 
 def _decode_image(payload: bytes, strict: bool) -> dict:
     """REAL decode for PNG via the from-scratch stdlib codec
-    (sources/png.py): actual width/height, Rec.601 mean luma, and the
-    8×8 average-hash over decoded pixels — ``decode_ok=True``. JPEG gets
-    REAL width/height from its marker stream (sources/jpeg.py, SOF
-    frame header — stdlib-only, no pixel decode) with the hash-fake
-    standing in for the pixel stats, ``decode_ok=False``. Other formats
-    (WebP/…): ``strict=True`` raises; otherwise the full deterministic
-    hash-fake stands in (clearly a fake — tests rely on its stability,
-    pipelines on its schema)."""
+    (sources/png.py) AND for baseline/extended-sequential huffman JPEG
+    via the from-scratch huffman+IDCT luma decode (sources/jpeg.py,
+    round-5): actual width/height, mean luma, and the 8×8 average-hash
+    over decoded pixels — ``decode_ok=True``. Progressive/arithmetic
+    JPEG still gets REAL width/height from its marker stream (SOF
+    frame header) with the hash-fake standing in for the pixel stats,
+    ``decode_ok=False``. Other formats (WebP/…): ``strict=True``
+    raises; otherwise the full deterministic hash-fake stands in
+    (clearly a fake — tests rely on its stability, pipelines on its
+    schema)."""
     from schema_validata_spark.sources import jpeg as _jpeg
     from schema_validata_spark.sources import png as _png
 
@@ -108,25 +116,40 @@ def _decode_image(payload: bytes, strict: bool) -> dict:
             if strict:
                 raise
             return _fake_decode_image(payload)
-    if _jpeg.is_jpeg(payload) and not strict:
-        # header metadata is REAL even without a pixel codec; pixel
-        # stats stay stubbed-honest (decode_ok=False flags them)
+    if _jpeg.is_jpeg(payload):
+        # round-5: baseline/extended-sequential huffman JPEG decodes
+        # for REAL (sources/jpeg.py huffman + IDCT over the Y plane —
+        # JPEG's Y IS the Rec.601 luma the PNG path computes from RGB),
+        # so mean_luma/phash are genuine and decode_ok=True.
         try:
-            info = _jpeg.jpeg_header_info(payload)
-            fake = _fake_decode_image(payload)
+            w, h, yplane = _jpeg.decode_jpeg_luma(payload)
+            luma, ahash = _png.luma_and_ahash(w, h, "L", yplane)
             return {
-                "width": info["width"], "height": info["height"],
-                "mean_luma": fake["mean_luma"], "phash": fake["phash"],
-                "decode_ok": False,
+                "width": w, "height": h, "mean_luma": luma,
+                "phash": ahash, "decode_ok": True,
             }
         except _jpeg.JPEGError:
-            return _fake_decode_image(payload)
+            pass  # progressive/arithmetic/corrupt: header-only below
+        if not strict:
+            # header metadata is REAL even without the pixel decode;
+            # pixel stats stay stubbed-honest (decode_ok=False)
+            try:
+                info = _jpeg.jpeg_header_info(payload)
+                fake = _fake_decode_image(payload)
+                return {
+                    "width": info["width"], "height": info["height"],
+                    "mean_luma": fake["mean_luma"], "phash": fake["phash"],
+                    "decode_ok": False,
+                }
+            except _jpeg.JPEGError:
+                return _fake_decode_image(payload)
     if strict:
         raise NotImplementedError(
-            "non-PNG image decode requires a codec library (not in this "
-            "container); PNG decodes natively — run with strict=False "
-            "for JPEG header metadata + the deterministic fake decoder "
-            "on other formats"
+            "non-PNG, non-baseline-JPEG image decode requires a codec "
+            "library (not in this container); PNG and baseline-huffman "
+            "JPEG decode natively — run with strict=False for "
+            "progressive-JPEG header metadata + the deterministic fake "
+            "decoder on other formats"
         )
     return _fake_decode_image(payload)
 
@@ -211,6 +234,13 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType()),
         T.StructField("rms", T.DoubleType()),            # decoded-sample stat
         T.StructField("zero_cross_rate", T.DoubleType()),
+        # decode_ok semantics mirror IMAGE_FEATURES_SCHEMA: True =
+        # SAMPLES were really decoded (PCM WAV via stdlib wave), so
+        # rms/zero_cross_rate are genuine. False = sample stats are the
+        # deterministic hash-fake; sample_rate/n_channels/n_frames/
+        # duration_ms may STILL be real (MP3 frame-header metadata via
+        # sources/mp3.py — container header, no sample codec needed).
+        T.StructField("decode_ok", T.BooleanType()),
     ]
 )
 
@@ -227,10 +257,12 @@ def is_wav(payload: bytes) -> bool:
 
 
 def _fake_decode_audio(payload: bytes) -> dict:
-    """Deterministic stand-in for non-WAV formats (mp3/flac/… need an
-    external codec not in this container). REPLACE-ME(codec): a real
-    implementation decodes with ffmpeg/soundfile; this fake derives
-    every field from a stable hash so tests are exact and repeatable."""
+    """Deterministic stand-in for non-WAV formats (flac/ogg/… need an
+    external codec not in this container; MP3 no longer routes here for
+    HEADER fields — sources/mp3.py reads those for real). REPLACE-ME
+    (codec): a real implementation decodes with ffmpeg/soundfile; this
+    fake derives every field from a stable hash so tests are exact and
+    repeatable."""
     import hashlib
 
     h = hashlib.sha256(payload).digest()
@@ -243,16 +275,24 @@ def _fake_decode_audio(payload: bytes) -> dict:
         "duration_ms": n_frames * 1000 // sr,
         "rms": h[5] / 255.0,
         "zero_cross_rate": h[6] / 510.0,
+        "decode_ok": False,
     }
 
 
 def _decode_audio(payload: bytes, strict: bool) -> dict:
     """REAL decode for PCM WAV via the stdlib ``wave`` module: header
     fields plus RMS and zero-crossing rate over the actual samples
-    (int8/int16/int32 PCM; multi-channel interleave averaged per frame).
-    Other containers: ``strict=True`` raises, else the hash-fake."""
+    (int8/int16/int32 PCM; multi-channel interleave averaged per frame)
+    — ``decode_ok=True``. MP3 gets REAL header metadata (sample rate /
+    channels / frame count / duration, Xing-exact for VBR) from its
+    frame header (sources/mp3.py, stdlib marker parse — no sample
+    decode) with the hash-fake standing in for rms/zero-crossing,
+    ``decode_ok=False``. Other containers: ``strict=True`` raises, else
+    the hash-fake."""
     import io
     import wave
+
+    from schema_validata_spark.sources import mp3 as _mp3
 
     if is_wav(payload):
         try:
@@ -290,16 +330,35 @@ def _decode_audio(payload: bytes, strict: bool) -> dict:
                 "duration_ms": int(n * 1000 // sr) if sr else 0,
                 "rms": rms,
                 "zero_cross_rate": zcr,
+                "decode_ok": True,
             }
         except Exception:
             if strict:
                 raise
             return _fake_decode_audio(payload)
+    if _mp3.is_mp3(payload) and not strict:
+        # header metadata is REAL even without a sample codec; sample
+        # stats stay stubbed-honest (decode_ok=False flags them)
+        try:
+            info = _mp3.mp3_header_info(payload)
+            fake = _fake_decode_audio(payload)
+            return {
+                "sample_rate": info["sample_rate"],
+                "n_channels": info["n_channels"],
+                "n_frames": info["n_frames"],
+                "duration_ms": info["duration_ms"],
+                "rms": fake["rms"],
+                "zero_cross_rate": fake["zero_cross_rate"],
+                "decode_ok": False,
+            }
+        except _mp3.MP3Error:
+            return _fake_decode_audio(payload)
     if strict:
         raise NotImplementedError(
             "non-WAV audio decode requires a codec library (not in this "
             "container); PCM WAV decodes natively — run with strict=False "
-            "for the deterministic fake decoder on other formats"
+            "for MP3 frame-header metadata + the deterministic fake "
+            "decoder on other formats"
         )
     return _fake_decode_audio(payload)
 
@@ -342,6 +401,7 @@ def audio_features(
                 ("duration_ms", "Int64"),
                 ("rms", "float64"),
                 ("zero_cross_rate", "float64"),
+                ("decode_ok", "boolean"),
             ]:
                 out[field] = decoded.map(
                     lambda d, f=field: None if d is None else d[f]

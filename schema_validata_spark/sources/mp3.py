@@ -1,0 +1,194 @@
+"""Stdlib-only MPEG audio (MP3) frame-header metadata — no sample decode.
+
+Full MP3 decode needs a huffman/MDCT codec not in this container, but
+the FRAME HEADER is 32 public bits (ISO/IEC 11172-3 §2.4.1.3): an
+11-bit sync word followed by version/layer/bitrate/sample-rate/channel
+fields, from which sample rate, channel count, per-frame sample count
+and frame byte length all derive. Duration:
+
+* **VBR** streams carry a Xing/Info (or VBRI) header inside the first
+  frame with the EXACT total frame count → duration is exact.
+* **CBR** streams (no Xing) estimate as audio_bytes · 8 / bitrate —
+  exact when the stream really is constant-bitrate, which is what CBR
+  means; ID3v2 (front, syncsafe length) and ID3v1 (128-byte "TAG"
+  trailer) are excluded from audio_bytes first.
+
+Mirrors ``sources/jpeg.py``'s role for JPEG: ``audio_features`` marks
+MP3 sample stats as fake/stubbed (``decode_ok`` False) while returning
+REAL sample_rate / channels / frame count / duration.
+"""
+
+from __future__ import annotations
+
+
+class MP3Error(ValueError):
+    """Not an MPEG audio stream, or corrupt/truncated header."""
+
+
+#: bitrate kbps by [version-class][layer][index 1..14]; index 0 = free
+#: format, 15 = invalid. Version class: 0 = MPEG-1, 1 = MPEG-2/2.5.
+_BITRATES = {
+    (0, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample rate Hz by [version][index 0..2]; index 3 reserved
+_SAMPLE_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent). Tag size
+    is SYNCSAFE (7 bits per byte) and excludes the 10-byte header; the
+    footer-present flag adds 10 more."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return 0
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise MP3Error("corrupt ID3v2 syncsafe size")
+        size = (size << 7) | b
+    return 10 + size + (10 if payload[5] & 0x10 else 0)
+
+
+def is_mp3(payload: bytes) -> bool:
+    """ID3v2 magic, or an MPEG frame sync within the first few bytes.
+    (Raw MPEG streams are allowed a little leading junk — encoders pad —
+    but scanning stays bounded so random binary rarely false-positives.)"""
+    if len(payload) >= 3 and payload[:3] == b"ID3":
+        return True
+    head = payload[:4]
+    return (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+        and (head[1] & 0x18) != 0x08  # version not 'reserved'
+        and (head[1] & 0x06) != 0x00  # layer not 'reserved'
+    )
+
+
+def _parse_frame_header(hdr: bytes) -> dict:
+    """Decode one 4-byte frame header → version/layer/bitrate/rate/
+    channels/frame geometry. Raises on reserved or free-format fields."""
+    if len(hdr) < 4 or hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
+        raise MP3Error("missing frame sync")
+    version_bits = (hdr[1] >> 3) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(version_bits)
+    if version is None:
+        raise MP3Error("reserved MPEG version")
+    layer = {1: 3, 2: 2, 3: 1}.get((hdr[1] >> 1) & 0x3)
+    if layer is None:
+        raise MP3Error("reserved layer")
+    br_idx = (hdr[2] >> 4) & 0xF
+    if br_idx in (0, 15):
+        raise MP3Error("free-format or invalid bitrate index")
+    sr_idx = (hdr[2] >> 2) & 0x3
+    if sr_idx == 3:
+        raise MP3Error("reserved sample-rate index")
+    vclass = 0 if version == "1" else 1
+    bitrate_kbps = _BITRATES[(vclass, layer)][br_idx - 1]
+    sample_rate = _SAMPLE_RATES[version][sr_idx]
+    padding = (hdr[2] >> 1) & 0x1
+    mode = (hdr[3] >> 6) & 0x3
+    n_channels = 1 if mode == 3 else 2
+    if layer == 1:
+        samples_per_frame = 384
+        frame_bytes = (12 * bitrate_kbps * 1000 // sample_rate + padding) * 4
+    else:
+        samples_per_frame = 1152 if (layer == 2 or version == "1") else 576
+        frame_bytes = (
+            samples_per_frame // 8 * bitrate_kbps * 1000 // sample_rate
+            + padding
+        )
+    return {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": bitrate_kbps,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "samples_per_frame": samples_per_frame,
+        "frame_bytes": frame_bytes,
+        "mode": mode,
+    }
+
+
+def _xing_frame_count(payload: bytes, start: int, info: dict) -> int | None:
+    """Total frame count from a Xing/Info or VBRI header in the first
+    frame, or None. Xing sits after the layer-III side info (size set by
+    version + channel mode); VBRI sits at a fixed 32-byte offset."""
+    if info["version"] == "1":
+        side = 17 if info["n_channels"] == 1 else 32
+    else:
+        side = 9 if info["n_channels"] == 1 else 17
+    off = start + 4 + side
+    if payload[off : off + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(payload[off + 4 : off + 8], "big")
+        if flags & 0x1 and len(payload) >= off + 12:
+            return int.from_bytes(payload[off + 8 : off + 12], "big")
+        return None
+    voff = start + 4 + 32
+    if payload[voff : voff + 4] == b"VBRI" and len(payload) >= voff + 18:
+        return int.from_bytes(payload[voff + 14 : voff + 18], "big")
+    return None
+
+
+def mp3_header_info(payload: bytes, max_scan: int = 4096) -> dict:
+    """Parse the first MPEG audio frame header (skipping a leading ID3v2
+    tag and up to ``max_scan`` bytes of junk) and return::
+
+        {"sample_rate", "n_channels", "bitrate_kbps", "version",
+         "layer", "vbr", "n_frames", "duration_ms"}
+
+    ``n_frames``/``duration_ms`` are exact for VBR streams with a
+    Xing/VBRI frame count and a CBR estimate otherwise (``vbr`` tells
+    which). Raises :class:`MP3Error` when no valid frame header exists.
+    """
+    start = _id3v2_size(payload)
+    end = len(payload)
+    if payload[-128:-125] == b"TAG":  # ID3v1 trailer
+        end -= 128
+    limit = min(end - 4, start + max_scan)
+    i = start
+    info = None
+    while i <= limit:
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            try:
+                cand = _parse_frame_header(payload[i : i + 4])
+            except MP3Error:
+                cand = None
+            if cand is not None and i + cand["frame_bytes"] <= end:
+                # confirm: the next frame starts with sync too (or this
+                # frame exactly ends the stream) — kills false syncs in
+                # leading junk
+                j = i + cand["frame_bytes"]
+                if j >= end - 1 or (
+                    payload[j] == 0xFF and (payload[j + 1] & 0xE0) == 0xE0
+                ):
+                    info = cand
+                    break
+        i += 1
+    if info is None:
+        raise MP3Error("no MPEG audio frame header found")
+    audio_bytes = end - i
+    n_frames = _xing_frame_count(payload, i, info)
+    vbr = n_frames is not None
+    if n_frames is None:
+        n_frames = audio_bytes // info["frame_bytes"]
+    duration_ms = (
+        n_frames * info["samples_per_frame"] * 1000 // info["sample_rate"]
+    )
+    return {
+        "sample_rate": info["sample_rate"],
+        "n_channels": info["n_channels"],
+        "bitrate_kbps": info["bitrate_kbps"],
+        "version": info["version"],
+        "layer": info["layer"],
+        "vbr": vbr,
+        "n_frames": int(n_frames),
+        "duration_ms": int(duration_ms),
+    }

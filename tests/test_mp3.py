@@ -1,0 +1,138 @@
+"""MP3 frame-header metadata (VERDICT r4 ask #6): stdlib parse of the
+public ISO/IEC 11172-3 frame header — REAL sample rate / channels /
+frame count / duration without a sample codec, mirroring the JPEG
+header-not-pixels approach (sources/jpeg.py). Fixtures are generated
+bit-by-bit from the spec, so expectations are exact."""
+
+import pytest
+
+from schema_validata_spark.sources.mp3 import (
+    MP3Error,
+    is_mp3,
+    mp3_header_info,
+)
+
+
+def _hdr(version=3, layer=1, br_idx=9, sr_idx=0, padding=0, mode=3) -> bytes:
+    """4-byte frame header from raw field values (version/layer are the
+    2-bit WIRE codes: version 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5; layer
+    1=Layer III, 2=Layer II, 3=Layer I)."""
+    b1 = 0xE0 | (version << 3) | (layer << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = mode << 6
+    return bytes([0xFF, b1, b2, b3])
+
+
+def _cbr(n_frames: int, frame_bytes: int = 417, **kw) -> bytes:
+    """n_frames CBR frames: header + zero payload each. Default header
+    is MPEG-1 Layer III, 128 kbps, 44100 Hz, mono →
+    144·128000/44100 = 417 bytes/frame, 1152 samples/frame."""
+    h = _hdr(**kw)
+    return (h + b"\x00" * (frame_bytes - 4)) * n_frames
+
+
+def test_cbr_v1_l3_mono():
+    info = mp3_header_info(_cbr(38))
+    assert info["sample_rate"] == 44100
+    assert info["n_channels"] == 1
+    assert info["bitrate_kbps"] == 128
+    assert info["version"] == "1" and info["layer"] == 3
+    assert info["vbr"] is False
+    assert info["n_frames"] == 38
+    assert info["duration_ms"] == 38 * 1152 * 1000 // 44100
+
+
+def test_cbr_stereo_and_mpeg2():
+    stereo = mp3_header_info(_cbr(5, mode=0))
+    assert stereo["n_channels"] == 2
+    # MPEG-2 Layer III: 576 samples/frame, V2 tables (idx 8 -> 64 kbps,
+    # sr idx 0 -> 22050), frame = 72*64000/22050 = 208
+    v2 = mp3_header_info(_cbr(10, frame_bytes=208, version=2, br_idx=8))
+    assert v2["version"] == "2"
+    assert v2["sample_rate"] == 22050
+    assert v2["bitrate_kbps"] == 64
+    assert v2["n_frames"] == 10
+    assert v2["duration_ms"] == 10 * 576 * 1000 // 22050
+
+
+def test_xing_vbr_exact_frame_count():
+    """Xing header after the V1-mono 17-byte side info: frame count is
+    read EXACTLY (not estimated from the first frame's bitrate)."""
+    body = bytearray(_cbr(3))
+    off = 4 + 17
+    body[off : off + 4] = b"Xing"
+    body[off + 4 : off + 8] = (0x1).to_bytes(4, "big")  # FRAMES flag
+    body[off + 8 : off + 12] = (1000).to_bytes(4, "big")
+    info = mp3_header_info(bytes(body))
+    assert info["vbr"] is True
+    assert info["n_frames"] == 1000
+    assert info["duration_ms"] == 1000 * 1152 * 1000 // 44100
+
+
+def test_id3v2_prefix_and_id3v1_trailer_skipped():
+    audio = _cbr(20)
+    junk = b"\x00" * 100
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + junk
+    id3v1 = b"TAG" + b"\x00" * 125
+    info = mp3_header_info(id3v2 + audio + id3v1)
+    assert info["n_frames"] == 20
+    assert is_mp3(id3v2 + audio)
+
+
+def test_false_sync_in_leading_junk_rejected():
+    """A lone 0xFF FB in junk with no following frame must not parse —
+    the next-frame-sync confirmation kicks in."""
+    junk = b"\xff\xfb" + b"Q" * 50  # valid-looking header, garbage after
+    real = _cbr(8)
+    info = mp3_header_info(junk + real, max_scan=4096)
+    assert info["n_frames"] == 8
+
+
+def test_non_mp3_raises():
+    with pytest.raises(MP3Error):
+        mp3_header_info(b"RIFF....WAVE" + b"\x00" * 100)
+    with pytest.raises(MP3Error):
+        mp3_header_info(b"ID3\x03\x00\x00\x00\x00\x00\x02hi")
+    assert not is_mp3(b"\x89PNG\r\n\x1a\n")
+
+
+def test_reserved_fields_rejected():
+    with pytest.raises(MP3Error):  # reserved version (wire code 1)
+        mp3_header_info(_hdr(version=1) + b"\x00" * 400)
+    with pytest.raises(MP3Error):  # free-format bitrate
+        mp3_header_info(_hdr(br_idx=0) + b"\x00" * 400)
+    with pytest.raises(MP3Error):  # reserved sample rate
+        mp3_header_info(_hdr(sr_idx=3) + b"\x00" * 400)
+
+
+def test_audio_features_mp3_header_real_samples_stubbed(spark):
+    """audio_features over MP3 bytes: header fields REAL, sample stats
+    the deterministic fake, decode_ok=False — while WAV keeps
+    decode_ok=True (the new flag distinguishes them, mirroring
+    IMAGE_FEATURES_SCHEMA)."""
+    import io
+    import wave as wv
+
+    from schema_validata_spark.operators.multimodal import audio_features
+
+    mp3 = _cbr(38)
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframesraw(b"\x00\x00" * 800)
+    df = spark.createDataFrame(
+        [(1, mp3), (2, buf.getvalue())], "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in audio_features(df, "payload", ["media_id"]).collect()
+    }
+    assert out[1]["sample_rate"] == 44100
+    assert out[1]["n_channels"] == 1
+    assert out[1]["n_frames"] == 38
+    assert out[1]["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert out[1]["decode_ok"] is False  # rms/zcr are the fake
+    assert out[2]["decode_ok"] is True   # WAV samples really decoded
+    assert out[2]["rms"] < 1e-9
