@@ -84,3 +84,348 @@ def jpeg_header_info(payload: bytes) -> dict:
             raise JPEGError("reached SOS without a SOF frame header")
         i += seg_len
     raise JPEGError("no SOF frame header found")
+
+
+# --------------------------------------------------------------------
+# Baseline pixel decode (round-5): huffman + dequant + IDCT for the
+# LUMA plane — from the public ITU-T T.81 spec, stdlib + numpy only
+# (same pattern as sources/png.py's from-scratch zlib/filter decode).
+# SOF0 (baseline) and SOF1 (extended sequential, 8-bit huffman) decode;
+# progressive (SOF2) and arithmetic-coded frames stay honest raises —
+# image_features keeps decode_ok=False for those with header-only
+# metadata. Chroma blocks are entropy-decoded (the interleaved MCU
+# stream cannot be skipped) but not inverse-transformed: the stats the
+# pipeline needs (mean luma, average-hash) are functions of Y alone,
+# and JPEG's Y IS the Rec.601 luma the PNG path computes from RGB.
+# --------------------------------------------------------------------
+
+
+def _zigzag_order() -> list:
+    """Zigzag index -> natural (row-major) index, generated from the
+    walk itself rather than a hand-typed table."""
+    order = []
+    x = y = 0
+    for _ in range(64):
+        order.append(y * 8 + x)
+        if (x + y) % 2 == 0:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return order
+
+
+_ZZ = _zigzag_order()
+
+
+def _build_huffman(bits: list, huffval: bytes) -> dict:
+    """Canonical huffman: (code_length, code) -> symbol (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    byte-aligns across restart markers, and treats any other marker as
+    end-of-data (the final byte's 1-padding never needs bits beyond
+    it in a conforming stream)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.eof = False
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.eof or self.pos >= len(d):
+            self.eof = True
+            return
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:  # stuffed literal FF
+                self.pos += 2
+            else:  # a real marker: restart (caller consumes) or end
+                self.eof = True
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0  # 1-padding exhausted; conforming streams end
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        self.eof = False
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise JPEGError("expected restart marker")
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JPEGError("invalid huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(reader, dc_table, ac_table, qt, pred: int):
+    """One 8x8 block: huffman-decode DC diff + run-length AC, dequantize
+    into NATURAL order. Returns (coefficients list[64], new DC pred).
+    Pass qt=None to entropy-advance only (chroma)."""
+    t = _huff_decode(reader, dc_table)
+    pred = pred + _extend(reader.receive(t), t)
+    coef = None
+    if qt is not None:
+        coef = [0] * 64
+        coef[0] = pred * qt[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JPEGError("AC coefficient index overflow")
+        v = _extend(reader.receive(s), s)
+        if coef is not None:
+            coef[_ZZ[k]] = v * qt[k]
+        k += 1
+    return coef, pred
+
+
+def _idct_batch(blocks):
+    """Inverse 8x8 DCT-III over an (n, 64) natural-order coefficient
+    array -> (n, 8, 8) spatial samples (float). Orthonormal basis per
+    T.81 A.3.3: s(x,y) = sum C(u)C(v)/4 * F(u,v) cos((2x+1)u*pi/16)..."""
+    import math
+
+    import numpy as np
+
+    c = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    f = np.asarray(blocks, dtype=np.float64).reshape(-1, 8, 8)
+    return np.einsum("ux,nuv,vy->nxy", c, f, c)
+
+
+def decode_jpeg_luma(payload: bytes) -> tuple:
+    """Decode the LUMA (Y) plane of a baseline huffman JPEG: returns
+    ``(width, height, bytearray)`` — row-major 8-bit Y samples, exactly
+    what :func:`sources.png.luma_and_ahash` consumes as mode ``"L"``.
+
+    Raises :class:`JPEGError` for progressive / arithmetic / 12-bit /
+    hierarchical frames (honest stub boundary — ``image_features``
+    falls back to header-only metadata there)."""
+    if not is_jpeg(payload):
+        raise JPEGError("not a JPEG (missing FF D8 FF SOI magic)")
+    n = len(payload)
+    i = 2
+    qtables: dict = {}
+    htables: dict = {}  # (class, id) -> decode dict
+    frame = None
+    restart_interval = 0
+    scan = None
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise JPEGError(f"expected marker at offset {i}")
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        i += 2
+        if marker in _BARE_MARKERS:
+            continue
+        if i + 2 > n:
+            raise JPEGError("truncated before segment length")
+        seg_len = int.from_bytes(payload[i : i + 2], "big")
+        if seg_len < 2 or i + seg_len > n:
+            raise JPEGError(f"corrupt segment length {seg_len} at {i}")
+        seg = payload[i + 2 : i + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    qtables[tq] = list(seg[p : p + 64])
+                    p += 64
+                else:  # 16-bit precision
+                    qtables[tq] = [
+                        int.from_bytes(seg[p + 2 * j : p + 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                    p += 128
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                huffval = seg[p + 17 : p + 17 + cnt]
+                htables[(tc, th)] = _build_huffman(bits, huffval)
+                p += 17 + cnt
+        elif marker in _SOF_MARKERS:
+            if marker not in (0xC0, 0xC1):
+                kind = (
+                    "progressive" if marker in _PROGRESSIVE
+                    else f"SOF{marker - 0xC0}"
+                )
+                raise JPEGError(
+                    f"{kind} JPEG: only baseline/extended-sequential "
+                    "huffman frames decode (header metadata still "
+                    "available via jpeg_header_info)"
+                )
+            if seg[0] != 8:
+                raise JPEGError(f"unsupported sample precision {seg[0]}")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                o = 6 + 3 * ci
+                comps.append(
+                    {"id": seg[o], "h": seg[o + 1] >> 4,
+                     "v": seg[o + 1] & 0xF, "tq": seg[o + 2]}
+                )
+            frame = {"width": width, "height": height, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JPEGError("reached SOS without a SOF frame header")
+            ns = seg[0]
+            sel = {}
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                sel[cs] = (seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0xF)
+            scan = {"sel": sel, "data_at": i + seg_len}
+            break
+        i += seg_len
+    if scan is None:
+        raise JPEGError("no SOS scan in stream")
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] >= 1 and c["v"] >= 1 for c in comps):
+        raise JPEGError("corrupt sampling factors")
+    w, h = frame["width"], frame["height"]
+    if w == 0 or h == 0:
+        raise JPEGError("zero-dimension frame")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    luma = comps[0]  # first component is Y (T.81 orders Y first)
+    if luma["tq"] not in qtables:
+        raise JPEGError("missing quantization table for luma")
+    reader = _BitReader(payload, scan["data_at"])
+    preds = {c["id"]: 0 for c in comps}
+    y_blocks = []  # (block_row, block_col, coef[64])
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_index > 0
+                and mcu_index % restart_interval == 0
+            ):
+                reader.restart()
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                td, ta = scan["sel"][c["id"]]
+                dc_t = htables.get((0, td))
+                ac_t = htables.get((1, ta))
+                if dc_t is None or ac_t is None:
+                    raise JPEGError("missing huffman table")
+                is_y = c is luma
+                qt = qtables[c["tq"]] if is_y else None
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        coef, preds[c["id"]] = _decode_block(
+                            reader, dc_t, ac_t, qt, preds[c["id"]]
+                        )
+                        if is_y:
+                            y_blocks.append(
+                                (my * c["v"] + bv, mx * c["h"] + bh, coef)
+                            )
+            mcu_index += 1
+    import numpy as np
+
+    spatial = np.rint(_idct_batch([b[2] for b in y_blocks]) + 128.0)
+    np.clip(spatial, 0, 255, out=spatial)
+    spatial = spatial.astype(np.uint8)
+    # assemble the Y grid, then scale to FRAME pixels if Y is subsampled
+    # (rare — Y is normally full resolution) and crop to (h, w)
+    gy, gx = mcuy * luma["v"], mcux * luma["h"]
+    plane = np.zeros((gy * 8, gx * 8), dtype=np.uint8)
+    for (br, bc, _), blk in zip(y_blocks, spatial):
+        plane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = blk
+    if luma["h"] != hmax or luma["v"] != vmax:
+        # nearest-neighbour expand Y to frame resolution
+        plane = np.repeat(
+            np.repeat(plane, vmax // luma["v"], axis=0),
+            hmax // luma["h"],
+            axis=1,
+        )
+    plane = plane[:h, :w]
+    return w, h, bytearray(plane.tobytes())

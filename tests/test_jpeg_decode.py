@@ -1,0 +1,291 @@
+"""Baseline JPEG pixel decode (VERDICT r4 ask #4): from-scratch huffman
++ dequant + IDCT of the luma plane, stdlib+numpy only.
+
+The fixtures come from a minimal INDEPENDENT encoder written here from
+the same public T.81 spec (its own canonical-code builder, bit writer,
+zigzag walk and FF-stuffing) — expected PIXEL values are computed from
+first principles (flat-block arithmetic / a direct cosine-sum IDCT in
+the test), so encoder and decoder cannot share a bug that the
+assertions would miss."""
+
+import math
+
+import numpy as np
+import pytest
+
+from schema_validata_spark.sources.jpeg import (
+    JPEGError,
+    decode_jpeg_luma,
+    jpeg_header_info,
+)
+
+# ------------------------------------------------ tiny T.81 encoder
+
+#: 12 DC categories / 12 AC symbols, all at code length 5 (canonical,
+#: max code 11 — the reserved all-ones code is never assigned)
+_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_DC_VALS = bytes(range(12))
+_AC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_AC_VALS = bytes([0x00] + list(range(0x01, 0x0B)) + [0xF0])
+
+
+def _codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _codes(_AC_BITS, _AC_VALS)
+
+
+class _Writer:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-padding
+
+    def marker(self, m):
+        self.align()
+        self.out += bytes([0xFF, m])
+
+
+def _write_block(w, zz_coefs, pred):
+    """Encode one block given QUANTIZED coefficients in zigzag order."""
+    dc = zz_coefs[0]
+    diff = dc - pred
+    t = abs(diff).bit_length()
+    w.bits(*_DC_CODES[t])
+    if t:
+        w.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz_coefs[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz_coefs[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.bits(*_AC_CODES[0xF0])
+            run -= 16
+        s = abs(v).bit_length()
+        w.bits(*_AC_CODES[(run << 4) | s])
+        w.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        w.bits(*_AC_CODES[0x00])  # EOB
+    return dc
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def make_jpeg(y_blocks, blocks_w, q=16, color=False, restart=None):
+    """Encode a baseline JPEG. ``y_blocks``: list of zigzag-order
+    QUANTIZED coefficient blocks, row-major over a ``blocks_w``-wide
+    grid. ``color=True`` wraps each 2x2 group of Y blocks in a 4:2:0
+    MCU with all-zero chroma blocks (image is then 16px-aligned)."""
+    blocks_h = len(y_blocks) // blocks_w
+    qt = bytes([q] * 64)
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, b"\x00" + qt)
+    if color:
+        w_px, h_px = blocks_w * 8, blocks_h * 8
+        comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        ncomp = 3
+    else:
+        w_px, h_px = blocks_w * 8, blocks_h * 8
+        comps = bytes([1, 0x11, 0])
+        ncomp = 1
+    head += _seg(
+        0xC0,
+        b"\x08" + h_px.to_bytes(2, "big") + w_px.to_bytes(2, "big")
+        + bytes([ncomp]) + comps,
+    )
+    head += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + _DC_VALS)
+    head += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + _AC_VALS)
+    if restart:
+        head += _seg(0xDD, restart.to_bytes(2, "big"))
+    head += _seg(
+        0xDA, bytes([ncomp]) + bytes(
+            sum(([cid, 0x00] for cid in range(1, ncomp + 1)), [])
+        ) + b"\x00\x3f\x00"
+    )
+    w = _Writer()
+    zero = [0] * 64
+    preds = [0, 0, 0]
+    mcu = 0
+
+    def maybe_restart():
+        nonlocal preds
+        if restart and mcu > 0 and mcu % restart == 0:
+            w.marker(0xD0 + ((mcu // restart - 1) % 8))
+            preds = [0, 0, 0]
+
+    if color:
+        for my in range(blocks_h // 2):
+            for mx in range(blocks_w // 2):
+                maybe_restart()
+                for bv in range(2):
+                    for bh in range(2):
+                        blk = y_blocks[(my * 2 + bv) * blocks_w + mx * 2 + bh]
+                        preds[0] = _write_block(w, blk, preds[0])
+                for c in (1, 2):
+                    preds[c] = _write_block(w, zero, preds[c])
+                mcu += 1
+    else:
+        for blk in y_blocks:
+            maybe_restart()
+            preds[0] = _write_block(w, blk, preds[0])
+            mcu += 1
+    w.align()
+    return bytes(head) + bytes(w.out) + b"\xff\xd9"
+
+
+def _dc_block(dcq):
+    b = [0] * 64
+    b[0] = dcq
+    return b
+
+
+def _flat_value(dcq, q=16):
+    """Spatial value of a DC-only block: IDCT of F(0,0)=dcq*q is flat
+    dcq*q/8; +128 level shift."""
+    return int(round(dcq * q / 8 + 128))
+
+
+# ------------------------------------------------------------- tests
+
+def test_solid_gray_exact():
+    jp = make_jpeg([_dc_block(32)] * 4, blocks_w=2)  # 16x16, value 192
+    w, h, y = decode_jpeg_luma(jp)
+    assert (w, h) == (16, 16)
+    assert set(y) == {192}
+    # header parse agrees
+    assert jpeg_header_info(jp)["width"] == 16
+
+
+def test_block_gradient_with_negative_dc_diffs():
+    dcs = [32, 0, -32, 16]  # values 192, 128, 64, 160
+    jp = make_jpeg([_dc_block(d) for d in dcs], blocks_w=2)
+    w, h, y = decode_jpeg_luma(jp)
+    img = np.frombuffer(bytes(y), dtype=np.uint8).reshape(16, 16)
+    assert set(img[:8, :8].flat) == {_flat_value(32)}
+    assert set(img[:8, 8:].flat) == {_flat_value(0)}
+    assert set(img[8:, :8].flat) == {_flat_value(-32)}
+    assert set(img[8:, 8:].flat) == {_flat_value(16)}
+
+
+def test_ac_coefficient_matches_independent_idct():
+    """One AC coefficient (zigzag k=1 = natural (0,1)): pixels must
+    equal a direct cosine-sum IDCT computed here, independent of the
+    decoder's einsum path."""
+    blk = _dc_block(20)
+    blk[1] = 7  # zigzag index 1 -> F(u=0, v=1)
+    jp = make_jpeg([blk], blocks_w=1, q=16)
+    w, h, y = decode_jpeg_luma(jp)
+    got = np.frombuffer(bytes(y), dtype=np.uint8).reshape(8, 8)
+
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    F = np.zeros((8, 8))
+    F[0, 0] = 20 * 16
+    F[0, 1] = 7 * 16
+    exp = np.zeros((8, 8))
+    for x in range(8):
+        for yy in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c(u) * c(v) / 4 * F[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * yy + 1) * v * math.pi / 16)
+                    )
+            exp[x, yy] = min(255, max(0, round(s + 128)))
+    assert np.array_equal(got, exp.astype(np.uint8))
+
+
+def test_restart_markers_reset_dc_predictors():
+    dcs = [32, -16, 8, 0]
+    jp = make_jpeg([_dc_block(d) for d in dcs], blocks_w=2, restart=1)
+    assert b"\xff\xd0" in jp  # markers really present
+    w, h, y = decode_jpeg_luma(jp)
+    img = np.frombuffer(bytes(y), dtype=np.uint8).reshape(16, 16)
+    for (r0, c0), d in zip(((0, 0), (0, 8), (8, 0), (8, 8)), dcs):
+        assert set(img[r0 : r0 + 8, c0 : c0 + 8].flat) == {_flat_value(d)}
+
+
+def test_color_420_interleave():
+    """4:2:0 color: chroma blocks must be entropy-ADVANCED correctly or
+    the second MCU's Y values garble."""
+    dcs = [32, 0, -32, 16, 8, -8, 40, -40]  # 4x2 block grid = 2 MCUs
+    jp = make_jpeg([_dc_block(d) for d in dcs], blocks_w=4, color=True)
+    assert jpeg_header_info(jp)["n_channels"] == 3
+    w, h, y = decode_jpeg_luma(jp)
+    assert (w, h) == (32, 16)
+    img = np.frombuffer(bytes(y), dtype=np.uint8).reshape(16, 32)
+    for i, d in enumerate(dcs):
+        r0, c0 = (i // 4) * 8, (i % 4) * 8
+        assert set(img[r0 : r0 + 8, c0 : c0 + 8].flat) == {_flat_value(d)}, i
+
+
+def test_many_blocks_pseudorandom_roundtrip():
+    """64 blocks with seeded DCs (FF-stuffing and long runs occur
+    naturally); every block must land flat at its arithmetic value."""
+    import random
+
+    rng = random.Random(42)
+    dcs = [rng.randint(-47, 47) for _ in range(64)]
+    jp = make_jpeg([_dc_block(d) for d in dcs], blocks_w=8)
+    w, h, y = decode_jpeg_luma(jp)
+    img = np.frombuffer(bytes(y), dtype=np.uint8).reshape(64, 64)
+    for i, d in enumerate(dcs):
+        r0, c0 = (i // 8) * 8, (i % 8) * 8
+        assert set(img[r0 : r0 + 8, c0 : c0 + 8].flat) == {_flat_value(d)}, i
+
+
+def test_progressive_and_garbage_raise():
+    blk = _dc_block(10)
+    jp = bytearray(make_jpeg([blk], blocks_w=1))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 1] = 0xC2  # flip to progressive
+    with pytest.raises(JPEGError, match="progressive"):
+        decode_jpeg_luma(bytes(jp))
+    with pytest.raises(JPEGError):
+        decode_jpeg_luma(b"\xff\xd8\xff junk not decodable")
+
+
+def test_image_features_baseline_jpeg_decode_ok_true(spark):
+    from schema_validata_spark.operators.multimodal import image_features
+
+    jp = make_jpeg([_dc_block(32)] * 4, blocks_w=2)  # flat 192
+    df = spark.createDataFrame([(1, bytearray(jp))], "id long, payload binary")
+    r = image_features(df, "payload", ["id"], strict=True).collect()[0]
+    assert r["decode_ok"] is True
+    assert r["width"] == 16 and r["height"] == 16
+    assert abs(r["mean_luma"] - 192 / 255) < 1e-9
