@@ -1,8 +1,11 @@
 """Two-size scaling smoke for the content-length-sensitive text /
 curation operators (round-4 VERDICT #5): `script_counts`,
-`dedup_lines`, `cc_counts` (Luhn), `scrub_pii` + `pii_counts`, and the
-round-4 `lang_id_ngram` — the regex/HOF-heavy ops whose cost the sf0.1
-oracle corpus (5k docs) cannot characterize.
+`dedup_lines`, `cc_counts` (Luhn), `scrub_pii` + `pii_counts`, the
+round-4 `lang_id_ngram`, and (round-5, VERDICT r4 #8) the round-4
+operators `code_quality_flags`+`secret_counts`, `url_hosts`+
+`host_blocked`, `top_ngram_stats`, and `snapshot_delta` — the
+regex/HOF-heavy ops whose cost the sf0.1 oracle corpus (5k docs)
+cannot characterize.
 
 Builds a replicated synthetic corpus from the driver's sf0.1
 `documents` table at two sizes (default 200k and 2M docs — 1000× /
@@ -85,6 +88,14 @@ def build(spark, n_docs: int, src_rows: int) -> str:
         F.when(F.col("doc_id") % 5 == 0, F.lit("世界 ακμή 2024")).otherwise(
             F.lit("")
         ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("see https://example.com/p/"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit(" and http://ok.example.io/q?x=1"),
+            ),
+        ).otherwise(F.lit("")),
         first_line,  # second copy -> dedup_lines always removes one
     )
     df.select("doc_id", t.alias("text")).repartition(32).write.mode(
@@ -99,17 +110,27 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
+    from schema_validata_spark.operators.code_quality import (
+        code_quality_flags,
+        secret_counts,
+    )
     from schema_validata_spark.operators.curation import (
         cc_counts,
+        host_blocked,
         pii_counts,
         scrub_pii,
+        url_hosts,
     )
+    from schema_validata_spark.operators.delta import snapshot_delta
     from schema_validata_spark.operators.langid import lang_id_ngram
     from schema_validata_spark.operators.text import (
         SCRIPT_BLOCKS,
         dedup_lines,
         script_counts,
+        top_ngram_stats,
     )
+
+    _BLOCKLIST = ["example.com", "spam.example.net", "tracker.example.org"]
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -157,12 +178,58 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # ---- round-5 additions: the round-4 operators (VERDICT r4 #8) ----
+    def op_code_quality(df):
+        q = code_quality_flags("text").alias("q")
+        s = secret_counts("text").alias("s")
+        return df.select(q, s).agg(
+            F.sum(F.col("q.low_alpha").cast("long")).alias("low_alpha"),
+            F.sum(F.col("q.autogen").cast("long")).alias("autogen"),
+            F.sum(F.col("q.has_secret").cast("long")).alias("has_secret"),
+            F.sum("s.aws_key").alias("aws_keys"),
+        )
+
+    def op_url_blocklist(df):
+        hosts = url_hosts("text").alias("h")
+        return df.select(
+            hosts, host_blocked("text", _BLOCKLIST).alias("b")
+        ).agg(
+            F.sum(F.size("h")).alias("n_urls"),
+            F.sum(F.col("b").cast("long")).alias("n_blocked"),
+        )
+
+    def op_top_ngram(df):
+        t = top_ngram_stats("text", 3).alias("t")
+        return df.select(t).agg(
+            F.sum("t.count").alias("reps"),
+            F.avg("t.char_fraction").alias("frac"),
+        )
+
+    def op_snapshot_delta(df):
+        # old snapshot = every doc; new = text mutated for 1 in 13 docs
+        # plus 1-in-50 removed — diff is O(churn), the realistic shape
+        new = df.filter(F.col("doc_id") % 50 != 3).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        return (
+            snapshot_delta(new, df, ["doc_id"])
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     ops = {
         "script_counts": op_script,
         "dedup_lines": op_dedup_lines,
         "cc_luhn": op_cc,
         "pii_scrub": op_pii,
         "lang_id_ngram": op_langid,
+        "code_quality": op_code_quality,
+        "url_blocklist": op_url_blocklist,
+        "top_ngram": op_top_ngram,
+        "snapshot_delta": op_snapshot_delta,
     }
 
     out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
