@@ -1,0 +1,110 @@
+"""Stdlib-only MP4/ISO-BMFF container metadata — no sample decode.
+
+The ISO base media file format (public ISO/IEC 14496-12) is a tree of
+length-prefixed boxes: ``[size:4][type:4][payload]`` (size 1 = 64-bit
+largesize follows; size 0 = to end of file). Everything a metadata
+pipeline needs sits in ``moov``:
+
+* ``moov/mvhd`` — movie timescale + duration → duration_ms (exact);
+* ``moov/trak/tkhd`` — per-track 16.16 fixed-point width/height (the
+  video track carries non-zero dims, audio tracks zero).
+
+Mirrors sources/jpeg.py (SOF header) and sources/mp3.py (frame header):
+``media_metadata`` gets REAL duration/dimensions while frame pixel
+extraction stays an honest stub.
+"""
+
+from __future__ import annotations
+
+
+class MP4Error(ValueError):
+    """Not an ISO-BMFF stream, or corrupt/truncated box structure."""
+
+
+def is_mp4(payload: bytes) -> bool:
+    """An ISO-BMFF file starts with a box whose type is ``ftyp`` (or
+    the less common ``styp``/``moov``/``free`` for fragments)."""
+    return (
+        len(payload) >= 8
+        and payload[4:8] in (b"ftyp", b"styp", b"moov", b"free", b"moof")
+    )
+
+
+def _boxes(payload: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for sibling boxes in
+    [start, end). Raises on sizes that escape the parent."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        btype = payload[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise MP4Error("truncated largesize box")
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise MP4Error(f"corrupt box size {size} at offset {i}")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _find(payload: bytes, start: int, end: int, btype: bytes):
+    for t, b0, b1 in _boxes(payload, start, end):
+        if t == btype:
+            yield b0, b1
+
+
+def mp4_header_info(payload: bytes) -> dict:
+    """Walk the box tree and return ``{"duration_ms", "width",
+    "height", "n_tracks", "brand"}``. Raises :class:`MP4Error` when the
+    stream is not ISO-BMFF or ``moov/mvhd`` is missing/corrupt."""
+    if not is_mp4(payload):
+        raise MP4Error("not an ISO-BMFF/MP4 stream (no ftyp/moov box)")
+    end = len(payload)
+    brand = None
+    for b0, b1 in _find(payload, 0, end, b"ftyp"):
+        if b1 - b0 >= 4:
+            brand = payload[b0 : b0 + 4].decode("latin-1").strip()
+        break
+    duration_ms = None
+    width = height = 0
+    n_tracks = 0
+    found_moov = False
+    for m0, m1 in _find(payload, 0, end, b"moov"):
+        found_moov = True
+        for t, b0, b1 in _boxes(payload, m0, m1):
+            if t == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    timescale = int.from_bytes(payload[b0 + 20 : b0 + 24], "big")
+                    duration = int.from_bytes(payload[b0 + 24 : b0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(payload[b0 + 12 : b0 + 16], "big")
+                    duration = int.from_bytes(payload[b0 + 16 : b0 + 20], "big")
+                if timescale == 0:
+                    raise MP4Error("mvhd timescale is zero")
+                duration_ms = duration * 1000 // timescale
+            elif t == b"trak":
+                n_tracks += 1
+                for k0, k1 in _find(payload, b0, b1, b"tkhd"):
+                    # width/height are the LAST 8 bytes of tkhd (16.16
+                    # fixed point) in BOTH box versions — offset from
+                    # the box end is the version-independent read
+                    o = k1 - 8
+                    w = int.from_bytes(payload[o : o + 4], "big") >> 16
+                    h = int.from_bytes(payload[o + 4 : o + 8], "big") >> 16
+                    width = max(width, w)
+                    height = max(height, h)
+        break
+    if not found_moov or duration_ms is None:
+        raise MP4Error("no moov/mvhd box (fragmented or truncated stream)")
+    return {
+        "duration_ms": int(duration_ms),
+        "width": int(width),
+        "height": int(height),
+        "n_tracks": n_tracks,
+        "brand": brand,
+    }

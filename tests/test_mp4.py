@@ -1,0 +1,134 @@
+"""MP4/ISO-BMFF container metadata (round-5): box-tree walk for REAL
+duration (moov/mvhd) and track dimensions (trak/tkhd), plus the new
+media_metadata operator that builds MEDIA_META_SCHEMA from raw payload
+headers across all five supported containers."""
+
+import pytest
+
+from schema_validata_spark.sources.mp4 import (
+    MP4Error,
+    is_mp4,
+    mp4_header_info,
+)
+
+
+def _box(t: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + t + body
+
+
+def _mvhd(timescale=1000, duration=5000, version=0) -> bytes:
+    if version == 1:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16
+        body += timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        body += b"\x00" * 80
+    else:
+        body = bytes(4) + b"\x00" * 8
+        body += timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        body += b"\x00" * 80
+    return _box(b"mvhd", body)
+
+
+def _trak(width=0, height=0) -> bytes:
+    # version-0 tkhd: 4 (ver/flags) + 20 + 8 + 8 + 36 matrix = 76, then
+    # width/height 16.16 fixed — the LAST 8 bytes
+    body = bytes(4) + b"\x00" * 72
+    body += (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    return _box(b"trak", _box(b"tkhd", body))
+
+
+def _mp4(duration=5000, timescale=1000, w=640, h=360, version=0) -> bytes:
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    moov = _box(
+        b"moov",
+        _mvhd(timescale, duration, version) + _trak(w, h) + _trak(0, 0),
+    )
+    mdat = _box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_mp4_header_info_v0():
+    info = mp4_header_info(_mp4())
+    assert info["duration_ms"] == 5000
+    assert info["width"] == 640 and info["height"] == 360
+    assert info["n_tracks"] == 2
+    assert info["brand"] == "isom"
+    assert is_mp4(_mp4())
+
+
+def test_mp4_header_info_v1_64bit_duration():
+    # 90 kHz timescale (broadcast convention), 64-bit duration field
+    info = mp4_header_info(_mp4(duration=90_000 * 123, timescale=90_000,
+                                version=1))
+    assert info["duration_ms"] == 123_000
+
+
+def test_mp4_corrupt_and_non_mp4_raise():
+    assert not is_mp4(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(MP4Error):
+        mp4_header_info(b"RIFF....WAVE")
+    with pytest.raises(MP4Error):  # ftyp but no moov
+        mp4_header_info(_box(b"ftyp", b"isom") + _box(b"mdat", b"x"))
+    bad = bytearray(_mp4())
+    bad[0:4] = (10 ** 9).to_bytes(4, "big")  # box size escapes file
+    with pytest.raises(MP4Error):
+        mp4_header_info(bytes(bad))
+    with pytest.raises(MP4Error):  # zero timescale
+        mp4_header_info(_mp4(timescale=0))
+
+
+def test_media_metadata_all_containers(spark):
+    """media_metadata sniffs all five containers and fills the struct
+    with REAL header values; frame_sample_plan then runs off the real
+    MP4 duration."""
+    import io
+    import sys
+    import wave as wv
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_jpeg_decode import _dc_block, make_jpeg
+    from test_mp3 import _cbr
+
+    from schema_validata_spark.operators.multimodal import (
+        frame_sample_plan,
+        media_metadata,
+    )
+    from schema_validata_spark.sources.png import encode_png
+
+    png = encode_png(3, 2, bytes(3 * 2 * 3), "RGB")
+    jpg = make_jpeg([_dc_block(0)], blocks_w=1)
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframesraw(b"\x00\x00" * 2000)
+    rows = [
+        (1, bytearray(png)), (2, bytearray(jpg)),
+        (3, bytearray(buf.getvalue())), (4, bytearray(_cbr(38))),
+        (5, bytearray(_mp4(duration=2500))), (6, bytearray(b"??random")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r["media_meta"]
+        for r in media_metadata(df, "payload", ["media_id"]).collect()
+    }
+    assert out[1]["media_type"] == "image" and out[1]["width"] == 3
+    assert out[2]["format"] == "jpeg" and out[2]["height"] == 8
+    assert out[3]["media_type"] == "audio" and out[3]["duration_ms"] == 250
+    assert out[4]["format"] == "mp3" and out[4]["sample_rate"] == 44100
+    assert out[5]["media_type"] == "video" and out[5]["duration_ms"] == 2500
+    assert out[5]["width"] == 640
+    assert out[6]["media_type"] is None  # unknown: honest NULLs
+    assert out[7] is None                # NULL payload
+
+    # real duration drives the frame-sampling plan: 2500 ms @ 1000 ms
+    frames = (
+        frame_sample_plan(
+            media_metadata(df, "payload", ["media_id"]), "payload",
+            ["media_id"], every_ms=1000,
+        )
+        .filter("media_id = 5")
+        .collect()
+    )
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
