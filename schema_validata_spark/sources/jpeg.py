@@ -1,17 +1,21 @@
-"""Stdlib-only JPEG header metadata (no pixel decode).
+"""From-scratch JPEG codec surface: header metadata + huffman-DCT
+LUMA decode, stdlib + numpy only (public ITU-T T.81 spec).
 
-A full JPEG decoder needs an entropy/DCT codec library that is not in
-this container, but the HEADER is plain marker soup defined by the
-public ITU-T T.81 spec: segments are ``FF xx`` markers followed (for
-most markers) by a 2-byte big-endian length that includes itself. The
-frame header (SOF0 baseline, SOF2 progressive, and the other SOFn
-variants) carries ``[precision:1][height:2][width:2][n_components:1]``
-— everything a metadata pipeline needs (dimensions, channel count,
-progressive flag) without decoding a single pixel.
+* :func:`jpeg_header_info` — marker-soup scan to the SOFn frame header
+  (``[precision:1][height:2][width:2][n_components:1]``): dimensions,
+  channel count, progressive flag, no pixel work.
+* :func:`decode_jpeg_luma` — REAL pixel decode of the Y plane for
+  baseline (SOF0), extended sequential (SOF1) and progressive (SOF2,
+  spectral selection + successive approximation) huffman frames:
+  canonical huffman tables, FF-stuffing bit reader, restart-marker
+  resync, zigzag + dequant, batched orthonormal IDCT. Chroma blocks
+  are entropy-advanced but never transformed, and progressive
+  chroma-only scans are skipped whole — mean-luma / average-hash are
+  functions of Y alone, and JPEG's Y IS Rec.601 luma.
 
-Mirrors ``sources/png.py``'s role for PNG, but deliberately stops at
-the header: ``image_features`` marks JPEG pixel stats as fake/stubbed
-(``decode_ok`` stays False) while returning REAL width/height.
+Mirrors ``sources/png.py``'s role for PNG. Arithmetic-coded, 12-bit,
+lossless and hierarchical frames raise (honest boundary —
+``image_features`` falls back to header-only metadata there).
 """
 
 from __future__ import annotations
@@ -87,16 +91,11 @@ def jpeg_header_info(payload: bytes) -> dict:
 
 
 # --------------------------------------------------------------------
-# Baseline pixel decode (round-5): huffman + dequant + IDCT for the
-# LUMA plane — from the public ITU-T T.81 spec, stdlib + numpy only
-# (same pattern as sources/png.py's from-scratch zlib/filter decode).
-# SOF0 (baseline) and SOF1 (extended sequential, 8-bit huffman) decode;
-# progressive (SOF2) and arithmetic-coded frames stay honest raises —
-# image_features keeps decode_ok=False for those with header-only
-# metadata. Chroma blocks are entropy-decoded (the interleaved MCU
-# stream cannot be skipped) but not inverse-transformed: the stats the
-# pipeline needs (mean luma, average-hash) are functions of Y alone,
-# and JPEG's Y IS the Rec.601 luma the PNG path computes from RGB.
+# Pixel decode (round-5): huffman + dequant + IDCT for the LUMA plane,
+# from the public ITU-T T.81 spec, stdlib + numpy only (same pattern
+# as sources/png.py's from-scratch zlib/filter decode). Sequential
+# (SOF0/SOF1) and progressive (SOF2) huffman frames decode; see the
+# module docstring for the honest-raise boundary.
 # --------------------------------------------------------------------
 
 
@@ -219,39 +218,10 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_block(reader, dc_table, ac_table, qt, pred: int):
-    """One 8x8 block: huffman-decode DC diff + run-length AC, dequantize
-    into NATURAL order. Returns (coefficients list[64], new DC pred).
-    Pass qt=None to entropy-advance only (chroma)."""
-    t = _huff_decode(reader, dc_table)
-    pred = pred + _extend(reader.receive(t), t)
-    coef = None
-    if qt is not None:
-        coef = [0] * 64
-        coef[0] = pred * qt[0]
-    k = 1
-    while k < 64:
-        rs = _huff_decode(reader, ac_table)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise JPEGError("AC coefficient index overflow")
-        v = _extend(reader.receive(s), s)
-        if coef is not None:
-            coef[_ZZ[k]] = v * qt[k]
-        k += 1
-    return coef, pred
-
-
 def _idct_batch(blocks):
-    """Inverse 8x8 DCT-III over an (n, 64) natural-order coefficient
-    array -> (n, 8, 8) spatial samples (float). Orthonormal basis per
-    T.81 A.3.3: s(x,y) = sum C(u)C(v)/4 * F(u,v) cos((2x+1)u*pi/16)..."""
+    """Inverse 8x8 DCT over an (n, 64) natural-order coefficient array
+    -> (n, 8, 8) spatial samples (float). Orthonormal basis per T.81
+    A.3.3: s(x,y) = sum C(u)C(v)/4 * F(u,v) cos((2x+1)u*pi/16)..."""
     import math
 
     import numpy as np
@@ -271,23 +241,164 @@ def _idct_batch(blocks):
     return np.einsum("ux,nuv,vy->nxy", c, f, c)
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Offset of the next REAL marker (skips stuffed FF00, fill FFs and
+    restart markers) at or after ``pos``."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            b = payload[pos + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                pos += 2
+                continue
+            if b == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "bw", "bh", "coefs", "want")
+
+    def __init__(self, cid, h, v, tq):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+
+
+def _decode_seq_block(reader, dc_t, ac_t, pred, coef):
+    """Sequential (baseline) block: DC diff + run-length AC into RAW
+    natural-order coefficients (dequant happens once at the end).
+    ``coef=None`` entropy-advances without storing (chroma)."""
+    t = _huff_decode(reader, dc_t)
+    pred = pred + _extend(reader.receive(t), t)
+    if coef is not None:
+        coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JPEGError("AC coefficient index overflow")
+        v = _extend(reader.receive(s), s)
+        if coef is not None:
+            coef[_ZZ[k]] = v
+        k += 1
+    return pred
+
+
+def _ac_first_block(reader, ac_t, coef, ss, se, al, eobrun):
+    """Progressive AC initial scan (T.81 G.1.2.2) for one block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JPEGError("AC index overflow in progressive scan")
+        if coef is not None:
+            coef[_ZZ[k]] = _extend(reader.receive(s), s) << al
+        else:
+            reader.receive(s)
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_t, coef, ss, se, al, eobrun):
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction
+    bit per already-nonzero coefficient, new ±1<<Al coefficients placed
+    at zero-history positions. Mirrors the spec's coding model; the
+    bit-OR/& tests work identically on Python's two's-complement ints."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine(idx):
+        if reader.read_bit() and (coef[idx] & p1) == 0:
+            coef[idx] += p1 if coef[idx] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: skip 16 ZERO-HISTORY positions
+            else:
+                if s != 1:
+                    raise JPEGError("invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                idx = _ZZ[k]
+                if coef[idx] != 0:
+                    refine(idx)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[idx] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = _ZZ[k]
+            if coef[idx] != 0:
+                refine(idx)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_luma(payload: bytes) -> tuple:
-    """Decode the LUMA (Y) plane of a baseline huffman JPEG: returns
-    ``(width, height, bytearray)`` — row-major 8-bit Y samples, exactly
+    """Decode the LUMA (Y) plane of a huffman JPEG — baseline (SOF0),
+    extended sequential (SOF1) AND progressive (SOF2, spectral
+    selection + successive approximation, round-5) — returning
+    ``(width, height, bytearray)``: row-major 8-bit Y samples, exactly
     what :func:`sources.png.luma_and_ahash` consumes as mode ``"L"``.
 
-    Raises :class:`JPEGError` for progressive / arithmetic / 12-bit /
-    hierarchical frames (honest stub boundary — ``image_features``
-    falls back to header-only metadata there)."""
+    Y-plane focus is the deliberate scale trade: chroma blocks in
+    interleaved scans are entropy-advanced (the MCU stream requires
+    it) but never inverse-transformed, and progressive chroma-only AC
+    scans are SKIPPED whole (each scan's entropy segment is
+    independent). JPEG's Y is the Rec.601 luma the stats pipeline
+    needs. Raises :class:`JPEGError` for arithmetic-coded / 12-bit /
+    hierarchical / lossless frames."""
+    import numpy as np
+
     if not is_jpeg(payload):
         raise JPEGError("not a JPEG (missing FF D8 FF SOI magic)")
     n = len(payload)
     i = 2
     qtables: dict = {}
-    htables: dict = {}  # (class, id) -> decode dict
+    htables: dict = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    comps: list = []
+    by_id: dict = {}
+    saw_scan = False
     while i + 1 < n:
         if payload[i] != 0xFF:
             raise JPEGError(f"expected marker at offset {i}")
@@ -295,6 +406,8 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
             i += 1
         marker = payload[i + 1]
         i += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in _BARE_MARKERS:
             continue
         if i + 2 > n:
@@ -303,7 +416,7 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
         if seg_len < 2 or i + seg_len > n:
             raise JPEGError(f"corrupt segment length {seg_len} at {i}")
         seg = payload[i + 2 : i + seg_len]
-        if marker == 0xDB:  # DQT — possibly several tables per segment
+        if marker == 0xDB:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
@@ -311,121 +424,206 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
                 if pq == 0:
                     qtables[tq] = list(seg[p : p + 64])
                     p += 64
-                else:  # 16-bit precision
+                else:
                     qtables[tq] = [
                         int.from_bytes(seg[p + 2 * j : p + 2 * j + 2], "big")
                         for j in range(64)
                     ]
                     p += 128
-        elif marker == 0xC4:  # DHT — possibly several tables
+        elif marker == 0xC4:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1 : p + 17])
                 cnt = sum(bits)
-                huffval = seg[p + 17 : p + 17 + cnt]
-                htables[(tc, th)] = _build_huffman(bits, huffval)
+                htables[(tc, th)] = _build_huffman(
+                    bits, seg[p + 17 : p + 17 + cnt]
+                )
                 p += 17 + cnt
         elif marker in _SOF_MARKERS:
-            if marker not in (0xC0, 0xC1):
-                kind = (
-                    "progressive" if marker in _PROGRESSIVE
-                    else f"SOF{marker - 0xC0}"
-                )
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise JPEGError(
-                    f"{kind} JPEG: only baseline/extended-sequential "
-                    "huffman frames decode (header metadata still "
-                    "available via jpeg_header_info)"
+                    f"SOF{marker - 0xC0} frame (arithmetic/lossless/"
+                    "hierarchical): only huffman DCT frames decode"
                 )
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise JPEGError(f"unsupported sample precision {seg[0]}")
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
-            ncomp = seg[5]
-            comps = []
-            for ci in range(ncomp):
+            if width == 0 or height == 0:
+                raise JPEGError("zero-dimension frame")
+            for ci in range(seg[5]):
                 o = 6 + 3 * ci
                 comps.append(
-                    {"id": seg[o], "h": seg[o + 1] >> 4,
-                     "v": seg[o + 1] & 0xF, "tq": seg[o + 2]}
+                    _Component(seg[o], seg[o + 1] >> 4, seg[o + 1] & 0xF,
+                               seg[o + 2])
                 )
-            frame = {"width": width, "height": height, "comps": comps}
-        elif marker == 0xDD:  # DRI
+            if not all(c.h >= 1 and c.v >= 1 for c in comps):
+                raise JPEGError("corrupt sampling factors")
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for idx, c in enumerate(comps):
+                c.want = idx == 0  # Y is first (T.81 component order)
+                # MCU-padded block grid (interleaved scans touch the
+                # padding blocks; non-interleaved scans a sub-rectangle)
+                c.bw = mcux * c.h
+                c.bh = mcuy * c.v
+                c.coefs = (
+                    [[0] * 64 for _ in range(c.bw * c.bh)] if c.want else None
+                )
+                by_id[c.cid] = c
+            frame = (width, height, hmax, vmax, mcux, mcuy)
+        elif marker == 0xDD:
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:
             if frame is None:
                 raise JPEGError("reached SOS without a SOF frame header")
+            width, height, hmax, vmax, mcux, mcuy = frame
             ns = seg[0]
-            sel = {}
+            scomps = []
             for si in range(ns):
-                cs = seg[1 + 2 * si]
-                sel[cs] = (seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0xF)
-            scan = {"sel": sel, "data_at": i + seg_len}
-            break
-        i += seg_len
-    if scan is None:
-        raise JPEGError("no SOS scan in stream")
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not all(c["h"] >= 1 and c["v"] >= 1 for c in comps):
-        raise JPEGError("corrupt sampling factors")
-    w, h = frame["width"], frame["height"]
-    if w == 0 or h == 0:
-        raise JPEGError("zero-dimension frame")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    luma = comps[0]  # first component is Y (T.81 orders Y first)
-    if luma["tq"] not in qtables:
-        raise JPEGError("missing quantization table for luma")
-    reader = _BitReader(payload, scan["data_at"])
-    preds = {c["id"]: 0 for c in comps}
-    y_blocks = []  # (block_row, block_col, coef[64])
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_index > 0
-                and mcu_index % restart_interval == 0
-            ):
-                reader.restart()
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                td, ta = scan["sel"][c["id"]]
-                dc_t = htables.get((0, td))
+                c = by_id.get(seg[1 + 2 * si])
+                if c is None:
+                    raise JPEGError("scan references unknown component")
+                scomps.append((c, seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            data_at = i + seg_len
+            saw_scan = True
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if not any(c.want for c, _td, _ta in scomps):
+                i = _next_marker(payload, data_at)  # chroma-only: skip
+                continue
+            reader = _BitReader(payload, data_at)
+            preds = {c.cid: 0 for c, _t, _a in scomps}
+            eobrun = 0
+            if len(scomps) > 1 or not progressive:
+                # interleaved MCU scan (all sequential scans; progressive
+                # DC scans). Progressive requires Ss=0 here (T.81 G.1.1.1)
+                if progressive and ss != 0:
+                    raise JPEGError("interleaved progressive AC scan")
+                mcu_index = 0
+                for _my in range(mcuy):
+                    for _mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_index > 0
+                            and mcu_index % restart_interval == 0
+                        ):
+                            reader.restart()
+                            preds = {c.cid: 0 for c, _t, _a in scomps}
+                            eobrun = 0
+                        for c, td, ta in scomps:
+                            for bv in range(c.v):
+                                for bh in range(c.h):
+                                    row = (_my * c.v + bv) * c.bw
+                                    coef = (
+                                        c.coefs[row + _mx * c.h + bh]
+                                        if c.want else None
+                                    )
+                                    if not progressive:
+                                        dc_t = htables.get((0, td))
+                                        ac_t = htables.get((1, ta))
+                                        if dc_t is None or ac_t is None:
+                                            raise JPEGError(
+                                                "missing huffman table"
+                                            )
+                                        preds[c.cid] = _decode_seq_block(
+                                            reader, dc_t, ac_t,
+                                            preds[c.cid], coef,
+                                        )
+                                    elif ah == 0:  # DC initial
+                                        dc_t = htables.get((0, td))
+                                        if dc_t is None:
+                                            raise JPEGError(
+                                                "missing huffman table"
+                                            )
+                                        t = _huff_decode(reader, dc_t)
+                                        preds[c.cid] += _extend(
+                                            reader.receive(t), t
+                                        )
+                                        if coef is not None:
+                                            coef[0] = preds[c.cid] << al
+                                    else:  # DC refinement: 1 bit/block
+                                        bit = reader.read_bit()
+                                        if coef is not None and bit:
+                                            coef[0] |= 1 << al
+                        mcu_index += 1
+            else:
+                # non-interleaved progressive scan: raster over the
+                # component's OWN block rectangle (T.81 A.2.2 — the
+                # un-padded ceil(comp_size/8) grid)
+                c, td, ta = scomps[0]
+                comp_w = -(-width * c.h // hmax)   # ceil: component px
+                comp_h = -(-height * c.v // vmax)
+                nbw = -(-comp_w // 8)              # ceil: block grid
+                nbh = -(-comp_h // 8)
                 ac_t = htables.get((1, ta))
-                if dc_t is None or ac_t is None:
-                    raise JPEGError("missing huffman table")
-                is_y = c is luma
-                qt = qtables[c["tq"]] if is_y else None
-                for bv in range(c["v"]):
-                    for bh in range(c["h"]):
-                        coef, preds[c["id"]] = _decode_block(
-                            reader, dc_t, ac_t, qt, preds[c["id"]]
-                        )
-                        if is_y:
-                            y_blocks.append(
-                                (my * c["v"] + bv, mx * c["h"] + bh, coef)
-                            )
-            mcu_index += 1
-    import numpy as np
-
-    spatial = np.rint(_idct_batch([b[2] for b in y_blocks]) + 128.0)
+                dc_t = htables.get((0, td))
+                blk = 0
+                for br in range(nbh):
+                    for bc in range(nbw):
+                        if (
+                            restart_interval
+                            and blk > 0
+                            and blk % restart_interval == 0
+                        ):
+                            reader.restart()
+                            preds[c.cid] = 0
+                            eobrun = 0
+                        coef = c.coefs[br * c.bw + bc] if c.want else None
+                        if ss == 0:  # non-interleaved DC scan
+                            if ah == 0:
+                                if dc_t is None:
+                                    raise JPEGError("missing huffman table")
+                                t = _huff_decode(reader, dc_t)
+                                preds[c.cid] += _extend(reader.receive(t), t)
+                                if coef is not None:
+                                    coef[0] = preds[c.cid] << al
+                            else:
+                                bit = reader.read_bit()
+                                if coef is not None and bit:
+                                    coef[0] |= 1 << al
+                        else:
+                            if ac_t is None:
+                                raise JPEGError("missing huffman table")
+                            if ah == 0:
+                                eobrun = _ac_first_block(
+                                    reader, ac_t, coef, ss, se, al, eobrun
+                                )
+                            else:
+                                eobrun = _ac_refine_block(
+                                    reader, ac_t, coef, ss, se, al, eobrun
+                                )
+                        blk += 1
+            i = _next_marker(payload, reader.pos)
+            continue
+        i += seg_len
+    if frame is None or not saw_scan:
+        raise JPEGError("no SOS scan in stream")
+    width, height, hmax, vmax, mcux, mcuy = frame
+    luma = comps[0]
+    qt = qtables.get(luma.tq)
+    if qt is None:
+        raise JPEGError("missing quantization table for luma")
+    q_nat = [0] * 64
+    for k in range(64):
+        q_nat[_ZZ[k]] = qt[k]
+    raw = np.asarray(luma.coefs, dtype=np.float64) * np.asarray(q_nat)
+    spatial = np.rint(_idct_batch(raw) + 128.0)
     np.clip(spatial, 0, 255, out=spatial)
     spatial = spatial.astype(np.uint8)
-    # assemble the Y grid, then scale to FRAME pixels if Y is subsampled
-    # (rare — Y is normally full resolution) and crop to (h, w)
-    gy, gx = mcuy * luma["v"], mcux * luma["h"]
-    plane = np.zeros((gy * 8, gx * 8), dtype=np.uint8)
-    for (br, bc, _), blk in zip(y_blocks, spatial):
-        plane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = blk
-    if luma["h"] != hmax or luma["v"] != vmax:
-        # nearest-neighbour expand Y to frame resolution
+    plane = np.zeros((luma.bh * 8, luma.bw * 8), dtype=np.uint8)
+    for bi in range(luma.bh * luma.bw):
+        br, bc = divmod(bi, luma.bw)
+        plane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = spatial[bi]
+    if luma.h != hmax or luma.v != vmax:
         plane = np.repeat(
-            np.repeat(plane, vmax // luma["v"], axis=0),
-            hmax // luma["h"],
-            axis=1,
+            np.repeat(plane, vmax // luma.v, axis=0), hmax // luma.h, axis=1
         )
-    plane = plane[:h, :w]
-    return w, h, bytearray(plane.tobytes())
+    plane = plane[:height, :width]
+    return width, height, bytearray(plane.tobytes())

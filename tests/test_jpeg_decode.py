@@ -21,12 +21,15 @@ from schema_validata_spark.sources.jpeg import (
 
 # ------------------------------------------------ tiny T.81 encoder
 
-#: 12 DC categories / 12 AC symbols, all at code length 5 (canonical,
-#: max code 11 — the reserved all-ones code is never assigned)
+#: 12 DC categories at code length 5; AC: EOB, ZRL and every
+#: (run 0–15, size 1–6) combination at code length 7 (98 codes — the
+#: reserved all-ones code is never assigned in either table)
 _DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
 _DC_VALS = bytes(range(12))
-_AC_BITS = [0, 0, 0, 0, 12] + [0] * 11
-_AC_VALS = bytes([0x00] + list(range(0x01, 0x0B)) + [0xF0])
+_AC_BITS = [0, 0, 0, 0, 0, 0, 98] + [0] * 9
+_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 7)]
+)
 
 
 def _codes(bits, vals):
@@ -269,15 +272,307 @@ def test_many_blocks_pseudorandom_roundtrip():
         assert set(img[r0 : r0 + 8, c0 : c0 + 8].flat) == {_flat_value(d)}, i
 
 
-def test_progressive_and_garbage_raise():
+def test_unsupported_frames_and_garbage_raise():
     blk = _dc_block(10)
     jp = bytearray(make_jpeg([blk], blocks_w=1))
     sof = jp.index(b"\xff\xc0")
-    jp[sof + 1] = 0xC2  # flip to progressive
-    with pytest.raises(JPEGError, match="progressive"):
+    jp[sof + 1] = 0xC9  # arithmetic-coded sequential
+    with pytest.raises(JPEGError, match="huffman"):
         decode_jpeg_luma(bytes(jp))
     with pytest.raises(JPEGError):
         decode_jpeg_luma(b"\xff\xd8\xff junk not decodable")
+
+
+# ------------------------------------------- progressive (SOF2) tests
+
+def _prog_headers(blocks_w, blocks_h, q=16, color=False):
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, b"\x00" + bytes([q] * 64))
+    if color:
+        comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        ncomp = 3
+    else:
+        comps = bytes([1, 0x11, 0])
+        ncomp = 1
+    head += _seg(
+        0xC2,
+        b"\x08" + (blocks_h * 8).to_bytes(2, "big")
+        + (blocks_w * 8).to_bytes(2, "big") + bytes([ncomp]) + comps,
+    )
+    head += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + _DC_VALS)
+    head += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + _AC_VALS)
+    return head, ncomp
+
+
+def _sos(comp_specs, ss, se, ah, al):
+    body = bytes([len(comp_specs)])
+    for cid in comp_specs:
+        body += bytes([cid, 0x00])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _dc_scan(blocks, al, writer):
+    pred = 0
+    for blk in blocks:
+        val = blk[0] >> al  # DC point transform is an ARITHMETIC shift
+        diff = val - pred
+        pred = val
+        t = abs(diff).bit_length()
+        writer.bits(*_DC_CODES[t])
+        if t:
+            writer.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    writer.align()
+
+
+def _dc_refine_scan(blocks, al, writer):
+    for blk in blocks:
+        # two's-complement bit at position al (matches the decoder's
+        # coef |= 1<<al on the arithmetically-shifted first pass)
+        writer.bits((blk[0] >> al) & 1, 1)
+    writer.align()
+
+
+def _ac_first_scan(blocks, ss, se, al, writer):
+    """AC initial progressive scan: magnitudes point-transformed by Al,
+    EOB for each trailing-zero block run (simple eobrun=1 form)."""
+    for blk in blocks:
+        shifted = [
+            (abs(blk[k]) >> al) * (1 if blk[k] >= 0 else -1)
+            for k in range(64)
+        ]
+        nz = [k for k in range(ss, se + 1) if shifted[k]]
+        run = 0
+        k = ss
+        for k_nz in nz:
+            run = 0
+            while k < k_nz:
+                if shifted[k] == 0:
+                    run += 1
+                k += 1
+            while run > 15:
+                writer.bits(*_AC_CODES[0xF0])
+                run -= 16
+            v = shifted[k_nz]
+            s = abs(v).bit_length()
+            writer.bits(*_AC_CODES[(run << 4) | s])
+            writer.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            k = k_nz + 1
+        if not nz or (nz and nz[-1] < se):
+            writer.bits(*_AC_CODES[0x00])  # EOB (run length 1)
+    writer.align()
+
+
+def _ac_refine_scan(blocks, ss, se, ah, al, writer):
+    """AC refinement scan (T.81 G.1.2.3 encoder side): correction bits
+    for history-nonzero coefficients, run-coded ±1 newly-significant
+    ones, buffered corrections interleaved exactly where the decoder
+    consumes them."""
+    assert ah == al + 1
+    for blk in blocks:
+        hist = [(abs(blk[k]) >> ah) != 0 for k in range(64)]
+        newsig = [
+            not hist[k] and (abs(blk[k]) >> al) != 0 for k in range(64)
+        ]
+        corr = [(abs(blk[k]) >> al) & 1 for k in range(64)]
+        k = ss
+        pending = []  # correction bits passed during the current run
+        run = 0
+        while k <= se:
+            if newsig[k]:
+                writer.bits(*_AC_CODES[(run << 4) | 1])
+                writer.bits(1 if blk[k] > 0 else 0, 1)
+                for b in pending:
+                    writer.bits(b, 1)
+                pending = []
+                run = 0
+            elif hist[k]:
+                pending.append(corr[k])
+            else:
+                run += 1
+                if run == 16:
+                    writer.bits(*_AC_CODES[0xF0])
+                    for b in pending:
+                        writer.bits(b, 1)
+                    pending = []
+                    run = 0
+            k += 1
+        # EOB: no more new coefficients; decoder then refines every
+        # remaining history coefficient — emit those bits after the code
+        writer.bits(*_AC_CODES[0x00])
+        for b in pending:
+            writer.bits(b, 1)
+    writer.align()
+
+
+def _zz_natural(k):
+    """zigzag index k -> natural index (mirror of the decoder's table,
+    regenerated here independently)."""
+    order = []
+    x = y = 0
+    for _ in range(64):
+        order.append(y * 8 + x)
+        if (x + y) % 2 == 0:
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x, y = x + 1, y - 1
+        else:
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x, y = x - 1, y + 1
+    return order[k]
+
+
+def _expected_pixels(zz_blocks, blocks_w, q=16):
+    """Direct cosine-sum IDCT of the TRUE (un-split) coefficients."""
+    n = len(zz_blocks)
+    blocks_h = n // blocks_w
+    img = np.zeros((blocks_h * 8, blocks_w * 8), dtype=np.uint8)
+
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    for i, blk in enumerate(zz_blocks):
+        F = np.zeros((8, 8))
+        for k in range(64):
+            if blk[k]:
+                nat = _zz_natural(k)
+                F[nat // 8, nat % 8] = blk[k] * q
+        sp = np.zeros((8, 8))
+        for x in range(8):
+            for yy in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            c(u) * c(v) / 4 * F[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * yy + 1) * v * math.pi / 16)
+                        )
+                sp[x, yy] = min(255, max(0, round(s + 128)))
+        r0, c0 = (i // blocks_w) * 8, (i % blocks_w) * 8
+        img[r0 : r0 + 8, c0 : c0 + 8] = sp.astype(np.uint8)
+    return img
+
+
+def test_progressive_spectral_selection():
+    """DC scan + one AC scan (Al=0): scan accumulation + EOBRUN +
+    non-interleaved raster order."""
+    blocks = []
+    for i, d in enumerate((32, 0, -16, 8)):
+        b = _dc_block(d)
+        if i == 0:
+            b[1], b[5] = 6, -4
+        if i == 2:
+            b[3] = 12
+        blocks.append(b)
+    head, _ = _prog_headers(2, 2)
+    w = _Writer()
+    _dc_scan(blocks, 0, w)
+    scan1 = _sos([1], 0, 0, 0, 0) + bytes(w.out)
+    w = _Writer()
+    _ac_first_scan(blocks, 1, 63, 0, w)
+    scan2 = _sos([1], 1, 63, 0, 0) + bytes(w.out)
+    jp = bytes(head) + scan1 + scan2 + b"\xff\xd9"
+    assert jpeg_header_info(jp)["progressive"] is True
+    width, height, y = decode_jpeg_luma(jp)
+    got = np.frombuffer(bytes(y), dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(got, _expected_pixels(blocks, 2))
+
+
+def test_progressive_successive_approximation():
+    """Full 4-scan ladder: DC@Al=1 -> DC refine; AC@Al=1 -> AC refine
+    (newly-significant ±1 coefficients, buffered correction bits,
+    negative values) — decoded pixels equal the direct IDCT of the
+    TRUE coefficient values."""
+    blk = _dc_block(21)          # odd DC: refine bit matters
+    blk[1] = 6                   # history coef, correction bit 0
+    blk[2] = 3                   # history coef, correction bit 1
+    blk[3] = 1                   # newly significant in refine (+)
+    blk[9] = -1                  # newly significant in refine (-)
+    blk[11] = -5                 # negative history coef
+    blocks = [blk]
+    head, _ = _prog_headers(1, 1)
+    parts = [bytes(head)]
+    w = _Writer()
+    _dc_scan(blocks, 1, w)
+    parts.append(_sos([1], 0, 0, 0, 1) + bytes(w.out))
+    w = _Writer()
+    _dc_refine_scan(blocks, 0, w)
+    parts.append(_sos([1], 0, 0, 1, 0) + bytes(w.out))
+    w = _Writer()
+    _ac_first_scan(blocks, 1, 63, 1, w)
+    parts.append(_sos([1], 1, 63, 0, 1) + bytes(w.out))
+    w = _Writer()
+    _ac_refine_scan(blocks, 1, 63, 1, 0, w)
+    parts.append(_sos([1], 1, 63, 1, 0) + bytes(w.out))
+    jp = b"".join(parts) + b"\xff\xd9"
+    width, height, y = decode_jpeg_luma(jp)
+    got = np.frombuffer(bytes(y), dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(got, _expected_pixels(blocks, 1))
+
+
+def test_progressive_color_chroma_scans_skipped():
+    """Interleaved DC scan over 3 components (4:2:0), then an AC scan
+    for Y and an AC scan for each chroma component with NONZERO chroma
+    coefficients — the decoder must skip the chroma scans whole and
+    still land the Y values exactly."""
+    dcs = [32, 0, -32, 16]
+    y_blocks = [_dc_block(d) for d in dcs]
+    y_blocks[0][1] = 5
+    head, _ = _prog_headers(2, 2, color=True)
+    # interleaved DC first scan: MCU = 4 Y blocks + 1 Cb + 1 Cr
+    w = _Writer()
+    preds = [0, 0, 0]
+    order = [(0, y_blocks[0]), (0, y_blocks[1]), (0, y_blocks[2]),
+             (0, y_blocks[3]), (1, _dc_block(4)), (2, _dc_block(-4))]
+    for ci, blk in order:
+        diff = blk[0] - preds[ci]
+        preds[ci] = blk[0]
+        t = abs(diff).bit_length()
+        w.bits(*_DC_CODES[t])
+        if t:
+            w.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w.align()
+    parts = [bytes(head), _sos([1, 2, 3], 0, 0, 0, 0) + bytes(w.out)]
+    w = _Writer()
+    _ac_first_scan(y_blocks, 1, 63, 0, w)
+    parts.append(_sos([1], 1, 63, 0, 0) + bytes(w.out))
+    cb = _dc_block(0)
+    cb[2] = 9  # nonzero chroma AC content the decoder must NOT trip on
+    for cid in (2, 3):
+        w = _Writer()
+        _ac_first_scan([cb], 1, 63, 0, w)
+        parts.append(_sos([cid], 1, 63, 0, 0) + bytes(w.out))
+    jp = b"".join(parts) + b"\xff\xd9"
+    width, height, y = decode_jpeg_luma(jp)
+    assert (width, height) == (16, 16)
+    got = np.frombuffer(bytes(y), dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(got, _expected_pixels(y_blocks, 2))
+
+
+def test_progressive_image_features_decode_ok(spark):
+    from schema_validata_spark.operators.multimodal import image_features
+
+    blocks = [_dc_block(16), _dc_block(-8), _dc_block(0), _dc_block(24)]
+    head, _ = _prog_headers(2, 2)
+    w = _Writer()
+    _dc_scan(blocks, 0, w)
+    s1 = _sos([1], 0, 0, 0, 0) + bytes(w.out)
+    w = _Writer()
+    _ac_first_scan(blocks, 1, 63, 0, w)
+    s2 = _sos([1], 1, 63, 0, 0) + bytes(w.out)
+    jp = bytes(head) + s1 + s2 + b"\xff\xd9"
+    df = spark.createDataFrame([(1, bytearray(jp))], "id long, payload binary")
+    r = image_features(df, "payload", ["id"], strict=True).collect()[0]
+    assert r["decode_ok"] is True
+    exp = _expected_pixels(blocks, 2).mean() / 255
+    assert abs(r["mean_luma"] - exp) < 1e-9
 
 
 def test_image_features_baseline_jpeg_decode_ok_true(spark):
