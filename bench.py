@@ -143,6 +143,19 @@ def main() -> None:
         fn()
         cold_times[name] = round(time.time() - t0, 3)
 
+    # One JVM GC between the cold warmup and the timed pass (round-5):
+    # the ten cold passes leave localCheckpoint blocks (the pair-budget
+    # guards' materialized indexes) whose lifetime ends only at the
+    # next JVM GC — and a 16g bench heap may simply never GC, so the
+    # timed queries pay eviction/spill churn for the warmup's garbage.
+    # Measured: embedding_near_dups 14.6 s first draw vs 7–9 s after a
+    # GC on the same session. A long-lived cluster executor collects
+    # continuously under allocation pressure; one explicit GC here puts
+    # the timed pass in that steady state. (No GC BETWEEN timed queries
+    # — each query still carries its own guard cost.)
+    spark._jvm.System.gc()
+    time.sleep(1)
+
     def timed_draw() -> tuple[dict[str, float], float]:
         """One full timed pass plus the hypervisor steal%% measured
         around it (steal must be sampled UNDER the load — an idle probe
