@@ -584,3 +584,47 @@ def test_image_features_baseline_jpeg_decode_ok_true(spark):
     assert r["decode_ok"] is True
     assert r["width"] == 16 and r["height"] == 16
     assert abs(r["mean_luma"] - 192 / 255) < 1e-9
+
+
+# --------------------------------------- real-encoder system fixtures
+
+_SYS_JPEGS = [
+    # (path, expected mean-luma window) — white-stripe images from the
+    # nodejs-doc package are REAL PROGRESSIVE streams from a standard
+    # encoder (mostly-white with a small logo), python.jpg is a real
+    # BASELINE stream (dark logo); windows are generous so re-encoded
+    # package updates keep passing while a desynced huffman stream
+    # (which produces noise ~0.5 or raises) still fails.
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", 0.90, 1.0),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", 0.85, 1.0),
+    (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/"
+        "data/python.jpg",
+        0.05,
+        0.60,
+    ),
+]
+
+
+@pytest.mark.parametrize("path,lo,hi", _SYS_JPEGS)
+def test_real_encoder_jpegs_decode(path, lo, hi):
+    """Independent validation against REAL encoder output (standard
+    huffman/quant tables, real entropy streams, progressive multi-scan
+    layout) — not just this repo's own test encoder."""
+    import os
+
+    from schema_validata_spark.sources.png import luma_and_ahash
+
+    if not os.path.exists(path):
+        pytest.skip(f"system fixture not present: {path}")
+    data = open(path, "rb").read()
+    hdr = jpeg_header_info(data)
+    w, h, y = decode_jpeg_luma(data)
+    assert (w, h) == (hdr["width"], hdr["height"])
+    assert len(y) == w * h
+    luma, _ah = luma_and_ahash(w, h, "L", y)
+    assert lo <= luma <= hi, (path, luma)
+    if "white-stripe" in path:
+        assert hdr["progressive"] is True  # real progressive coverage
+        # dominantly white pixels, as the image content demands
+        assert sum(1 for v in y if v >= 250) / len(y) > 0.75
