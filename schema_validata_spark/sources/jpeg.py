@@ -501,9 +501,14 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
             reader = _BitReader(payload, data_at)
             preds = {c.cid: 0 for c, _t, _a in scomps}
             eobrun = 0
-            if len(scomps) > 1 or not progressive:
-                # interleaved MCU scan (all sequential scans; progressive
-                # DC scans). Progressive requires Ss=0 here (T.81 G.1.1.1)
+            if len(scomps) > 1:
+                # interleaved MCU scan over the PADDED grid (ns > 1:
+                # multi-component sequential scans and progressive DC
+                # scans). ns == 1 always uses the component's own
+                # unpadded grid below — T.81 A.2.2 applies to
+                # sequential single-component scans too, and the two
+                # grids differ whenever dimensions are not MCU-aligned
+                # in a subsampled frame.
                 if progressive and ss != 0:
                     raise JPEGError("interleaved progressive AC scan")
                 mcu_index = 0
@@ -554,9 +559,10 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
                                             coef[0] |= 1 << al
                         mcu_index += 1
             else:
-                # non-interleaved progressive scan: raster over the
-                # component's OWN block rectangle (T.81 A.2.2 — the
-                # un-padded ceil(comp_size/8) grid)
+                # non-interleaved scan (ns == 1, sequential OR
+                # progressive): raster over the component's OWN block
+                # rectangle (T.81 A.2.2 — the un-padded
+                # ceil(comp_size/8) grid, NOT the MCU-padded one)
                 c, td, ta = scomps[0]
                 comp_w = -(-width * c.h // hmax)   # ceil: component px
                 comp_h = -(-height * c.v // vmax)
@@ -576,7 +582,13 @@ def decode_jpeg_luma(payload: bytes) -> tuple:
                             preds[c.cid] = 0
                             eobrun = 0
                         coef = c.coefs[br * c.bw + bc] if c.want else None
-                        if ss == 0:  # non-interleaved DC scan
+                        if not progressive:
+                            if dc_t is None or ac_t is None:
+                                raise JPEGError("missing huffman table")
+                            preds[c.cid] = _decode_seq_block(
+                                reader, dc_t, ac_t, preds[c.cid], coef
+                            )
+                        elif ss == 0:  # non-interleaved DC scan
                             if ah == 0:
                                 if dc_t is None:
                                     raise JPEGError("missing huffman table")
