@@ -1762,6 +1762,42 @@ def q_top_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (text.py::tfidf_topk) — smoothed
+    idf ``ln((N+1)/(df+1)) + 1``, rank cut as a WindowGroupLimit. The
+    oracle replays the identical tokenization, smoothing, and rounded
+    ranking in DuckDB."""
+    from schema_validata_spark.operators.text import tfidf_topk
+
+    df = _read(spark, sf_dir, "documents")
+    return tfidf_topk(df, "text", "doc_id", top_k=5)
+
+
+def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of ``lineitem.l_suppkey``
+    (diagnostics.py::key_skew_profile): the 25 heaviest keys with their
+    table share and straggler ratio vs a uniform shuffle — the
+    pre-flight a 100 TB join runs before choosing plain shuffle vs
+    salting vs AQE skew-split."""
+    from schema_validata_spark.operators.diagnostics import key_skew_profile
+
+    df = _read(spark, sf_dir, "lineitem")
+    return key_skew_profile(df, ["l_suppkey"], top_k=25)
+
+
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (similarity.py::semdedup): deterministic sha2-seeded clusters,
+    within-cluster cosine ≥ 0.4 (the corpus' planted near-dup threshold,
+    proven oracle-safe by embedding_near_dups), greedy smallest-id
+    survivor. Engine-portable end to end — the oracle replays seed
+    draw, argmax assignment, and the pair scan in DuckDB."""
+    from schema_validata_spark.operators.similarity import semdedup
+
+    df = _read(spark, sf_dir, "embeddings")
+    return semdedup(df, "embedding", "vec_id", n_clusters=8, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1817,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_documents": q_url_blocklist_documents,
         "snapshot_delta_orders": q_snapshot_delta_orders,
         "top_ngram_documents": q_top_ngram_documents,
+        "tfidf_topk_documents": q_tfidf_topk_documents,
+        "key_skew_lineitem": q_key_skew_lineitem,
+        "semdedup_embeddings": q_semdedup_embeddings,
     }
 
 
@@ -2942,4 +2981,70 @@ ORDER BY tf DESC, token ASC LIMIT 50
         "url_blocklist_documents": _url_blocklist_sql(),
         "snapshot_delta_orders": _snapshot_delta_sql(),
         "top_ngram_documents": _top_ngram_sql(),
+        # round-5 operators: TF-IDF keywords, join-key skew profile,
+        # SemDeDup semantic dedup — all replayed end-to-end in DuckDB.
+        "tfidf_topk_documents": """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+  WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT tf.id, tf.token, tf.tf,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((n.n_docs + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0),
+               6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT id, token, tf, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY id ORDER BY tfidf DESC, token ASC) AS INT) AS rnk
+  FROM scored
+)
+SELECT id, token, tf, tfidf, rnk FROM ranked WHERE rnk <= 5
+""",
+        "key_skew_lineitem": """
+WITH counts AS (
+  SELECT COALESCE(CAST(l_suppkey AS VARCHAR), '<null>') AS key,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_keys
+  FROM counts
+)
+SELECT key, cnt,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS ratio_to_mean
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, key ASC LIMIT 25
+""",
+        "semdedup_embeddings": """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), seeds AS (
+  SELECT id, emb,
+         CAST(row_number() OVER (ORDER BY sha256(CAST(id AS VARCHAR))) AS INT)
+           - 1 AS cid
+  FROM base ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT 8
+), assign AS (
+  SELECT b.id, b.emb,
+         (SELECT s.cid FROM seeds s
+           ORDER BY COALESCE(list_cosine_similarity(b.emb, s.emb), -2.0) DESC,
+                    s.cid DESC
+           LIMIT 1) AS cluster
+  FROM base b
+), dups AS (
+  SELECT DISTINCT b.id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+)
+SELECT a.id, a.cluster, (d.id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dups d ON a.id = d.id
+""",
     }

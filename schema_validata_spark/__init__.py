@@ -96,6 +96,9 @@ from schema_validata_spark.operators.curation import (
     url_hosts,
 )
 from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
+from schema_validata_spark.operators.diagnostics import key_skew_profile
+from schema_validata_spark.operators.similarity import semdedup
+from schema_validata_spark.operators.text import tfidf_topk
 
 __all__ = [
     "is_na",
@@ -168,6 +171,9 @@ __all__ = [
     "host_counts",
     "snapshot_delta",
     "validate_delta",
+    "key_skew_profile",
+    "semdedup",
+    "tfidf_topk",
     "iqr_outlier_counts",
     "plan_size_bytes",
 ]

@@ -1,0 +1,84 @@
+"""Scale diagnostics: pre-flight checks a 100 TB job runs BEFORE the
+expensive stage, not after it falls over.
+
+No reference counterpart (the reference is single-node pandas; skew is
+invisible there). On a real cluster the first question before any big
+``join``/``groupBy`` is "how skewed is this key?" — one hot key turns a
+1000-executor shuffle into a 1-executor straggler. :func:`key_skew_profile`
+answers it with one aggregate over the key columns only (column-pruned
+scan), returning the heavy hitters plus their share of the table, the
+numbers that decide between a plain shuffle join, AQE skew-split, salting,
+or a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: NULL key rendering in the composite key string — distinct from any
+#: real value the TPC-H-ish test tables produce.
+NULL_MARK = "<null>"
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/aggregation key:
+    the ``top_k`` most frequent key values with
+
+    * ``cnt`` — row count for the key,
+    * ``share`` — ``cnt / total_rows`` (what fraction of the table one
+      reducer would receive),
+    * ``ratio_to_mean`` — ``cnt / (total_rows / n_distinct_keys)``; the
+      straggler factor versus a perfectly uniform shuffle (≫ 1 means
+      salt or skew-split before joining on this key).
+
+    Composite keys are rendered as a ``|``-joined string with NULLs as
+    :data:`NULL_MARK` (NULL is itself a classic hot key — unmatched
+    optional FKs pile onto one reducer).
+
+    Plan shape: column-pruned scan (only ``key_cols`` read) → one
+    key-keyed aggregate with map-side partial combine → a ONE-ROW
+    grand-total aggregate over the per-key frame (broadcast back via
+    crossJoin — no second scan of the table) → ``orderBy ... limit``
+    which plans TakeOrderedAndProject (per-partition heaps + driver
+    merge, never a global sort). Cost is one shuffle of the distinct
+    keys, independent of row width — the profile of a 100 TB table
+    moves only its key column.
+    """
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_MARK))
+            for c in key_cols
+        ],
+    ).alias("key")
+    counts = df.select(key).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("__total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("__n_keys").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("ratio_to_mean"),
+        )
+        .orderBy(F.desc("cnt"), F.col("key"))
+        .limit(top_k)
+    )

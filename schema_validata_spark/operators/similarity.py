@@ -641,3 +641,92 @@ def embedding_near_duplicates(
         # they fail the gate without an extra inlined predicate
         F.col("cos_sim") >= threshold
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    partition the corpus into ``n_clusters`` buckets, compare pairs ONLY
+    inside a bucket, and greedily keep the smallest id of each similar
+    pair — the embedding analogue of MinHash banding, turning the O(N²)
+    semantic-dup scan into O(N²/k) bounded by the cluster layout.
+
+    Returns ``(id, cluster, is_dup)`` — ``is_dup`` true iff some
+    SMALLER id in the same cluster has cosine ≥ ``threshold`` (the
+    greedy per-cluster minimum survives; deterministic, no iteration).
+
+    Centroids are the ``n_clusters`` corpus rows with the smallest
+    ``sha2(id, 256)`` — a deterministic, engine-portable seed draw (the
+    paper's k-means centroids trade exactness for balance; the seed draw
+    keeps the whole pipeline replayable in ANSI SQL, and
+    :func:`train_ivf_centroids_distributed` slots in where real k-means
+    balance is worth the extra job). Assignment is argmax cosine with
+    ties to the LARGER cluster id (``array_max`` struct order), NULL
+    cosine (zero/NaN vectors) coalesced to −2 so degenerate rows still
+    land in a cluster instead of erroring.
+
+    Plan shape: TakeOrderedAndProject for the seed draw (k rows to the
+    driver, embedded as literals — same pattern as
+    :func:`cosine_to_literal`), one scan computing the per-row argmax
+    against k in-expression centroids (whole-stage codegen, no join),
+    one cluster-keyed self-join for the pair scan (AQE skew-split
+    applies if a cluster runs hot), one left-semi back onto the
+    assignment. At 100 TB: ``n_clusters`` scales as N / target-bucket ―
+    the self-join cost is quadratic ONLY within a bucket, and the
+    assignment stays one broadcast-free scan however large k grows
+    (k literals are constant-folded into the stage).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("emb")
+    )
+    seeds = (
+        base.select("id", "emb", F.sha2(F.col("id").cast("string"), 256).alias("h"))
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    a = F.col("emb")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    cosine_to_literal(a, [float(v) for v in row["emb"]]),
+                    F.lit(-2.0),
+                ).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, row in enumerate(seeds)
+        ]
+    )
+    assign = base.select("id", "emb", F.array_max(pairs)["cid"].alias("cluster"))
+    left = assign.select(
+        F.col("id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("cluster").alias("c_a"),
+    )
+    right = assign.select(
+        F.col("id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("cluster").alias("c_b"),
+    )
+    dup_ids = (
+        left.join(
+            right,
+            (F.col("c_a") == F.col("c_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assign.join(
+        dup_ids.withColumn("__dup", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        "cluster",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

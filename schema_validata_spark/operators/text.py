@@ -616,3 +616,58 @@ def dup_ngram_char_fraction(col: Column | str, n: int) -> Column:
             folded["dup_chars"].cast("double") / F.length(c).cast("double"), 6
         ),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document — the keyword-extraction /
+    topic-fingerprint pass a curation pipeline runs to route documents
+    and to audit what a filter kept (no reference counterpart; the
+    standard smoothed-IDF formulation ``idf = ln((N+1)/(df+1)) + 1``, so
+    a term in every document still scores > 0 and nothing divides by
+    zero).
+
+    Returns ``(id, token, tf, tfidf, rnk)`` with ``rnk`` 1-based by
+    ``(tfidf DESC, token ASC)`` — a total order, so the cut is
+    deterministic under ties. Documents with no tokens emit no rows.
+
+    Plan shape: one explode + one ``(id, token)`` aggregate (map-side
+    partial combine takes the explosion out of the shuffle), document
+    frequency derived from THAT frame — ``df(token)`` = row count per
+    token, no second pass over the corpus — one token-keyed aggregate
+    whose result joins back size-gated-broadcast (vocabularies are tiny
+    relative to any corpus), and a per-id ``row_number`` window whose
+    ``rnk <= k`` filter plans as WindowGroupLimit: the top-k cut runs
+    PARTIALLY before the window exchange, so at most ``k`` rows per
+    (partition, id) ever shuffle. ``N`` (documents with any token) is a
+    one-row count over the pruned text column folded in as a literal —
+    same driver-literal pattern as :func:`unigram_logprob`.
+    """
+    from pyspark.sql.window import Window
+
+    from schema_validata_spark.functions.joins import maybe_broadcast
+
+    n_docs = df.where(F.size(tokens(F.col(text_col))) > 0).count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = tf.join(maybe_broadcast(dfreq), "token").select(
+        "id",
+        "token",
+        "tf",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.col("token"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= top_k
+    )

@@ -1,0 +1,151 @@
+"""Round-5 operators: TF-IDF top-k keywords, join-key skew profile,
+SemDeDup semantic dedup. Each also has a full DuckDB oracle replay in
+``__spark_entry__`` (tfidf_topk_documents / key_skew_lineitem /
+semdedup_embeddings); these tests pin the semantics the oracle cannot
+see — NULL rendering, degenerate inputs, planted ground truth."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.diagnostics import key_skew_profile
+from schema_validata_spark.operators.similarity import semdedup
+from schema_validata_spark.operators.text import tfidf_topk
+
+
+# ------------------------------------------------------------- tfidf
+
+
+def test_tfidf_smoothed_idf_matches_hand_math(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id"], r["token"]): r
+        for r in tfidf_topk(df, "text", "doc_id", top_k=10).collect()
+    }
+    # N = 3; df(apple)=1, tf(apple in 1)=2
+    expect = round(2.0 * (math.log(4.0 / 2.0) + 1.0), 6)
+    assert rows[(1, "apple")]["tfidf"] == pytest.approx(expect, abs=1e-9)
+    assert rows[(1, "apple")]["tf"] == 2
+    # a term in EVERY doc still scores > 0 under the smoothing
+    assert rows[(1, "banana")]["tfidf"] > 0
+    # rank 1 in doc 1 is the highest tfidf (apple beats banana)
+    assert rows[(1, "apple")]["rnk"] == 1
+
+
+def test_tfidf_rank_cut_and_tie_order(spark):
+    # two terms with IDENTICAL tf and df → identical tfidf; the
+    # (tfidf DESC, token ASC) order must break the tie alphabetically
+    df = spark.createDataFrame([(1, "zed abc zed abc")], ["doc_id", "text"])
+    out = tfidf_topk(df, "text", "doc_id", top_k=1).collect()
+    assert len(out) == 1 and out[0]["token"] == "abc"
+
+
+def test_tfidf_empty_and_whitespace_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words")], ["doc_id", "text"]
+    )
+    out = tfidf_topk(df, "text", "doc_id", top_k=5)
+    assert sorted(set(r["id"] for r in out.collect())) == [3]
+
+
+# --------------------------------------------------------------- skew
+
+
+def test_skew_profile_null_and_composite_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), (None, 2)],
+        ["k1", "k2"],
+    )
+    rows = {r["key"]: r for r in key_skew_profile(df, ["k1", "k2"]).collect()}
+    assert set(rows) == {"a|1", "a|<null>", "<null>|2"}
+    assert rows["a|1"]["cnt"] == 2
+    assert rows["a|1"]["share"] == pytest.approx(0.5)
+    # 3 distinct keys, mean = 4/3 rows/key → ratio for cnt=2 is 1.5
+    assert rows["a|1"]["ratio_to_mean"] == pytest.approx(1.5)
+
+
+def test_skew_profile_uniform_keys_ratio_one(spark):
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    rows = key_skew_profile(df, ["k"], top_k=20).collect()
+    assert len(rows) == 10
+    assert all(r["ratio_to_mean"] == pytest.approx(1.0) for r in rows)
+    assert sum(r["cnt"] for r in rows) == 100
+
+
+def test_skew_profile_topk_cut_is_deterministic(spark):
+    # every key has cnt=1 → the cut is by key string ascending
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    rows = key_skew_profile(df, ["k"], top_k=5).collect()
+    assert [r["key"] for r in rows] == sorted(
+        [str(i) for i in range(50)]
+    )[:5]
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_semdedup_planted_duplicate_flags_larger_id(spark):
+    base = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = _emb_df(spark, [base, far, base])  # id 2 duplicates id 0
+    out = {r["id"]: r for r in
+           semdedup(df, "embedding", "vec_id", n_clusters=1,
+                    threshold=0.95).collect()}
+    assert out[0]["is_dup"] is False
+    assert out[2]["is_dup"] is True
+    assert out[1]["is_dup"] is False
+    # one cluster → all rows share it
+    assert len({r["cluster"] for r in out.values()}) == 1
+
+
+def test_semdedup_cross_cluster_pairs_not_compared(spark):
+    # identical vectors that land in different clusters are NOT flagged:
+    # the whole point of the bucketed design (bounded pair scan)
+    a, b = [1.0, 0.0], [0.0, 1.0]
+    df = _emb_df(spark, [a, b, a, b])
+    out = semdedup(df, "embedding", "vec_id", n_clusters=4, threshold=0.9)
+    rows = {r["id"]: r for r in out.collect()}
+    for i, r in rows.items():
+        if r["is_dup"]:
+            # any flagged row must share a cluster with a smaller twin
+            twins = [
+                j for j, s in rows.items()
+                if j < i and s["cluster"] == r["cluster"]
+            ]
+            assert twins
+
+
+def test_semdedup_zero_vector_lands_in_a_cluster(spark):
+    df = _emb_df(spark, [[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]])
+    out = semdedup(df, "embedding", "vec_id", n_clusters=2, threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 3  # zero-norm row neither errors nor vanishes
+    assert all(r["cluster"] is not None for r in rows)
+    zero = [r for r in rows if r["id"] == 1][0]
+    assert zero["is_dup"] is False  # NULL cosine fails every threshold
+
+
+def test_semdedup_deterministic_across_runs(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = _emb_df(spark, vecs)
+    r1 = sorted(map(tuple, semdedup(df, "embedding", "vec_id").collect()))
+    r2 = sorted(map(tuple, semdedup(df, "embedding", "vec_id").collect()))
+    assert r1 == r2
