@@ -1798,6 +1798,18 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(df, "embedding", "vec_id", n_clusters=8, threshold=0.4)
 
 
+def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with stupid backoff (text.py::bigram_logprob):
+    per-doc mean log P(w2|w1), hapax bigrams backing off to
+    ``alpha * c(w2)/T``. In-row zip_with bigrams — no positional
+    self-join; the oracle replays the identical counts and backoff in
+    DuckDB via index lambdas."""
+    from schema_validata_spark.operators.text import bigram_logprob
+
+    df = _read(spark, sf_dir, "documents")
+    return bigram_logprob(df, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1856,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_documents": q_tfidf_topk_documents,
         "key_skew_lineitem": q_key_skew_lineitem,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "bigram_logprob_documents": q_bigram_logprob_documents,
     }
 
 
@@ -3046,5 +3059,49 @@ WITH base AS (
 )
 SELECT a.id, a.cluster, (d.id IS NOT NULL) AS is_dup
 FROM assign a LEFT JOIN dups d ON a.id = d.id
+""",
+        "bigram_logprob_documents": """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(lower(trim(text)), ' ') AS l
+  FROM documents WHERE length(trim(text)) > 0
+), big AS (
+  SELECT id, unnest(list_transform(
+           list_slice(l, 1, len(l) - 1),
+           (x, i) -> {'w1': x, 'w2': l[i + 1]})) AS u
+  FROM toks WHERE len(l) >= 2
+), big2 AS (
+  SELECT id, u.w1 AS w1, u.w2 AS w2, u.w1 || ' ' || u.w2 AS bg FROM big
+), unic AS (
+  SELECT token AS tok, COUNT(*) AS c_tok FROM (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c_tok) AS DOUBLE) AS t FROM unic
+), bgc AS (
+  SELECT bg, COUNT(*) AS c_bg FROM big2 GROUP BY bg
+), pre AS (
+  SELECT w1, COUNT(*) AS c_w1 FROM big2 GROUP BY w1
+), scored AS (
+  SELECT b.id,
+         CASE WHEN bgc.c_bg > 1
+              THEN ln(CAST(bgc.c_bg AS DOUBLE) / CAST(pre.c_w1 AS DOUBLE))
+              ELSE ln(0.4 * CAST(COALESCE(unic.c_tok, 1) AS DOUBLE) / tot.t)
+         END AS lp
+  FROM big2 b
+  JOIN bgc USING (bg) JOIN pre USING (w1)
+  LEFT JOIN unic ON b.w2 = unic.tok
+  CROSS JOIN tot
+), per_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(AVG(lp), 6) AS avg_logprob2,
+         round(exp(-AVG(lp)), 6) AS perplexity2
+  FROM scored GROUP BY id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.avg_logprob2, p.perplexity2
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.id
 """,
     }

@@ -98,7 +98,7 @@ from schema_validata_spark.operators.curation import (
 from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
 from schema_validata_spark.operators.diagnostics import key_skew_profile
 from schema_validata_spark.operators.similarity import semdedup
-from schema_validata_spark.operators.text import tfidf_topk
+from schema_validata_spark.operators.text import bigram_logprob, tfidf_topk
 
 __all__ = [
     "is_na",
@@ -174,6 +174,7 @@ __all__ = [
     "key_skew_profile",
     "semdedup",
     "tfidf_topk",
+    "bigram_logprob",
     "iqr_outlier_counts",
     "plan_size_bytes",
 ]

@@ -14,10 +14,11 @@ Everything is DataFrame-native and bounded per document:
 
 * n-gram extraction is a pure Column expression (``sequence`` +
   ``transform`` + ``substring`` HOFs — whole-stage codegen, no Python);
-* the per-document profile is one ``groupBy(doc, gram)`` + one
-  ``row_number`` window, and the ``rank ≤ TOP_K_DOC`` filter caps the
-  downstream volume at ≤ ``TOP_K_DOC`` rows per document regardless of
-  document length;
+* the per-document ranked profile is computed IN-ROW
+  (:func:`doc_gram_profile`: sort + run-length + slice, all Column
+  HOFs) — nothing shuffles to build it, and only ≤ ``TOP_K_DOC``
+  ranked rows per document ever leave the scan regardless of document
+  length;
 * language profiles are a tiny static table (n_langs × TOP_K_PROFILE
   rows) broadcast to every executor — the scoring join never shuffles
   the corpus side beyond its per-doc top-K rows.
@@ -50,7 +51,7 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: n-gram sizes extracted from documents and profiles (1..N_MAX chars).
@@ -367,6 +368,69 @@ def lang_profile_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def doc_gram_profile(
+    col: Column | str, top_k: int = TOP_K_DOC, n_max: int = N_MAX
+) -> Column:
+    """The document's ranked gram profile computed IN-ROW:
+    ``array<struct<gram, drank>>`` with ``drank`` 1-based by
+    ``(count desc, gram asc)`` — exactly the order the previous
+    ``groupBy(doc, gram)`` + ``row_number`` formulation produced, but
+    as a pure Column expression (round-5: the exploded aggregate was
+    the engine's one superlinear hot spot — ~1.2k gram rows/doc through
+    a corpus-wide hash aggregate; this keeps the whole ranking inside
+    whole-stage codegen and shuffles NOTHING to build it).
+
+    Mechanics (all O(g) or O(g log g) per row, no quadratic fold):
+    sort the gram array; run boundaries are the positions ``i`` where
+    ``s[i] != s[i+1]`` (found with one ``filter`` over the index
+    sequence — ``F.get`` not ``element_at``: out-of-bounds must yield
+    NULL, not an ANSI error, at the final position); run lengths are
+    ``ends[k] - ends[k-1]`` via ``zip_with`` against the shifted ends;
+    ranking is one ``array_sort`` of ``(−count, gram)`` structs (struct
+    comparison gives count desc, gram asc) and a ``slice(…, 1, top_k)``
+    cut; the index-lambda ``transform`` stamps 1-based ranks. Empty
+    text short-circuits to an empty array, preserving the 'und' path.
+    """
+    out_t = "array<struct<gram:string,drank:int>>"
+
+    def build(s: Column) -> Column:
+        n = F.size(s)
+        ends_expr = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: (i == n - 1) | (F.get(s, i) != F.get(s, i + 1)),
+        )
+
+        def with_ends(ends: Column) -> Column:
+            starts = F.concat(
+                F.array(F.lit(-1)),
+                F.when(
+                    F.size(ends) <= 1, F.array().cast("array<int>")
+                ).otherwise(F.slice(ends, 1, F.size(ends) - 1)),
+            )
+            pairs = F.zip_with(
+                ends,
+                starts,
+                lambda e, st: F.struct(
+                    (st - e).alias("negc"), F.get(s, e).alias("gram")
+                ),
+            )
+            ranked = F.slice(F.array_sort(pairs), 1, top_k)
+            return F.transform(
+                ranked,
+                lambda p, i: F.struct(
+                    p["gram"].alias("gram"), (i + 1).alias("drank")
+                ),
+            )
+
+        return F.when(n == 0, F.array().cast(out_t)).otherwise(
+            F.transform(F.array(ends_expr), with_ends)[0]
+        )
+
+    return F.transform(
+        F.array(F.array_sort(char_ngrams(col, n_max))), build
+    )[0]
+
+
 def lang_id_ngram(
     df: DataFrame,
     text_col: str,
@@ -379,12 +443,14 @@ def lang_id_ngram(
     profile) + ``oop_distance`` (null for ``'und'``).
 
     Plan shape (see module docstring for the cross-join-free distance):
-    one shuffle on ``(id, gram)`` for doc-gram counts, one on ``id``
-    for the ranking window (the ``rank ≤ top_k_doc`` cut caps later
-    stages at ≤ top_k_doc rows/doc), a broadcast join against the
-    static profile table, one ``(id, lang)`` aggregate, one ``id``
-    min-struct aggregate, and a final left join back to the id set so
-    profile-less documents still emit a row.
+    the per-doc gram ranking happens IN-ROW (:func:`doc_gram_profile` —
+    no ``(id, gram)`` shuffle, no ranking window; round-5 rework of the
+    one measured superlinear stage), so the first thing that leaves the
+    scan is ≤ top_k_doc ranked rows per document. Those broadcast-join
+    against the static profile table, then one ``(id, lang)``
+    aggregate, one ``id`` min-struct aggregate, and a final null-safe
+    left join back to the id set so profile-less documents still emit
+    a row.
 
     ``max_chars`` — classify on the first N characters only (the
     standard long-document practice: a few hundred characters saturate
@@ -401,20 +467,20 @@ def lang_id_ngram(
     text: Column = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    grams = df.select(*ids, F.explode(char_ngrams(text)).alias("gram"))
-    counts = grams.groupBy(*id_cols, "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # in-row ranked profile: ≤ top_k_doc rows/doc leave the scan, and
+    # the corpus-wide (id, gram) aggregate + rank window are gone
+    prof = df.select(
+        *ids, doc_gram_profile(text, top_k=top_k_doc).alias("__dp")
     )
-    w = Window.partitionBy(*id_cols).orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
-    ranked = counts.withColumn("drank", F.row_number().over(w)).filter(
-        F.col("drank") <= top_k_doc
-    )
-    # g_n rides a count window over the SAME partitioning — Catalyst
-    # reuses the row_number exchange, no extra shuffle
-    ranked = ranked.withColumn(
-        "g_n", F.count(F.lit(1)).over(Window.partitionBy(*id_cols))
+    ranked = prof.select(
+        *id_cols,
+        F.size("__dp").alias("g_n"),
+        F.explode("__dp").alias("__p"),
+    ).select(
+        *id_cols,
+        "g_n",
+        F.col("__p.gram").alias("gram"),
+        F.col("__p.drank").alias("drank"),
     )
     matched = ranked.join(
         F.broadcast(lang_profile_df(spark)), on="gram", how="inner"

@@ -671,3 +671,112 @@ def tfidf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= top_k
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with stupid backoff
+    (Brants et al. 2007): ``P(w2|w1) = c(w1 w2)/c(w1)`` when the bigram
+    was seen, else ``alpha * c(w2)/T`` — the conditional-LM upgrade of
+    :func:`unigram_logprob` (a repetitive doc scores HIGH here even when
+    its unigrams are rare; a shuffled-word doc scores LOW even when its
+    unigrams are common — the two failure modes unigram perplexity
+    cannot separate).
+
+    Counts are self-trained on the input corpus, so every bigram in the
+    stream trivially has ``c ≥ 1``; "seen" therefore uses the
+    leave-one-out convention — a bigram whose ONLY occurrence is the
+    current one (``c == 1``) backs off to the unigram path. Hapax
+    bigrams are exactly the ones a held-out model would never have
+    seen, so this keeps the backoff meaningful without a train/score
+    split (swap the two count tables for persisted external ones and
+    the standard ``c ≥ 1`` rule falls out of the same joins).
+
+    Returns ``(id, n_bigrams, avg_logprob2, perplexity2)``; documents
+    with < 2 tokens emit ``n_bigrams = 0`` and NULL scores.
+
+    Plan shape: bigrams are built IN-ROW (``zip_with`` over two slices
+    of the token array — no positional self-join, no window over a
+    token stream), then one explode feeds both count tables: bigram
+    counts ``c(w1 w2)`` and — derived from the SAME exploded frame —
+    prefix counts ``c(w1)``; each joins back size-gated-broadcast. The
+    corpus token total is the one-row driver literal, as in
+    :func:`unigram_logprob`. Self-training inside the call re-derives
+    the explode per consumer; at corpus scale persist the two count
+    tables once (a ``vocab_stats``-class job) and scoring is a single
+    scan.
+    """
+    from schema_validata_spark.functions.joins import maybe_broadcast
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), bigrams.alias("bg"))
+    doc_bg = base.select("id", F.explode("bg").alias("bg"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # prefix counts derive from the bigram stream: c(w1) as a BIGRAM
+    # PREFIX equals the unigram count over all non-final positions —
+    # exactly the denominator stupid backoff wants (P sums to 1 per
+    # context), and it reuses the exploded frame instead of a second
+    # corpus pass
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    pre_counts = doc_bg.groupBy(w1.alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_w1")
+    )
+    # unigram table for the backoff path (all positions, standard form)
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("c_tok"))
+    total = uni.agg(F.sum("c_tok").alias("t")).collect()[0]["t"] or 1
+    scored = (
+        doc_bg.join(maybe_broadcast(bg_counts), "bg")
+        .join(
+            maybe_broadcast(pre_counts),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .join(
+            maybe_broadcast(uni),
+            F.substring_index(F.col("bg"), " ", -1) == F.col("tok"),
+            "left",
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("c_bg") > 1,
+                F.log(
+                    F.col("c_bg").cast("double") / F.col("c_w1").cast("double")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce(F.col("c_tok"), F.lit(1)).cast("double")
+                    / F.lit(float(total))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob2"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity2"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "avg_logprob2",
+        "perplexity2",
+    )

@@ -105,7 +105,12 @@ def test_seed_text_classifies_as_own_language(spark):
     assert all(out[l] == l for l in LANGS), out
 
 
-def test_plan_broadcasts_profile_and_reuses_rank_exchange(spark):
+def test_plan_ranks_in_row_and_broadcasts_profile(spark):
+    """Round-5 plan shape: the per-doc gram ranking is IN-ROW
+    (doc_gram_profile), so the plan has NO Window nodes at all and the
+    profile join's streamed side comes straight off the scan — the
+    previous shape's corpus-wide (id, gram) aggregate and rank window
+    (the one measured superlinear stage) are gone."""
     df = spark.createDataFrame(
         [(i, LANG_SAMPLES[LANGS[i % len(LANGS)]]) for i in range(40)],
         "id long, text string",
@@ -118,15 +123,17 @@ def test_plan_broadcasts_profile_and_reuses_rank_exchange(spark):
     # shuffle the corpus grams (the final per-doc id join MAY sort-merge
     # — both of its sides are corpus-sized at scale)
     assert "BroadcastHashJoin [gram" in plan, plan
-    # the g_n count window rides the row_number window's exchange:
-    # two Window nodes, NO Exchange between them
-    i = plan.index("Window [")
-    j = plan.index("Window [", i + 1)
-    assert plan.count("Window [") == 2, plan
-    assert "Exchange" not in plan[i:j], plan[i:j]
-    # the top-k cut plans as WindowGroupLimit (partial + final), so the
-    # rank window never materializes full per-doc gram lists
-    assert "WindowGroupLimit" in plan, plan
+    # in-row ranking: zero Window nodes, zero WindowGroupLimit — the
+    # ranked profile explodes scan-side (Generate) and nothing shuffles
+    # before the broadcast join
+    assert "Window [" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # streamed subtree = between the join node and its BroadcastExchange
+    # child (children print streamed-first): no Exchange → the ranked
+    # rows flow from the scan into the join without any shuffle
+    i = plan.index("BroadcastHashJoin [gram")
+    j = plan.index("BroadcastExchange", i)
+    assert "Exchange" not in plan[i + 1 : j], plan[i:j]
 
 
 def test_max_chars_prefix_classification(spark):

@@ -149,3 +149,60 @@ def test_semdedup_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, semdedup(df, "embedding", "vec_id").collect()))
     r2 = sorted(map(tuple, semdedup(df, "embedding", "vec_id").collect()))
     assert r1 == r2
+
+
+# ------------------------------------------------------ bigram logprob
+
+
+def test_bigram_backoff_hand_math(spark):
+    from schema_validata_spark.operators.text import bigram_logprob
+
+    # corpus: "a b a b" and "a b c"
+    # bigram stream: (a b)x2, (b a)x1, (b c)x1 ; prefix counts a:3? ->
+    #   doc1: a b / b a / a b ; doc2: a b / b c
+    #   c(a b)=3, c(b a)=1, c(b c)=1 ; c_w1(a)=3, c_w1(b)=2
+    # unigrams: a:3 b:3 c:1, T=7
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in
+           bigram_logprob(df, "text", "doc_id").collect()}
+    lp_ab = math.log(3.0 / 3.0)          # seen (c=3): ln(c_bg/c_w1)
+    lp_ba = math.log(0.4 * 3.0 / 7.0)    # hapax -> backoff to c(a)/T
+    lp_bc = math.log(0.4 * 1.0 / 7.0)    # hapax -> backoff to c(c)/T
+    exp1 = round((lp_ab + lp_ba + lp_ab) / 3.0, 6)
+    exp2 = round((lp_ab + lp_bc) / 2.0, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob2"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["avg_logprob2"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_bigram_short_docs_emit_zero(spark):
+    from schema_validata_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in
+           bigram_logprob(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_logprob2"] is None
+    assert out[2]["n_bigrams"] == 0
+    assert out[3]["n_bigrams"] == 1
+
+
+def test_bigram_separates_repetition_from_rare_words(spark):
+    from schema_validata_spark.operators.text import bigram_logprob
+
+    # the doc built from ONE repeated bigram scores higher (less
+    # negative) than the doc of the same common words in shuffled,
+    # never-repeated order — the signal unigram perplexity cannot see
+    common = " ".join(["x y"] * 20)
+    shuffled = "y y x x y x x y y x x x y y x y x y x x"
+    df = spark.createDataFrame(
+        [(1, common), (2, shuffled)], ["doc_id", "text"]
+    )
+    out = {r["id"]: r for r in
+           bigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1]["avg_logprob2"] > out[2]["avg_logprob2"]
