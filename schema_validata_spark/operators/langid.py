@@ -10,18 +10,35 @@ language whose profile ordering best matches the document wins.
 
 Why this shape at 100 TB scale
 ------------------------------
-Everything is DataFrame-native and bounded per document:
+Two engines, same semantics (a parity test holds them byte-equal):
 
-* n-gram extraction is a pure Column expression (``sequence`` +
-  ``transform`` + ``substring`` HOFs — whole-stage codegen, no Python);
-* the per-document ranked profile is computed IN-ROW
-  (:func:`doc_gram_profile`: sort + run-length + slice, all Column
-  HOFs) — nothing shuffles to build it, and only ≤ ``TOP_K_DOC``
-  ranked rows per document ever leave the scan regardless of document
-  length;
-* language profiles are a tiny static table (n_langs × TOP_K_PROFILE
-  rows) broadcast to every executor — the scoring join never shuffles
-  the corpus side beyond its per-doc top-K rows.
+* ``engine="arrow"`` (default) — ONE vectorized Arrow ``pandas_udf``
+  computes the whole classification per document (normalize → gram
+  counts → top-K ranking → out-of-place distance against the static
+  profiles) and returns ``(lang_pred, oop_distance)`` directly. The
+  plan is a single narrow stage: no explode, no join, no aggregate,
+  ZERO shuffles — it scales like a scan. This is the measured-fast
+  path: Spark's higher-order-function lambdas are evaluated
+  interpreted per element (no whole-stage codegen inside the lambda),
+  so the pure-Column engine spent ~1.2k interpreted ``substring``
+  calls per document (147 s for extraction alone on a 200k-doc ×
+  1500-char corpus at local[32]); the Arrow kernel does the same work
+  in ~1.3 ms/doc of C-backed ``Counter``/sort per core (≈25×). A
+  ``regexp_extract_all`` lookahead rewrite was measured 2× SLOWER
+  than the HOF form — compiled-regex zero-width scans lose to
+  interpreted substring here, so vectorized Arrow is the right tool
+  (the north rule's "DataFrame ops + vectorized Arrow/pandas UDFs").
+* ``engine="column"`` — the pure Column-expression reference plan:
+  n-gram extraction via ``sequence``/``transform``/``substring``
+  HOFs, the per-document ranked profile computed IN-ROW
+  (:func:`doc_gram_profile`), ≤ ``TOP_K_DOC`` ranked rows per doc
+  leaving the scan into a broadcast join against the static profile
+  table and two slim aggregates. Fully Catalyst-visible and
+  DuckDB-replayable operator by operator — it anchors the oracle and
+  the parity test.
+
+Language profiles are tiny (n_langs × TOP_K_PROFILE rows): a broadcast
+table in the column engine, a pickled closure dict in the arrow one.
 
 Out-of-place distance without a doc × language cross join
 ---------------------------------------------------------
@@ -49,7 +66,9 @@ oracle query.
 from __future__ import annotations
 
 import re
+from collections import Counter
 from functools import lru_cache
+from operator import itemgetter
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -322,6 +341,65 @@ def profile_rows() -> tuple[tuple[str, str, int], ...]:
     return tuple(rows)
 
 
+@lru_cache(maxsize=None)
+def _merged_profile() -> dict[str, tuple[tuple[str, int], ...]]:
+    """gram → ((lang, prank), …) across every language profile — the
+    arrow engine's scoring structure (one dict probe per doc gram
+    instead of a broadcast join). ~2.3k grams, a few tens of KB: it
+    ships inside the pandas_udf closure."""
+    merged: dict[str, list[tuple[str, int]]] = {}
+    for lang, gram, prank in profile_rows():
+        merged.setdefault(gram, []).append((lang, prank))
+    return {g: tuple(v) for g, v in merged.items()}
+
+
+def _classify_py(
+    text: object,
+    merged: dict[str, tuple[tuple[str, int], ...]],
+    top_k_doc: int = TOP_K_DOC,
+    max_chars: int | None = DEFAULT_MAX_CHARS,
+    n_max: int = N_MAX,
+) -> tuple[str, int | None]:
+    """One document through the full C–T pipeline in Python — the
+    arrow engine's per-row kernel AND the model the parity test holds
+    the column engine to. Must replicate the column plan bit for bit:
+    prefix cut by code point (= ``F.substring``), :func:`_normalize_py`
+    (= ``normalize_col``), ranking by (count desc, gram asc)
+    (= :func:`doc_gram_profile`), rewritten out-of-place distance with
+    min-(dist, lang) tie-break (= the two aggregates)."""
+    if not isinstance(text, str):
+        return ("und", None)
+    if max_chars is not None:
+        text = text[:max_chars]
+    s = _normalize_py(text)
+    if not s:
+        return ("und", None)
+    counts = Counter(s)  # 1-grams at C speed
+    for n in range(2, n_max + 1):
+        counts.update([s[i : i + n] for i in range(len(s) - n + 1)])
+    # (count desc, gram asc) as two C-keyed stable sorts: gram asc
+    # first, then count desc — reverse=True preserves tie order, so
+    # equal counts stay gram-ascending (≈10% off the kernel vs a
+    # lambda tuple key)
+    ordered = sorted(counts.items())
+    ordered.sort(key=itemgetter(1), reverse=True)
+    del ordered[top_k_doc:]
+    totals: dict[str, int] = {}
+    for drank0, (gram, _c) in enumerate(ordered):
+        hits = merged.get(gram)
+        if hits is not None:
+            for lang, prank in hits:
+                d = drank0 + 1 - prank
+                totals[lang] = (
+                    totals.get(lang, 0) + (d if d >= 0 else -d) - PENALTY
+                )
+    if not totals:
+        return ("und", None)
+    base = len(ordered) * PENALTY
+    dist, lang = min((base + v, k) for k, v in totals.items())
+    return (lang, dist)
+
+
 def normalize_col(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f]+", " "))
@@ -437,30 +515,40 @@ def lang_id_ngram(
     id_cols: list[str],
     top_k_doc: int = TOP_K_DOC,
     max_chars: int | None = DEFAULT_MAX_CHARS,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Classify each row's ``text_col``: returns ``id_cols`` +
     ``lang_pred`` (``'und'`` when no document gram appears in any
     profile) + ``oop_distance`` (null for ``'und'``).
 
-    Plan shape (see module docstring for the cross-join-free distance):
-    the per-doc gram ranking happens IN-ROW (:func:`doc_gram_profile` —
-    no ``(id, gram)`` shuffle, no ranking window; round-5 rework of the
-    one measured superlinear stage), so the first thing that leaves the
-    scan is ≤ top_k_doc ranked rows per document. Those broadcast-join
-    against the static profile table, then one ``(id, lang)``
-    aggregate, one ``id`` min-struct aggregate, and a final null-safe
-    left join back to the id set so profile-less documents still emit
-    a row.
+    ``engine`` (see the module docstring's measurements):
+
+    * ``"arrow"`` (default) — one vectorized ``pandas_udf`` evaluates
+      the whole pipeline per document and returns the final answer.
+      Single narrow stage, ZERO shuffles; every row passes through, so
+      no join back to the id set is needed (NULL id values are
+      trivially preserved). ~25× the column engine on the 200k-doc
+      scale corpus.
+    * ``"column"`` — the pure Column/DataFrame reference plan: per-doc
+      gram ranking IN-ROW (:func:`doc_gram_profile` — no ``(id,
+      gram)`` shuffle, no ranking window), ≤ top_k_doc ranked rows per
+      document broadcast-joined against the static profile table, one
+      ``(id, lang)`` aggregate, one ``id`` min-struct aggregate, and a
+      null-safe left join back to the id set so profile-less documents
+      still emit a row.
 
     ``max_chars`` — classify on the first N characters only (the
     standard long-document practice: a few hundred characters saturate
-    C–T accuracy, and the dominant cost — the exploded gram aggregate —
-    is proportional to text length, not document count). Defaults to
-    :data:`DEFAULT_MAX_CHARS` (round-5: the full-text default was the
-    engine's one measured superlinear operator); ``None`` opts back
-    into full text. The planted oracle replays the default prefix.
+    C–T accuracy, and the dominant cost in BOTH engines is
+    proportional to text length, not document count). Defaults to
+    :data:`DEFAULT_MAX_CHARS`; ``None`` opts back into full text. The
+    planted oracle replays the default prefix.
     """
     assert top_k_doc <= PENALTY, "penalty must dominate doc ranks"
+    if engine == "arrow":
+        return _lang_id_arrow(df, text_col, id_cols, top_k_doc, max_chars)
+    if engine != "column":
+        raise ValueError(f"engine must be 'arrow' or 'column': {engine!r}")
     spark = df.sparkSession
     ids = [F.col(c) for c in id_cols]
 
@@ -506,4 +594,50 @@ def lang_id_ngram(
         *[F.col(f"__lid_l.{c}").alias(c) for c in id_cols],
         F.coalesce(F.col("__lid_b._b.lang"), F.lit("und")).alias("lang_pred"),
         F.col("__lid_b._b.dist").alias("oop_distance"),
+    )
+
+
+def _lang_id_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    top_k_doc: int,
+    max_chars: int | None,
+) -> DataFrame:
+    """The arrow engine: one Arrow-batched ``pandas_udf`` runs
+    :func:`_classify_py` per document. The merged profile dict (a few
+    tens of KB) ships in the closure — cloudpickled once per task, no
+    broadcast join, no shuffle anywhere in the plan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merged = _merged_profile()
+
+    # no type hints on purpose: `from __future__ import annotations`
+    # turns them into strings pandas_udf's hint inference cannot
+    # resolve (pd is function-local); the explicit returnType rules
+    @pandas_udf("struct<lang_pred:string,oop_distance:bigint>")
+    def _classify(texts):
+        rows = [
+            _classify_py(t, merged, top_k_doc, max_chars) for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "lang_pred": [r[0] for r in rows],
+                "oop_distance": pd.array(
+                    [r[1] for r in rows], dtype="Int64"
+                ),
+            }
+        )
+
+    # cut the prefix JVM-side so Arrow only ever transfers max_chars
+    # per document (the kernel re-cuts, harmlessly, for engine parity)
+    text: Column = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    out = df.select(*id_cols, _classify(text).alias("__lid"))
+    return out.select(
+        *id_cols,
+        F.col("__lid.lang_pred").alias("lang_pred"),
+        F.col("__lid.oop_distance").alias("oop_distance"),
     )

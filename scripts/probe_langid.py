@@ -1,0 +1,120 @@
+"""One-off decomposition probe for lang_id_ngram cost at 200k docs.
+
+Times, on the cached .benchdata/scale_docs_200000 corpus (truncated to
+the operator's DEFAULT_MAX_CHARS prefix exactly as lang_id_ngram does):
+
+  extract      — char_ngrams only, forced via xxhash64 fold
+  profile      — doc_gram_profile only, forced the same way
+  profile_rx   — doc_gram_profile over regexp_extract_all-based grams
+  full         — the shipped operator end-to-end
+  full_rx      — the operator with the regexp extraction monkeypatched
+
+Forcing uses aggregate(xxhash64(gram)) so Catalyst cannot collapse the
+arrays to their size. Run on an idle machine.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import SparkSession, functions as F
+
+from schema_validata_spark.operators import langid as L
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "48g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(os.path.join(ROOT, ".benchdata/scale_docs_200000"))
+docs.count()  # warm the scan
+
+text = F.substring(F.col("text"), 1, L.DEFAULT_MAX_CHARS)
+
+
+def force_grams(col):
+    """Fold xxhash64 over the gram array so every gram materializes."""
+    return F.aggregate(
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc.bitwiseXOR(F.xxhash64(g)),
+    )
+
+
+def force_profile(col):
+    return F.aggregate(
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc.bitwiseXOR(F.xxhash64(p["gram"])).bitwiseXOR(p["drank"].cast("long")),
+    )
+
+
+def rx_char_ngrams(col, n_max: int = L.N_MAX):
+    """Overlapping 1..n_max grams via compiled-regex lookahead capture:
+    one JVM regex pass per n instead of one interpreted HOF lambda call
+    per position."""
+    def grams(s):
+        parts = []
+        for n in range(1, n_max + 1):
+            parts.append(
+                F.regexp_extract_all(s, F.lit(f"(?=(.{{{n}}}))"), 1)
+            )
+        return F.flatten(F.array(*parts))
+
+    return F.transform(F.array(L.normalize_col(col)), grams)[0]
+
+
+def timed(name, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{name:12s} {dt:7.2f} s   ({out})", flush=True)
+
+
+timed(
+    "extract",
+    lambda: docs.select(force_grams(L.char_ngrams(text)).alias("h"))
+    .agg(F.sum(F.col("h") % 1000003))
+    .collect()[0][0],
+)
+timed(
+    "extract_rx",
+    lambda: docs.select(force_grams(rx_char_ngrams(text)).alias("h"))
+    .agg(F.sum(F.col("h") % 1000003))
+    .collect()[0][0],
+)
+timed(
+    "profile",
+    lambda: docs.select(force_profile(L.doc_gram_profile(text)).alias("h"))
+    .agg(F.sum(F.col("h") % 1000003))
+    .collect()[0][0],
+)
+
+orig = L.char_ngrams
+timed(
+    "full",
+    lambda: L.lang_id_ngram(docs, "text", ["doc_id"])
+    .groupBy("lang_pred")
+    .count()
+    .count(),
+)
+L.char_ngrams = rx_char_ngrams
+try:
+    timed(
+        "full_rx",
+        lambda: L.lang_id_ngram(docs, "text", ["doc_id"])
+        .groupBy("lang_pred")
+        .count()
+        .count(),
+    )
+finally:
+    L.char_ngrams = orig
+
+spark.stop()

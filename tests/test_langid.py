@@ -106,17 +106,17 @@ def test_seed_text_classifies_as_own_language(spark):
 
 
 def test_plan_ranks_in_row_and_broadcasts_profile(spark):
-    """Round-5 plan shape: the per-doc gram ranking is IN-ROW
-    (doc_gram_profile), so the plan has NO Window nodes at all and the
-    profile join's streamed side comes straight off the scan — the
-    previous shape's corpus-wide (id, gram) aggregate and rank window
-    (the one measured superlinear stage) are gone."""
+    """Round-5 plan shape (column engine): the per-doc gram ranking is
+    IN-ROW (doc_gram_profile), so the plan has NO Window nodes at all
+    and the profile join's streamed side comes straight off the scan —
+    the previous shape's corpus-wide (id, gram) aggregate and rank
+    window (the one measured superlinear stage) are gone."""
     df = spark.createDataFrame(
         [(i, LANG_SAMPLES[LANGS[i % len(LANGS)]]) for i in range(40)],
         "id long, text string",
     )
     plan = (
-        lang_id_ngram(df, "text", ["id"])
+        lang_id_ngram(df, "text", ["id"], engine="column")
         ._jdf.queryExecution().executedPlan().toString()
     )
     # the profile join must broadcast the tiny static side, never
@@ -225,3 +225,86 @@ def test_char_ngrams_property_parity(spark):
             assert got[i] == _char_ngrams_py(t), repr(t)
 
     inner()
+
+
+def test_arrow_plan_is_single_stage_zero_shuffles(spark):
+    """Round-5 arrow engine: the whole classification is one Arrow
+    pandas_udf projection — no Exchange, no join, no aggregate, no
+    Generate anywhere in the physical plan. This is the default-engine
+    plan a 10^12-doc corpus runs: it scales exactly like a scan."""
+    df = spark.createDataFrame(
+        [(i, LANG_SAMPLES[LANGS[i % len(LANGS)]]) for i in range(40)],
+        "id long, text string",
+    )
+    plan = (
+        lang_id_ngram(df, "text", ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    for node in ("Exchange", "Join", "Aggregate", "Generate", "Window"):
+        assert node not in plan, (node, plan)
+
+
+def test_arrow_column_engine_parity(spark):
+    """Both engines produce byte-identical (lang_pred, oop_distance)
+    on a corpus that exercises every edge: held-out sentences for all
+    languages, seed paragraphs, empty/whitespace/NULL text, profile-less
+    digit soup, a NULL id value, tie-prone tiny texts, long docs that
+    cross the DEFAULT_MAX_CHARS prefix, and CJK with no whitespace."""
+    rows = [(float(i), t) for i, t in enumerate(LANG_SAMPLES.values())]
+    rows += [(100.0 + i, t) for i, t in enumerate(LANG_SEEDS.values())]
+    rows += [
+        (200.0, ""),
+        (201.0, "   \t\n "),
+        (202.0, None),
+        (None, "0101 2323 4545 6767"),
+        (204.0, "a"),
+        (205.0, "ab ba ab"),
+        (206.0, (LANG_SAMPLES["fr"] + " ") * 60),
+        (207.0, LANG_SAMPLES["zh"] * 3),
+    ]
+    df = spark.createDataFrame(rows, "id double, text string")
+    for max_chars in (None, 400):
+        a = {
+            r["id"]: (r["lang_pred"], r["oop_distance"])
+            for r in lang_id_ngram(
+                df, "text", ["id"], max_chars=max_chars, engine="arrow"
+            ).collect()
+        }
+        c = {
+            r["id"]: (r["lang_pred"], r["oop_distance"])
+            for r in lang_id_ngram(
+                df, "text", ["id"], max_chars=max_chars, engine="column"
+            ).collect()
+        }
+        assert a == c, {k: (a[k], c[k]) for k in a if a[k] != c.get(k)}
+
+
+def test_classify_py_matches_rank_model():
+    """The arrow kernel's ranking must equal the module's reference
+    Python model (_rank_grams ∘ _char_ngrams_py) — same texts the
+    column-engine parity suite uses."""
+    from schema_validata_spark.operators.langid import (
+        _classify_py,
+        _merged_profile,
+        _rank_grams,
+    )
+
+    merged = _merged_profile()
+    for t in list(LANG_SAMPLES.values()) + ["", " ", "a", "ab" * 400]:
+        prof = _rank_grams(_char_ngrams_py(t), TOP_K_DOC)
+        # recompute the kernel's distance from the reference profile
+        totals: dict[str, int] = {}
+        for gram, drank in prof:
+            for lang, prank in merged.get(gram, ()):
+                totals[lang] = (
+                    totals.get(lang, 0) + abs(drank - prank) - PENALTY
+                )
+        if totals:
+            want = min(
+                (len(prof) * PENALTY + v, k) for k, v in totals.items()
+            )
+            want = (want[1], want[0])
+        else:
+            want = ("und", None)
+        assert _classify_py(t, merged, max_chars=None) == want, repr(t[:30])
