@@ -1810,6 +1810,25 @@ def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(df, "text", "doc_id")
 
 
+def q_winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moss-style winnowing clone detection (winnow.py::winnow_pairs):
+    whitespace-stripped char 7-grams, rolling base-31 hashes, window-4
+    minima as fingerprints, posting self-join, containment scoring.
+    The portable hash family lets the oracle replay the ENTIRE
+    pipeline — normalization, gram fold, winnowing (window minima +
+    the short-doc global-min fallback), posting join, containment —
+    bit-equal in DuckDB."""
+    from schema_validata_spark.operators.winnow import winnow_pairs
+
+    df = _read(spark, sf_dir, "documents")
+    # max_posting lifted so the quadratic-bucket guard never prunes at
+    # test scale: the oracle replays the LOSSLESS pipeline
+    return winnow_pairs(
+        df, "text", "doc_id", k=7, w=4, min_containment=0.25,
+        max_posting=100_000, portable=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1869,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_lineitem": q_key_skew_lineitem,
         "semdedup_embeddings": q_semdedup_embeddings,
         "bigram_logprob_documents": q_bigram_logprob_documents,
+        "winnow_pairs_documents": q_winnow_pairs_documents,
     }
 
 
@@ -2242,6 +2262,74 @@ JOIN sizes z1 ON z1.doc_id = c.id1
 JOIN sizes z2 ON z2.doc_id = c.id2
 WHERE round(CAST(COALESCE(i.x, 0) AS DOUBLE)
             / CAST(z1.n + z2.n - COALESCE(i.x, 0) AS DOUBLE), 6) >= {thr}
+"""
+
+
+def _winnow_portable_sql(
+    k: int = 7, w: int = 4, thr: float = 0.25
+) -> str:
+    """DuckDB replay of the ENTIRE portable winnowing pipeline
+    (winnow.py): whitespace-strip normalization, char k-gram rolling
+    hashes (the same base-31 mod-Mersenne fold as MinHash, bit-equal
+    between Spark aggregate and DuckDB list_reduce), window-of-w minima
+    with the short-doc global-min fallback, distinct fingerprints,
+    posting self-join for shared counts, containment vs the smaller
+    fingerprint set."""
+    from schema_validata_spark.operators.dedup import _MERSENNE
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS nt
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT n.doc_id, CAST(t.i AS INTEGER) AS i,
+         substr(n.nt, CAST(t.i AS INTEGER), {k}) AS gram
+  FROM norm n, LATERAL (
+    SELECT unnest(range(1, length(n.nt) - {k - 2})) AS i
+  ) t
+), gh AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_transform(string_split_regex(gram, ''),
+                          c -> CAST(ascii(c) AS BIGINT)),
+           (acc, c) -> (acc * 31 + c) % {_MERSENNE}
+         ) AS h
+  FROM grams
+), wins AS (
+  -- window-of-w minima via frame functions (O(m) per doc; the naive
+  -- self-join formulation was measured 30x slower); cnt filters out
+  -- the ragged trailing windows shorter than w
+  SELECT doc_id, fp FROM (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {w - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {w - 1} FOLLOWING) AS cnt
+    FROM gh
+  ) WHERE cnt = {w}
+), shortd AS (
+  SELECT doc_id, MIN(h) AS fp FROM gh
+  GROUP BY doc_id HAVING COUNT(*) < {w}
+), fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, fp FROM wins UNION ALL SELECT doc_id, fp FROM shortd)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id
+), inter AS (
+  SELECT f1.doc_id AS id1, f2.doc_id AS id2, COUNT(*) AS shared
+  FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+  GROUP BY f1.doc_id, f2.doc_id
+)
+SELECT i.id1, i.id2, CAST(i.shared AS BIGINT) AS shared,
+       round(CAST(i.shared AS DOUBLE)
+             / CAST(least(z1.n, z2.n) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.id1
+JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE round(CAST(i.shared AS DOUBLE)
+            / CAST(least(z1.n, z2.n) AS DOUBLE), 6) >= {thr}
 """
 
 
@@ -3104,4 +3192,5 @@ SELECT d.doc_id AS id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p ON d.doc_id = p.id
 """,
+        "winnow_pairs_documents": _winnow_portable_sql(),
     }

@@ -1,0 +1,187 @@
+"""Winnowing (Moss) fingerprint tests — Spark vs a pure-Python reference
+implementation of Schleimer/Wilkerson/Aiken winnowing, plus the match
+guarantee and guard/stat contracts shared with the other near-dup paths."""
+
+import re
+
+import pytest
+
+from schema_validata_spark.operators.winnow import (
+    winnow_fingerprint_table,
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+MERSENNE = (1 << 31) - 1
+
+
+def py_winnow(text: str, k: int = 7, w: int = 4) -> set[int]:
+    """Reference winnowing: normalize, portable base-31 k-gram hashes,
+    window-of-w minima (global min for short docs), distinct."""
+    norm = re.sub(r"\s+", "", text.lower())
+    if len(norm) < k:
+        return set()
+    hashes = []
+    for i in range(len(norm) - k + 1):
+        h = 0
+        for ch in norm[i : i + k]:
+            h = (h * 31 + ord(ch)) % MERSENNE
+        hashes.append(h)
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+DOCS = [
+    ("a", "def add(x, y):\n    return x + y\n"),
+    ("b", "def add(x,y):\n\treturn x+y\n"),  # whitespace-only variant of a
+    ("c", "class Foo:\n    def bar(self):\n        pass\n"),
+    ("d", "SELECT * FROM t WHERE x > 10 ORDER BY y"),
+    ("e", "short"),  # shorter than k after normalization (5 < 7)
+    ("f", ""),  # empty
+    ("g", None),  # null text
+    ("h", "abcdefgh"),  # 8 chars → 2 grams < w windows → global min
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_fingerprints_match_python_reference(spark, docs_df):
+    rows = winnow_fingerprints(
+        docs_df, "text", k=7, w=4, portable=True
+    ).collect()
+    got = {r["doc_id"]: set(r["fingerprints"] or []) for r in rows}
+    for doc_id, text in DOCS:
+        expected = py_winnow(text or "", 7, 4)
+        assert got[doc_id] == expected, doc_id
+
+
+def test_whitespace_variants_share_all_fingerprints(spark, docs_df):
+    rows = winnow_fingerprints(
+        docs_df, "text", k=7, w=4, portable=True
+    ).collect()
+    got = {r["doc_id"]: set(r["fingerprints"] or []) for r in rows}
+    assert got["a"] == got["b"] and got["a"]
+
+
+def test_match_guarantee_shared_substring(spark):
+    """Any shared substring of length >= w + k - 1 in the normalized
+    streams contributes at least one shared fingerprint (the winnowing
+    theorem) — check with a planted common block inside different
+    surroundings."""
+    k, w = 7, 4
+    common = "thequickbrownfoxjumpsoverthelazydog"
+    assert len(common) >= w + k - 1
+    df = spark.createDataFrame(
+        [("x", "AAAA" + common + "BBBB"), ("y", "CCCCCC" + common + "D")],
+        "doc_id string, text string",
+    )
+    rows = winnow_fingerprints(df, "text", k=k, w=w, portable=True).collect()
+    got = {r["doc_id"]: set(r["fingerprints"]) for r in rows}
+    assert got["x"] & got["y"]
+
+
+def test_density_bound(spark):
+    """Fingerprint count per doc is at most the window count and at
+    least ceil(m / w) for distinct hashes (one per non-overlapping
+    window)."""
+    import random
+
+    rnd = random.Random(7)
+    text = "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(500))
+    df = winnow_fingerprints(
+        spark.createDataFrame([("x", text)], "doc_id string, text string"),
+        "text",
+        k=7,
+        w=4,
+        portable=True,
+    )
+    n_fp = len(df.collect()[0]["fingerprints"])
+    m = len(text) - 7 + 1  # gram count (no whitespace in input)
+    assert n_fp <= m - 4 + 1
+    assert n_fp >= (m - 4 + 1) // 4  # window minima repeat ≤ w times
+
+
+def test_xxhash_and_portable_same_structure(spark, docs_df):
+    """Production (xxhash64) and portable hash families pick different
+    window minima, so exact fingerprint counts differ — but both must
+    fingerprint exactly the same documents and respect the winnowing
+    density bounds (1 ≤ count ≤ window count)."""
+    a = {
+        r["doc_id"]: len(r["fingerprints"])
+        for r in winnow_fingerprints(docs_df, "text", portable=False).collect()
+    }
+    b = {
+        r["doc_id"]: len(r["fingerprints"])
+        for r in winnow_fingerprints(docs_df, "text", portable=True).collect()
+    }
+    assert {k for k, v in a.items() if v} == {k for k, v in b.items() if v}
+    for counts in (a, b):
+        for doc_id, text in DOCS:
+            norm = re.sub(r"\s+", "", (text or "").lower())
+            m = max(len(norm) - 7 + 1, 0)
+            if m == 0:
+                assert counts[doc_id] == 0
+            elif m < 4:
+                assert counts[doc_id] == 1
+            else:
+                assert 1 <= counts[doc_id] <= m - 4 + 1
+
+
+def test_pairs_containment_and_threshold(spark, docs_df):
+    pairs = winnow_pairs(
+        docs_df, "text", "doc_id", k=7, w=4, min_containment=0.25,
+        max_posting=10_000, portable=True,
+    ).collect()
+    by_pair = {(r["id1"], r["id2"]): r for r in pairs}
+    assert ("a", "b") in by_pair
+    r = by_pair[("a", "b")]
+    fp_a = py_winnow(DOCS[0][1])
+    fp_b = py_winnow(DOCS[1][1])
+    assert r["shared"] == len(fp_a & fp_b)
+    assert r["containment"] == pytest.approx(
+        len(fp_a & fp_b) / min(len(fp_a), len(fp_b)), abs=1e-6
+    )
+    # unrelated docs never pair at this threshold
+    assert ("c", "d") not in by_pair
+
+
+def test_embedded_copy_scores_full_containment(spark):
+    """A file pasted whole into a larger file: containment ~1.0 even
+    though Jaccard would be diluted."""
+    inner = "def checksum(data):\n    return sum(data) % 255\n"
+    outer = (
+        "import os\n" + inner + "\nif __name__ == '__main__':\n"
+        "    print(checksum(b'xyz'))\n" * 3
+    )
+    df = spark.createDataFrame(
+        [("inner", inner), ("outer", outer)], "doc_id string, text string"
+    )
+    rows = winnow_pairs(
+        df, "text", "doc_id", min_containment=0.5, max_posting=10_000,
+        portable=True,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["containment"] >= 0.9
+
+
+def test_fingerprint_table_explodes_distinct(spark, docs_df):
+    tbl = winnow_fingerprint_table(docs_df, "text", "doc_id", portable=True)
+    pdf = tbl.toPandas()
+    # distinct per doc: no (id, fingerprint) dupes
+    assert not pdf.duplicated(["id", "fingerprint"]).any()
+    # empty/null/short docs contribute zero rows except 'e' (5 chars < k)
+    assert set(pdf["id"]) == {"a", "b", "c", "d", "h"}
+
+
+def test_stats_out_contract(spark, docs_df):
+    stats = {}
+    winnow_pairs(
+        docs_df, "text", "doc_id", max_posting=10_000, portable=True,
+        stats_out=stats,
+    ).collect()
+    assert stats["dropped_buckets"] == 0
+    assert stats["dropped_rows"] == 0
