@@ -5,7 +5,10 @@ round-4 `lang_id_ngram`, and (round-5, VERDICT r4 #8) the round-4
 operators `code_quality_flags`+`secret_counts`, `url_hosts`+
 `host_blocked`, `top_ngram_stats`, and `snapshot_delta` — the
 regex/HOF-heavy ops whose cost the sf0.1 oracle corpus (5k docs)
-cannot characterize.
+cannot characterize — plus the late-round-5 additions `tfidf_topk`,
+`bigram_logprob` (both explode + keyed aggregate + broadcast-join
+shapes), `winnow_fingerprint_table` (the let-bound HOF pipeline),
+and `key_skew_profile`.
 
 Builds a replicated synthetic corpus from the driver's sf0.1
 `documents` table at two sizes (default 200k and 2M docs — 1000× /
@@ -220,6 +223,45 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def op_tfidf(df):
+        from schema_validata_spark.operators.text import tfidf_topk
+
+        return tfidf_topk(df, "text", "doc_id", top_k=3).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("tfidf").alias("s"),
+        )
+
+    def op_bigram_lm(df):
+        from schema_validata_spark.operators.text import bigram_logprob
+
+        return bigram_logprob(df, "text", "doc_id").agg(
+            F.sum("n_bigrams").alias("n"),
+            F.avg("avg_logprob2").alias("lp"),
+        )
+
+    def op_winnow_fp(df):
+        from schema_validata_spark.operators.winnow import (
+            winnow_fingerprint_table,
+        )
+
+        return winnow_fingerprint_table(df, "text", "doc_id").agg(
+            F.count(F.lit(1)).alias("postings"),
+            F.count_distinct("fingerprint").alias("distinct_fp"),
+        )
+
+    def op_key_skew(df):
+        from schema_validata_spark.operators.diagnostics import (
+            key_skew_profile,
+        )
+
+        # doc_id % 97 as the prospective key: 97 hot-ish keys plus the
+        # replica structure — a realistic pre-join diagnostic target
+        keyed = df.withColumn("k", F.col("doc_id") % 97)
+        return key_skew_profile(keyed, ["k"], top_k=20).agg(
+            F.sum("cnt").alias("top_rows"),
+            F.max("ratio_to_mean").alias("worst"),
+        )
+
     ops = {
         "script_counts": op_script,
         "dedup_lines": op_dedup_lines,
@@ -230,6 +272,10 @@ def main() -> None:
         "url_blocklist": op_url_blocklist,
         "top_ngram": op_top_ngram,
         "snapshot_delta": op_snapshot_delta,
+        "tfidf_topk": op_tfidf,
+        "bigram_logprob": op_bigram_lm,
+        "winnow_fingerprints": op_winnow_fp,
+        "key_skew_profile": op_key_skew,
     }
 
     out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}

@@ -245,8 +245,16 @@ def test_compaction_bounds_state_file_count(spark, tmp_path):
         stateful_near_dedup_batch(
             df, i, "text", "doc_id", st, k=3, compact_every=None, **kw
         )
+        # replay the batch (documented at-least-once semantics: a
+        # replayed batch APPENDS to its own partition) — this forces
+        # the multi-file precondition deterministically; relying on the
+        # write's task layout was flaky, AQE sometimes coalesces each
+        # tiny state shuffle to a single file
+        stateful_near_dedup_batch(
+            df, i, "text", "doc_id", st, k=3, compact_every=None, **kw
+        )
     files = _data_files(st)
-    assert any(len(v) > 1 for v in files.values()), (
+    assert all(len(v) > 1 for v in files.values()), (
         "precondition: multi-file partitions expected, got %s" % files
     )
     # batch 4 with compact_every=4 triggers the pass (4 % 4 == 0)
