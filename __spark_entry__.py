@@ -1829,6 +1829,30 @@ def q_winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fork_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection (forks.py::fork_candidates): bottom-k
+    minwise content sketches per group, posting join for candidates,
+    merged-bottom-k Jaccard estimator. The corpus plants forks by
+    copying every third document into a `<source>_fork` pseudo-repo,
+    so each (src, src_fork) pair shares ~1/3 of its files. sha2-256
+    hex content hashes sort identically in Spark and DuckDB, so the
+    ENTIRE pipeline — distinct, per-group bottom-k order, candidate
+    generation, merged-sketch estimator — replays in SQL."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.forks import fork_candidates
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.select("source", "text").unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.col("source"), F.lit("_fork")).alias("source"), "text"
+        )
+    )
+    return fork_candidates(
+        corpus, "text", "source", k=16, min_sim=0.15, max_posting=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1889,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "winnow_pairs_documents": q_winnow_pairs_documents,
+        "fork_candidates_documents": q_fork_candidates_documents,
     }
 
 
@@ -2330,6 +2355,65 @@ JOIN sizes z1 ON z1.doc_id = i.id1
 JOIN sizes z2 ON z2.doc_id = i.id2
 WHERE round(CAST(i.shared AS DOUBLE)
             / CAST(least(z1.n, z2.n) AS DOUBLE), 6) >= {thr}
+"""
+
+
+def _fork_candidates_sql(k: int = 16, thr: float = 0.15) -> str:
+    """DuckDB replay of the full fork-detection pipeline (forks.py):
+    planted `<source>_fork` pseudo-repos, distinct (group, sha256)
+    sets, per-group bottom-k order, co-posting candidate pairs, and
+    the merged-bottom-k Jaccard estimator — all relational (the Spark
+    side's array math over two <= k sketches is re-expressed as
+    window ranks + joins over the same hash order)."""
+    return f"""
+WITH corpus AS (
+  SELECT source AS g, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT source || '_fork', text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 0
+), h AS (
+  SELECT DISTINCT g, sha256(text) AS h FROM corpus
+), rk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM h
+), sk AS (
+  SELECT g, h FROM rk WHERE r <= {k}
+), cnt AS (
+  SELECT g, COUNT(*) AS n FROM h GROUP BY g
+), pairs AS (
+  SELECT a.g AS g1, b.g AS g2
+  FROM sk a JOIN sk b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2
+), uni AS (
+  SELECT p.g1, p.g2, s.h
+  FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+  GROUP BY 1, 2, 3
+), merged AS (
+  SELECT g1, g2, h,
+         row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS r
+  FROM uni
+), m AS (
+  SELECT g1, g2, h FROM merged WHERE r <= {k}
+), msz AS (
+  SELECT g1, g2, COUNT(*) AS denom FROM m GROUP BY 1, 2
+), sh AS (
+  SELECT m.g1, m.g2, COUNT(*) AS shared
+  FROM m
+  JOIN sk s1 ON s1.g = m.g1 AND s1.h = m.h
+  JOIN sk s2 ON s2.g = m.g2 AND s2.h = m.h
+  GROUP BY 1, 2
+)
+SELECT p.g1, p.g2,
+       c1.n AS n1, c2.n AS n2,
+       CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared,
+       round(CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+             / CAST(msz.denom AS DOUBLE), 6) AS jaccard_est
+FROM pairs p
+JOIN cnt c1 ON c1.g = p.g1
+JOIN cnt c2 ON c2.g = p.g2
+JOIN msz ON msz.g1 = p.g1 AND msz.g2 = p.g2
+LEFT JOIN sh ON sh.g1 = p.g1 AND sh.g2 = p.g2
+WHERE round(CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+            / CAST(msz.denom AS DOUBLE), 6) >= {thr}
 """
 
 
@@ -3193,4 +3277,5 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p ON d.doc_id = p.id
 """,
         "winnow_pairs_documents": _winnow_portable_sql(),
+        "fork_candidates_documents": _fork_candidates_sql(),
     }

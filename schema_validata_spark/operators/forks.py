@@ -1,0 +1,173 @@
+"""Repo-level (group-level) similarity via bottom-k minwise content
+sketches — fork / mirror / vendored-copy detection over a source-code
+corpus.
+
+A fork shares most of its FILES with its upstream even when no single
+file pair is interesting; detecting it needs set similarity between
+repos, where each repo is the set of its distinct file-content hashes.
+The scalable estimator is the classic bottom-k (KMV) minwise sketch
+(Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007): keep the k
+smallest content hashes per repo, estimate Jaccard between two repos
+as ``|B_k(A ∪ B) ∩ A_k ∩ B_k| / |B_k(A ∪ B)|`` where ``B_k`` is the
+bottom-k of the merged sketch. When a repo has fewer than k distinct
+files the sketch IS the set and the estimate is exact.
+
+Pipeline (all DataFrame ops, no driver state):
+
+1. ``group_content_sketch``: one scan → distinct ``(group, sha256)``
+   → per-group bottom-k via a ``row_number`` window whose ``rank <= k``
+   cut plans as **WindowGroupLimit** (partial top-k BEFORE the group
+   exchange — at most k rows per (input partition, group) shuffle);
+   then one ``collect_list`` per group. State per repo is O(k), so a
+   10^9-repo corpus sketches to ~10^9 × k hashes regardless of file
+   count — the whole point at 100 TB.
+2. ``fork_candidates``: explode sketches to a posting table, self-join
+   on the hash (candidate pairs MUST share a bottom-k member — never
+   all-pairs; a hash shared by many repos is exactly the boilerplate
+   case, bounded by the same quadratic-bucket guard contract as the
+   near-dup paths), then the merged-bottom-k estimator as pure array
+   math over the two ≤ k-element sketches.
+
+The content hash is the engine's exact-dedup convention (sha2-256 hex,
+dedup.py::exact_dedup — reference parity: schema_validata hashes rows
+for duplicate detection, schema_validata.py:1408); hex strings sort
+identically in Spark and DuckDB, so the ENTIRE pipeline — including
+the bottom-k order — replays bit-equal in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    _prune_buckets,
+)
+
+__all__ = ["group_content_sketch", "fork_candidates"]
+
+
+def group_content_sketch(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """``(group, sketch: array<string>, n_items)`` — the k
+    lexicographically-smallest distinct sha2-256 content hashes per
+    group, sorted ascending, plus the group's exact distinct-content
+    count.
+
+    NULL texts are excluded (no content, no set member); groups whose
+    every text is NULL emit no row. The ``row_number() <= k`` FILTER
+    (not a post-hoc mask) is what lets Spark plan **WindowGroupLimit**:
+    the bottom-k cut runs partially per input partition BEFORE the
+    group exchange, so at most k rows per (partition, group) ever
+    shuffle — the same pre-exchange cut the langid and tfidf paths
+    rely on. ``n_items`` is its own map-side-combined aggregate over
+    the distinct frame, joined back on the group key."""
+    hashes = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            F.sha2(F.col(text_col).cast("string"), 256).alias("_h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group").orderBy("_h")
+    topk = (
+        hashes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("group")
+        .agg(F.sort_array(F.collect_list("_h")).alias("sketch"))
+    )
+    counts = hashes.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    return topk.join(counts, "group")
+
+
+def fork_candidates(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 128,
+    min_sim: float = 0.2,
+    max_posting: int = DEFAULT_MAX_BUCKET,
+    log_drops: bool = False,
+    max_total_pairs: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Candidate fork pairs ``(g1, g2, n1, n2, shared, jaccard_est)``
+    with ``jaccard_est >= min_sim``.
+
+    ``jaccard_est`` is the merged-bottom-k estimator: of the k smallest
+    hashes in the UNION of the two sketches, the fraction present in
+    both — unbiased for bottom-k sketches, exact when both groups hold
+    < k distinct contents. ``shared`` is that intersection count within
+    the merged sketch (NOT the full intersection size). Pairs must
+    co-occur in at least one posting bucket, so disjoint repos are
+    never compared; a hash posted by > ``max_posting`` groups (vendored
+    boilerplate present everywhere) is dropped by the shared guard with
+    ``stats_out`` coverage accounting before the join."""
+    sketches = group_content_sketch(df, text_col, group_col, k=k)
+    postings = sketches.select(
+        F.col("group").alias("id"),
+        F.explode("sketch").alias("band_hash"),
+    ).withColumn("band", F.lit(0))
+    pruned = _prune_buckets(
+        postings,
+        max_posting,
+        log_drops=log_drops,
+        label="fork_candidates",
+        max_total_pairs=max_total_pairs,
+        stats_out=stats_out,
+    )
+    pairs = (
+        pruned.alias("l")
+        .join(
+            pruned.alias("r"),
+            on=[
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("g1"), F.col("r.id").alias("g2")
+        )
+        .distinct()
+    )
+    s1 = sketches.select(
+        F.col("group").alias("g1"),
+        F.col("sketch").alias("_s1"),
+        F.col("n_items").alias("n1"),
+    )
+    s2 = sketches.select(
+        F.col("group").alias("g2"),
+        F.col("sketch").alias("_s2"),
+        F.col("n_items").alias("n2"),
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union("_s1", "_s2")), 1, k
+    )
+    shared = F.size(
+        F.array_intersect(merged, F.array_intersect("_s1", "_s2"))
+    )
+    return (
+        pairs.join(s1, "g1")
+        .join(s2, "g2")
+        .select(
+            "g1",
+            "g2",
+            "n1",
+            "n2",
+            shared.cast("long").alias("shared"),
+            F.round(
+                shared.cast("double")
+                / F.size(merged).cast("double"),
+                6,
+            ).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= min_sim)
+    )

@@ -1,0 +1,128 @@
+"""Fork detection (bottom-k minwise repo sketches) — estimator
+exactness below k, candidate generation, guard contract."""
+
+import pytest
+
+from schema_validata_spark.operators.forks import (
+    fork_candidates,
+    group_content_sketch,
+)
+
+
+def _corpus(spark, groups: dict[str, list[str]]):
+    rows = [(g, t) for g, texts in groups.items() for t in texts]
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_sketch_is_full_set_below_k(spark):
+    df = _corpus(spark, {"a": ["x", "y", "z", "y"], "b": ["x"]})
+    rows = {r["group"]: r for r in group_content_sketch(df, "text", "source", k=8).collect()}
+    assert rows["a"]["n_items"] == 3  # distinct contents only
+    assert len(rows["a"]["sketch"]) == 3
+    assert rows["b"]["n_items"] == 1
+    # ascending hex order
+    assert rows["a"]["sketch"] == sorted(rows["a"]["sketch"])
+
+
+def test_sketch_caps_at_k_smallest(spark):
+    texts = [f"file-{i}" for i in range(20)]
+    df = _corpus(spark, {"a": texts})
+    full = group_content_sketch(df, "text", "source", k=100).collect()[0]
+    capped = group_content_sketch(df, "text", "source", k=5).collect()[0]
+    assert capped["n_items"] == 20
+    assert capped["sketch"] == sorted(full["sketch"])[:5]
+
+
+def test_exact_jaccard_below_k(spark):
+    """Both repos under k distinct files -> the estimator IS Jaccard."""
+    a = [f"f{i}" for i in range(10)]
+    b = a[:4] + [f"g{i}" for i in range(6)]  # |∩|=4, |∪|=16
+    df = _corpus(spark, {"a": a, "b": b})
+    rows = fork_candidates(
+        df, "text", "source", k=100, min_sim=0.0, max_posting=10_000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    assert r["n1"] == 10 and r["n2"] == 10
+    assert r["shared"] == 4
+    assert r["jaccard_est"] == pytest.approx(4 / 16, abs=1e-6)
+
+
+def test_disjoint_repos_never_compared(spark):
+    df = _corpus(
+        spark,
+        {"a": [f"f{i}" for i in range(5)], "b": [f"g{i}" for i in range(5)]},
+    )
+    assert (
+        fork_candidates(
+            df, "text", "source", k=100, min_sim=0.0, max_posting=10_000
+        ).count()
+        == 0
+    )
+
+
+def test_threshold_filters(spark):
+    a = [f"f{i}" for i in range(10)]
+    b = a[:1] + [f"g{i}" for i in range(9)]  # J = 1/19 ≈ 0.05
+    df = _corpus(spark, {"a": a, "b": b})
+    assert (
+        fork_candidates(
+            df, "text", "source", k=100, min_sim=0.2, max_posting=10_000
+        ).count()
+        == 0
+    )
+
+
+def test_null_texts_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)],
+        "source string, text string",
+    )
+    rows = group_content_sketch(df, "text", "source", k=8).collect()
+    assert {r["group"] for r in rows} == {"a"}
+
+
+def test_boilerplate_hash_guard_and_stats(spark):
+    """A content shared by EVERY repo (vendored boilerplate) posts one
+    hash to every group; with max_posting=2 that bucket is dropped and
+    stats_out records it — pairs then come only from real overlap."""
+    groups = {f"r{i}": ["LICENSE-TEXT", f"unique-{i}"] for i in range(6)}
+    groups["r0"].append("shared-real")
+    groups["r1"].append("shared-real")
+    df = _corpus(spark, groups)
+    stats = {}
+    rows = fork_candidates(
+        df, "text", "source", k=100, min_sim=0.0, max_posting=2,
+        stats_out=stats,
+    ).collect()
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_rows"] == 6
+    assert {(r["g1"], r["g2"]) for r in rows} == {("r0", "r1")}
+    r = rows[0]
+    # sizes come from the UNPRUNED sets; shared counts only surviving
+    # co-postings -> conservative (lower) estimate, never inflated
+    assert r["n1"] == 3 and r["n2"] == 3
+    assert r["shared"] >= 1
+    assert r["jaccard_est"] <= 2 / 4 + 1e-9
+
+
+def test_merged_sketch_estimator_with_small_k(spark):
+    """k below the union size: denominator is exactly k, shared counts
+    only hashes in the merged bottom-k AND both sketches."""
+    a = [f"f{i}" for i in range(12)]
+    b = a[:6] + [f"g{i}" for i in range(6)]
+    df = _corpus(spark, {"a": a, "b": b})
+    k = 8
+    r = fork_candidates(
+        df, "text", "source", k=k, min_sim=0.0, max_posting=10_000
+    ).collect()[0]
+    import hashlib
+
+    ha = sorted(hashlib.sha256(t.encode()).hexdigest() for t in a)
+    hb = sorted(hashlib.sha256(t.encode()).hexdigest() for t in b)
+    sa, sb = set(ha[:k]), set(hb[:k])
+    merged = sorted(sa | sb)[:k]
+    expected_shared = len([h for h in merged if h in sa and h in sb])
+    assert r["shared"] == expected_shared
+    assert r["jaccard_est"] == pytest.approx(expected_shared / k, abs=1e-6)
