@@ -1853,6 +1853,31 @@ def q_fork_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_structure_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical code-structure profile (code_quality.py::code_structure):
+    per-file line/blank/comment counts, function/class/import counts,
+    max space-indent, comment/blank fractions — one pure expression,
+    zero shuffles. The corpus is documents.text prefixed with
+    deterministic code-shaped blocks (Python for even ids, JS for odd)
+    so every counter sees signal; the DuckDB oracle rebuilds the same
+    content and replays the same line-anchored patterns."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.code_quality import code_structure
+
+    df = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    code = F.concat(
+        F.lit("import os\nfrom sys import argv\n\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("class Foo:\n    def bar(self):\n        # c\n        pass\n"),
+        ).otherwise(F.lit("// js\nfunction baz() {\n  return 1;\n}\n")),
+        F.col("text"),
+    )
+    s = code_structure(code).alias("s")
+    return df.select(F.col("doc_id"), s).select("doc_id", "s.*")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1914,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "fork_candidates_documents": q_fork_candidates_documents,
+        "code_structure_documents": q_code_structure_documents,
     }
 
 
@@ -2414,6 +2440,59 @@ JOIN msz ON msz.g1 = p.g1 AND msz.g2 = p.g2
 LEFT JOIN sh ON sh.g1 = p.g1 AND sh.g2 = p.g2
 WHERE round(CAST(COALESCE(sh.shared, 0) AS DOUBLE)
             / CAST(msz.denom AS DOUBLE), 6) >= {thr}
+"""
+
+
+def _code_structure_sql() -> str:
+    """DuckDB replay of code_structure over the same synthesized
+    content: identical pattern STRINGS (module constants), per-line
+    regex matches via list_filter, space-only ltrim for indent."""
+    from schema_validata_spark.operators.code_quality import (
+        BLANK_LINE_RE,
+        CLASS_LINE_RE,
+        COMMENT_LINE_RE,
+        FUNC_LINE_RE,
+        IMPORT_LINE_RE,
+    )
+
+    def n_match(pat: str) -> str:
+        # DuckDB '...' literals take backslashes verbatim — escape
+        # ONLY quotes, or \s becomes the two-token regex \\s
+        p = pat.replace("'", "''")
+        return f"len(list_filter(ls, l -> regexp_matches(l, '{p}')))"
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         'import os' || chr(10) || 'from sys import argv'
+           || chr(10) || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+              THEN 'class Foo:' || chr(10) || '    def bar(self):'
+                   || chr(10) || '        # c' || chr(10)
+                   || '        pass' || chr(10)
+              ELSE '// js' || chr(10) || 'function baz() {{'
+                   || chr(10) || '  return 1;' || chr(10) || '}}'
+                   || chr(10)
+            END
+         || text AS code
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, string_split_regex(code, '\\r?\\n') AS ls FROM src
+)
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST({n_match(BLANK_LINE_RE)} AS BIGINT) AS blank_lines,
+  CAST({n_match(COMMENT_LINE_RE)} AS BIGINT) AS comment_lines,
+  CAST({n_match(FUNC_LINE_RE)} AS BIGINT) AS n_funcs,
+  CAST({n_match(CLASS_LINE_RE)} AS BIGINT) AS n_classes,
+  CAST({n_match(IMPORT_LINE_RE)} AS BIGINT) AS n_imports,
+  CAST(list_max(list_transform(ls,
+       l -> length(l) - length(ltrim(l)))) AS BIGINT) AS max_indent,
+  round(CAST({n_match(COMMENT_LINE_RE)} AS DOUBLE)
+        / CAST(len(ls) AS DOUBLE), 6) AS comment_fraction,
+  round(CAST({n_match(BLANK_LINE_RE)} AS DOUBLE)
+        / CAST(len(ls) AS DOUBLE), 6) AS blank_fraction
+FROM lines
 """
 
 
@@ -3278,4 +3357,5 @@ LEFT JOIN per_doc p ON d.doc_id = p.id
 """,
         "winnow_pairs_documents": _winnow_portable_sql(),
         "fork_candidates_documents": _fork_candidates_sql(),
+        "code_structure_documents": _code_structure_sql(),
     }
