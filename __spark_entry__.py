@@ -1878,6 +1878,22 @@ def q_code_structure_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("doc_id"), s).select("doc_id", "s.*")
 
 
+def q_char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (text.py::char_entropy):
+    the in-row sorted-run fold (O(len log len), zero shuffles, no
+    UDFs). The DuckDB oracle is an INDEPENDENT relational formulation
+    — unnest chars, group counts, same ``log2(N) − Σ n·log2 n / N``
+    algebra — so agreement checks the math, not the implementation."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.text import char_entropy
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", char_entropy("text").alias("entropy_bits")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1940,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "fork_candidates_documents": q_fork_candidates_documents,
         "code_structure_documents": q_code_structure_documents,
+        "char_entropy_documents": q_char_entropy_documents,
     }
 
 
@@ -3358,4 +3375,20 @@ LEFT JOIN per_doc p ON d.doc_id = p.id
         "winnow_pairs_documents": _winnow_portable_sql(),
         "fork_candidates_documents": _fork_candidates_sql(),
         "code_structure_documents": _code_structure_sql(),
+        "char_entropy_documents": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), cnts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+), h AS (
+  SELECT doc_id,
+         round(log2(CAST(SUM(c) AS DOUBLE))
+               - SUM(c * log2(CAST(c AS DOUBLE)))
+                 / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+  FROM cnts GROUP BY doc_id
+)
+SELECT d.doc_id, h.entropy_bits
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+""",
     }

@@ -87,3 +87,20 @@ def conditional_numeric_conversion(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(
         col, F.when(is_na(F.col(col)), F.lit(None)).otherwise(stripped.cast("double"))
     )
+
+
+def let_expr(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` exactly
+    once per row and hand it to ``body`` as a bound lambda variable.
+
+    Implemented as ``transform(array(value), v -> body(v))[0]`` — the
+    single-element array forces one evaluation, and every reference
+    inside ``body`` is a NamedLambdaVariable read (free), not an
+    expression re-evaluation. This is the ONLY reliable way to share
+    an expensive subexpression across higher-order-function lambdas:
+    ``withColumn`` staging does NOT survive Catalyst — CollapseProject
+    re-inlines the alias into each reference, and lambda bodies
+    re-evaluate free subexpressions PER ELEMENT, turning O(m) array
+    pipelines into O(m²) (measured 430 s → 2 s on the winnowing
+    fingerprint pipeline, operators/winnow.py)."""
+    return F.transform(F.array(value), body).getItem(0)

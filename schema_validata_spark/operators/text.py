@@ -780,3 +780,58 @@ def bigram_logprob(
         "avg_logprob2",
         "perplexity2",
     )
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    SQL-expressible compression-proxy quality signal (Gopher-class
+    pipelines use zlib ratio; character entropy separates the same
+    extremes without leaving the JVM): base64/packed blobs score near
+    6, natural prose ~4–4.5, repeated boilerplate well below.
+
+    ``H = log2(N) − (Σ_runs n·log2 n) / N`` computed IN-ROW as one
+    O(len·log len) expression: sort the char array, then a single
+    ``aggregate`` fold accumulates ``n·log2 n`` at each run boundary
+    (the same sorted-run trick as :func:`top_ngram_stats` — no
+    per-distinct-char rescan, no shuffle, no UDF). The char array is
+    let-bound (``let_expr``) so the sort runs once per row, not once
+    per lambda reference. NULL and empty text yield NULL."""
+    from schema_validata_spark.functions.scalars import let_expr
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    def fold(chars: Column) -> Column:
+        n = F.size(chars)
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        )
+
+        def step(a, x):
+            same = x.eqNullSafe(a["prev"])
+            closed = F.when(
+                same | (a["run"] == 0), a["acc"]
+            ).otherwise(
+                a["acc"] + a["run"].cast("double") * F.log2(a["run"].cast("double"))
+            )
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                closed.alias("acc"),
+            )
+
+        def finish(a):
+            total = F.when(a["run"] > 0,
+                a["acc"] + a["run"].cast("double") * F.log2(a["run"].cast("double"))
+            ).otherwise(a["acc"])
+            return F.log2(n.cast("double")) - total / n.cast("double")
+
+        return F.when(n > 0, F.aggregate(chars, zero, step, finish))
+
+    # split("") yields [''] (one pseudo-char), so gate on text length —
+    # NULL and empty both yield NULL
+    return F.when(
+        F.length(c) > 0,
+        F.round(let_expr(F.array_sort(F.split(c, "")), fold), 6),
+    )

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from schema_validata_spark.functions.scalars import let_expr as _let
 from schema_validata_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET,
     _MERSENNE,
@@ -126,23 +127,6 @@ def _winnow_expr(h: Column, w: int) -> Column:
         .when(m < w, F.array(F.array_min(h)))
         .otherwise(F.array_distinct(window_mins))
     )
-
-
-def _let(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``value`` exactly
-    once per row and hand it to ``body`` as a bound lambda variable.
-
-    Implemented as ``transform(array(value), v -> body(v))[0]`` — the
-    single-element array forces one evaluation, and every reference
-    inside ``body`` is a NamedLambdaVariable read (free), not an
-    expression re-evaluation. This is the ONLY reliable way to share
-    an expensive subexpression across higher-order-function lambdas:
-    ``withColumn`` staging does NOT survive Catalyst — CollapseProject
-    re-inlines the alias into each reference, and lambda bodies
-    re-evaluate free subexpressions PER ELEMENT, turning O(m) work
-    into O(m²) (measured: 430 s → 2 s on 500 × 300-char docs for the
-    winnow pipeline)."""
-    return F.transform(F.array(value), body).getItem(0)
 
 
 def winnow_fingerprints(

@@ -206,3 +206,57 @@ def test_bigram_separates_repetition_from_rare_words(spark):
     out = {r["id"]: r for r in
            bigram_logprob(df, "text", "doc_id").collect()}
     assert out[1]["avg_logprob2"] > out[2]["avg_logprob2"]
+
+
+class TestCharEntropy:
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from schema_validata_spark.operators.text import char_entropy
+
+        texts = [
+            "aaaa", "abcd", "hello world", "", None, "aabb",
+            "x", "The quick brown fox jumps over the lazy dog 123!",
+            "AAAABBBBCCCCDDDD" * 8,
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r[0] for r in df.select(char_entropy("t")).collect()]
+        for t, g in zip(texts, got):
+            if not t:
+                assert g is None
+                continue
+            n = len(t)
+            exp = -sum(
+                v / n * math.log2(v / n) for v in Counter(t).values()
+            )
+            assert abs(g - round(exp, 6)) < 2e-6, t
+
+    def test_separates_blob_boilerplate_prose(self, spark):
+        """The quality-signal contract: packed/base64-ish content
+        scores high, repeated boilerplate low, prose in between."""
+        from schema_validata_spark.operators.text import char_entropy
+
+        blob = "QWxhZGRpbjpvcGVuIHNlc2FtZQ+/38aF92kL" * 5
+        boiler = "-- auto generated --\n" * 20
+        prose = (
+            "the validation engine checks every constraint over the "
+            "corpus and reports verdicts per partition and column"
+        )
+        df = spark.createDataFrame(
+            [("blob", blob), ("boiler", boiler), ("prose", prose)],
+            "k string, t string",
+        )
+        h = {r["k"]: r["e"] for r in df.select(
+            "k", char_entropy("t").alias("e")).collect()}
+        assert h["blob"] > h["prose"] > h["boiler"]
+
+    def test_zero_shuffle_plan(self, spark):
+        from schema_validata_spark.operators.text import char_entropy
+
+        df = spark.createDataFrame([("abc",)], "t string")
+        plan = df.select(char_entropy("t")).queryExecution() if False else (
+            df.select(char_entropy("t"))._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan
