@@ -725,12 +725,16 @@ def bigram_logprob(
     of the token array — no positional self-join, no window over a
     token stream), then one explode feeds both count tables: bigram
     counts ``c(w1 w2)`` and — derived from the SAME exploded frame —
-    prefix counts ``c(w1)``; each joins back size-gated-broadcast. The
-    corpus token total is the one-row driver literal, as in
+    prefix counts ``c(w1)``. The log-probability is a pure function of
+    the bigram STRING given those tables, so the three tables fold into
+    ONE distinct-bigram-level score table (``bg → lp``) with
+    distinct-cardinality joins, and the 10^? -row occurrence stream is
+    joined exactly ONCE (size-gated broadcast) — round-4's shape joined
+    the occurrence stream three times and went superlinear at 2M docs.
+    The corpus token total is the one-row driver literal, as in
     :func:`unigram_logprob`. Self-training inside the call re-derives
-    the explode per consumer; at corpus scale persist the two count
-    tables once (a ``vocab_stats``-class job) and scoring is a single
-    scan.
+    the explode per consumer; at corpus scale persist the score table
+    once (a ``vocab_stats``-class job) and scoring is a single scan.
     """
     from schema_validata_spark.functions.joins import maybe_broadcast
 
@@ -761,9 +765,10 @@ def bigram_logprob(
         "tok"
     ).agg(F.count(F.lit(1)).alias("c_tok"))
     total = uni.agg(F.sum("c_tok").alias("t")).collect()[0]["t"] or 1
-    scored = (
-        doc_bg.join(maybe_broadcast(bg_counts), "bg")
-        .join(
+    # one distinct-bigram-level score table: every join below is between
+    # distinct-cardinality frames, never against the occurrence stream
+    bg_lp = (
+        bg_counts.join(
             maybe_broadcast(pre_counts),
             F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
         )
@@ -773,7 +778,7 @@ def bigram_logprob(
             "left",
         )
         .select(
-            "id",
+            "bg",
             F.when(
                 F.col("c_bg") > 1,
                 F.log(
@@ -790,6 +795,7 @@ def bigram_logprob(
             .alias("lp"),
         )
     )
+    scored = doc_bg.join(maybe_broadcast(bg_lp), "bg").select("id", "lp")
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob2"),
