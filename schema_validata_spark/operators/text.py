@@ -17,6 +17,8 @@ selects; `*_df` helpers give ready-made query shapes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -528,30 +530,149 @@ def _raw_shingles(col: Column | str, k: int) -> Column:
     )[0]
 
 
-def top_ngram_stats(col: Column | str, n: int) -> Column:
+# ---------------------------------------------------------------------
+# Python twins of the tokens() → _raw_shingles() Column pipeline, for
+# the Arrow engines below. Parity contract (held byte-equal by
+# tests/test_arrow_engines.py against the column engines):
+#
+# * Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) — Python's re.ASCII
+#   flag selects exactly that set (U+00A0 etc. are NOT whitespace in
+#   either engine);
+# * F.lower (UTF8String.toLowerCase) and str.lower() are both full
+#   unconditional Unicode lowercasing — including the capital-sigma
+#   corner, where BOTH map Σ→σ regardless of position (parity-tested
+#   with a planted final Σ);
+# * Python's code-point string order equals Spark's UTF8String byte
+#   order because UTF-8 is order-preserving — so "lexicographically
+#   smallest gram" agrees across engines;
+# * F.length and len() both count code points.
+
+_PY_EDGE_WS = re.compile(r"^\s+|\s+$", re.ASCII)
+_PY_ANY_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _py_round6(x: float) -> float:
+    """``F.round(x, 6)`` parity: Spark's Round on DoubleType is
+    ``BigDecimal.valueOf(x).setScale(6, HALF_UP).toDouble()``, and
+    ``BigDecimal.valueOf`` parses ``Double.toString`` — the shortest
+    round-trip decimal, which is exactly Python ``repr(float)``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _py_grams(t: str, n: int) -> list[str]:
+    """Python twin of ``_raw_shingles ∘ tokens``: ASCII-``\\s`` edge
+    strip, lower, ASCII-``\\s+`` split, n-token space-joined shingles
+    WITH duplicates; ``[]`` when the doc has < n tokens."""
+    s = _PY_EDGE_WS.sub("", t)
+    if not s:
+        return []
+    toks = _PY_ANY_WS.split(s.lower())
+    if len(toks) < n:
+        return []
+    return [" ".join(g) for g in zip(*(toks[j:] for j in range(n)))]
+
+
+def _py_top_ngram(t, n: int):
+    """Per-doc kernel for the ``top_ngram_stats`` arrow engine —
+    same output as the column engine's sort+fold: max count, ties to
+    the lexicographically smallest gram."""
+    if t is None:
+        return (None, None, None)
+    gs = _py_grams(t, n)
+    if not gs:
+        return (None, None, None)
+    from collections import Counter
+
+    cnt = Counter(gs)
+    best_n = max(cnt.values())
+    best_g = min(g for g, k in cnt.items() if k == best_n)
+    return (best_g, best_n, _py_round6(best_n * len(best_g) / len(t)))
+
+
+def _py_dup_ngram(t, n: int):
+    """Per-doc kernel for the ``dup_ngram_char_fraction`` arrow
+    engine: Σ_{gram: count>1} count·len(gram) / len(text)."""
+    if t is None:
+        return None
+    gs = _py_grams(t, n)
+    if not gs:
+        return None
+    from collections import Counter
+
+    cnt = Counter(gs)
+    dup = sum(k * len(g) for g, k in cnt.items() if k > 1)
+    return _py_round6(dup / len(t))
+
+
+def top_ngram_stats(
+    col: Column | str, n: int, engine: str = "arrow"
+) -> Column:
     """Struct ``(gram, count, char_fraction)`` for the most frequent
     word n-gram (Gopher repetition signal: a page whose top {2,3,4}-gram
     covers a large character fraction is boilerplate/spam).
 
-    O(g log g) per row as a pure expression: sort the raw shingle array,
-    then ONE ``aggregate`` fold counts the longest equal run — no
-    quadratic count-per-distinct-gram pass. Ties keep the
-    lexicographically smallest gram (first reached in sorted order,
-    strict ``>`` on the fold), which is also what the DuckDB oracle's
-    ``ORDER BY count DESC, gram ASC`` picks — deterministic parity.
-    ``char_fraction`` is the published approximation
-    ``count · len(gram) / len(text)``; NULL when the doc has < n tokens.
+    Two engines, byte-equal (tests/test_arrow_engines.py):
 
-    Both the sorted shingle array and the fold result are LET-BOUND
-    (``let_expr``): the output struct reads ``best`` four times and
-    ``sorted_g`` twice, and without binding each read re-runs the
-    whole sort+fold (HOF expressions get no subexpression elimination
-    and CollapseProject re-inlines aliases) — measured 254 s → ~60 s
-    on the 2M-doc ops-scale corpus.
+    * ``engine="arrow"`` (default) — ONE vectorized Arrow
+      ``pandas_udf`` counts shingles per document with a dict
+      (O(g) per row, no sort). The column engine's sort+fold runs
+      INTERPRETED (higher-order functions get no codegen), spending
+      ~0.9 ms/doc-core on 300-char docs; the Python kernel measures
+      ~18k docs/s/core on the same docs — ~16× at the 2M-doc
+      ops-scale corpus (55.4 s → 3.4 s, and linearity 1.41 → ~1.0:
+      the superlinearity was interpreted-eval allocation/GC churn,
+      BENCH_OPS_SCALE_R5.json before/after).
+    * ``engine="column"`` — the pure-expression reference plan,
+      O(g log g) per row: sort the raw shingle array, then ONE
+      ``aggregate`` fold counts the longest equal run — no quadratic
+      count-per-distinct-gram pass.
+
+    Ties keep the lexicographically smallest gram (first reached in
+    sorted order, strict ``>`` on the fold), which is also what the
+    DuckDB oracle's ``ORDER BY count DESC, gram ASC`` picks —
+    deterministic parity. ``char_fraction`` is the published
+    approximation ``count · len(gram) / len(text)``; NULL when the doc
+    has < n tokens.
+
+    Column engine: both the sorted shingle array and the fold result
+    are LET-BOUND (``let_expr``): the output struct reads ``best``
+    four times and ``sorted_g`` twice, and without binding each read
+    re-runs the whole sort+fold (HOF expressions get no subexpression
+    elimination and CollapseProject re-inlines aliases) — measured
+    254 s → ~60 s on the 2M-doc ops-scale corpus.
     """
     from schema_validata_spark.functions.scalars import let_expr
 
     c = F.col(col) if isinstance(col, str) else col
+    if engine == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        # no type hints: `from __future__ import annotations` turns
+        # them into strings pandas_udf cannot resolve (langid.py
+        # precedent); the explicit returnType rules
+        @pandas_udf("struct<gram:string,count:bigint,char_fraction:double>")
+        def _top(texts):
+            rows = [_py_top_ngram(t, n) for t in texts]
+            return pd.DataFrame(
+                {
+                    "gram": [r[0] for r in rows],
+                    "count": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "char_fraction": pd.array(
+                        [r[2] for r in rows], dtype="Float64"
+                    ),
+                }
+            )
+
+        return _top(c)
+    if engine != "column":
+        raise ValueError(f"engine must be 'arrow' or 'column': {engine!r}")
     acc0 = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
@@ -594,19 +715,38 @@ def top_ngram_stats(col: Column | str, n: int) -> Column:
     return let_expr(F.array_sort(_raw_shingles(c, n)), build)
 
 
-def dup_ngram_char_fraction(col: Column | str, n: int) -> Column:
+def dup_ngram_char_fraction(
+    col: Column | str, n: int, engine: str = "arrow"
+) -> Column:
     """Fraction of characters inside word n-grams that occur MORE THAN
     ONCE in the document (the other half of Gopher's repetition suite,
     published for n = 5..10; :func:`top_ngram_stats` covers 2..4).
     Formula (published approximation): ``Σ_{gram: count>1} count ·
-    len(gram) / len(text)``. Same O(g log g) sort + single-fold shape as
-    :func:`top_ngram_stats`: when a sorted run reaches 2 the fold adds
-    both occurrences' chars, then one per further repeat. NULL when the
-    doc has < n tokens. The sorted array is let-bound (read by both the
+    len(gram) / len(text)``. NULL when the doc has < n tokens.
+
+    Same two-engine contract as :func:`top_ngram_stats` (byte-equal,
+    tests/test_arrow_engines.py): the default arrow engine dict-counts
+    shingles in one vectorized ``pandas_udf``; the column engine is the
+    O(g log g) sort + single-fold expression — when a sorted run
+    reaches 2 the fold adds both occurrences' chars, then one per
+    further repeat. The sorted array is let-bound (read by both the
     fold and the size guard — binding halves the sort work)."""
     from schema_validata_spark.functions.scalars import let_expr
 
     c = F.col(col) if isinstance(col, str) else col
+    if engine == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _dup(texts):
+            return pd.Series(
+                pd.array([_py_dup_ngram(t, n) for t in texts], dtype="Float64")
+            )
+
+        return _dup(c)
+    if engine != "column":
+        raise ValueError(f"engine must be 'arrow' or 'column': {engine!r}")
     acc0 = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),

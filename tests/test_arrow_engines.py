@@ -1,0 +1,185 @@
+"""Cross-engine parity for the round-5 Arrow kernels: the arrow
+(vectorized pandas_udf) and column (pure-expression) engines of
+``top_ngram_stats``, ``dup_ngram_char_fraction``, and the winnowing
+fingerprint pipeline must be BYTE-EQUAL — same grams, same counts, same
+rounded doubles, same fingerprint arrays in the same order — on planted
+edge cases (NULL / empty / whitespace-only / unicode incl. the
+capital-sigma lowercase corner and NBSP non-whitespace / ties) and on
+the real sf0.001 documents corpus.
+
+The parity contracts these tests pin down (documented at the kernels):
+
+* Java regex ``\\s`` (ASCII-only) == Python ``re.ASCII`` ``\\s``;
+* ``F.lower`` == ``str.lower()`` (both full unconditional Unicode);
+* Spark UTF8String byte order == Python code-point order (UTF-8 is
+  order-preserving) — tie-breaks agree;
+* ``F.round(x, 6)`` == ``Decimal(repr(x)).quantize(1e-6, HALF_UP)``
+  (both go through the shortest round-trip decimal of the double);
+* ``F.ascii`` == UTF-32 code-point decode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+EDGE_DOCS = [
+    (0, None),
+    (1, ""),
+    (2, "   \t\n  "),
+    (3, "one"),
+    (4, "one two"),
+    (5, "a b a b a b"),
+    (6, "x Y x y X y"),              # case folding creates ties
+    (7, "  lead trail  \t"),
+    (8, "ж ж ж 世界 世界 ακμή"),      # non-Latin scripts
+    (9, "aa bb cc dd"),    # NBSP: NOT whitespace in either engine
+    (10, "tie tie alpha alpha"),     # count tie → lexicographically smallest
+    (11, "z z z y y y"),
+    (12, "Σ ΣΙΓΜΑ ΑΣ ΑΣ σ"),         # capital/final sigma lowercasing corner
+    (13, "a  b   c"),                # multi-space runs
+    (14, "1 2 3 1 2 3 1 2"),
+    (15, "abcdefg"),                 # winnow: exactly k chars → 1 gram
+    (16, "abcdefgh"),                # 2 grams < w windows → global min
+    (17, "the same the same the same the same"),
+    (18, "x" * 300),                 # long constant run
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGE_DOCS, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def _assert_frames_equal(a_rows, c_rows, label):
+    am = {r[0]: tuple(r[1:]) for r in a_rows}
+    cm = {r[0]: tuple(r[1:]) for r in c_rows}
+    assert set(am) == set(cm)
+    bad = [i for i in am if am[i] != cm[i]]
+    assert not bad, f"{label}: {len(bad)} mismatches, first: " + "; ".join(
+        f"{i}: arrow={am[i]!r} column={cm[i]!r}" for i in bad[:3]
+    )
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_top_ngram_engines_byte_equal(spark, edge_df, corpus_df, n):
+    from schema_validata_spark.operators.text import top_ngram_stats
+
+    for df in (edge_df, corpus_df):
+        sel = lambda eng: df.select(  # noqa: E731
+            "doc_id", top_ngram_stats("text", n, engine=eng).alias("s")
+        ).collect()
+        _assert_frames_equal(sel("arrow"), sel("column"), f"top_ngram n={n}")
+
+
+def test_dup_ngram_engines_byte_equal(spark, edge_df, corpus_df):
+    from schema_validata_spark.operators.text import dup_ngram_char_fraction
+
+    for df in (edge_df, corpus_df):
+        sel = lambda eng: df.select(  # noqa: E731
+            "doc_id", dup_ngram_char_fraction("text", 2, engine=eng).alias("f")
+        ).collect()
+        _assert_frames_equal(sel("arrow"), sel("column"), "dup_ngram")
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_winnow_engines_byte_equal(spark, edge_df, corpus_df, portable):
+    """Fingerprint ARRAYS equal including element order (array_distinct
+    preserves first occurrence; the numpy kernel replicates it via
+    unique + first-index sort)."""
+    from schema_validata_spark.operators.winnow import winnow_fingerprints
+
+    for df in (edge_df, corpus_df):
+        a = {
+            r["doc_id"]: r["fingerprints"]
+            for r in winnow_fingerprints(
+                df, "text", portable=portable, engine="arrow"
+            ).collect()
+        }
+        c = {
+            r["doc_id"]: r["fingerprints"]
+            for r in winnow_fingerprints(
+                df, "text", portable=portable, engine="column"
+            ).collect()
+        }
+        bad = [i for i in a if a[i] != c[i]]
+        assert not bad, (
+            f"winnow portable={portable}: {len(bad)} mismatches, first "
+            + "; ".join(f"{i}" for i in bad[:5])
+        )
+
+
+def test_winnow_dual_poly_matches_python_reference(spark, edge_df):
+    """The default (dual-poly) family against an independent pure-Python
+    reference — pins the exact family so a silent kernel change cannot
+    slide both engines together."""
+    import re
+
+    from schema_validata_spark.operators.winnow import (
+        _B2,
+        _MERSENNE,
+        _P2,
+        winnow_fingerprints,
+    )
+
+    def py_dual(text, k=7, w=4):
+        if text is None:
+            return []
+        norm = re.sub(r"\s+", "", text.lower(), flags=re.ASCII)
+        if len(norm) < k:
+            return []
+        hs = []
+        for i in range(len(norm) - k + 1):
+            h1 = h2 = 0
+            for ch in norm[i : i + k]:
+                h1 = (h1 * 31 + ord(ch)) % _MERSENNE
+                h2 = (h2 * _B2 + ord(ch)) % _P2
+            hs.append((h1 << 31) | h2)
+        if len(hs) < w:
+            mins = [min(hs)]
+        else:
+            mins = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+        seen, out = set(), []
+        for v in mins:
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+        return out
+
+    got = {
+        r["doc_id"]: list(r["fingerprints"] or [])
+        for r in winnow_fingerprints(edge_df, "text").collect()
+    }
+    for doc_id, text in EDGE_DOCS:
+        assert got[doc_id] == py_dual(text), doc_id
+
+
+def test_p2_is_prime():
+    from schema_validata_spark.operators.winnow import _P2
+
+    n = _P2
+    assert n % 2 == 1
+    i = 3
+    while i * i <= n:
+        assert n % i != 0, i
+        i += 2
+
+
+def test_engine_rejects_unknown(spark, edge_df):
+    from schema_validata_spark.operators.text import top_ngram_stats
+    from schema_validata_spark.operators.winnow import winnow_fingerprints
+
+    with pytest.raises(ValueError):
+        top_ngram_stats("text", 2, engine="bogus")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(edge_df, "text", engine="bogus")

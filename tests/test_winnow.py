@@ -105,11 +105,12 @@ def test_density_bound(spark):
     assert n_fp >= (m - 4 + 1) // 4  # window minima repeat ≤ w times
 
 
-def test_xxhash_and_portable_same_structure(spark, docs_df):
-    """Production (xxhash64) and portable hash families pick different
-    window minima, so exact fingerprint counts differ — but both must
-    fingerprint exactly the same documents and respect the winnowing
-    density bounds (1 ≤ count ≤ window count)."""
+def test_default_and_portable_same_structure(spark, docs_df):
+    """Default (62-bit dual-poly, round-5 — replaced xxhash64 so the
+    family is replicable outside the JVM) and portable hash families
+    pick different window minima, so exact fingerprint counts differ —
+    but both must fingerprint exactly the same documents and respect
+    the winnowing density bounds (1 ≤ count ≤ window count)."""
     a = {
         r["doc_id"]: len(r["fingerprints"])
         for r in winnow_fingerprints(docs_df, "text", portable=False).collect()
