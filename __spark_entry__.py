@@ -1894,6 +1894,58 @@ def q_char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift (drift.py::psi_drift) between two deterministic event
+    snapshots: baseline = event_id % 3 != 0, current = the rest with
+    value scaled 1.5x (a real mass shift, so the check is
+    non-degenerate). The whole grid — baseline min/max edges, clamp,
+    min_frac floor, per-bin PSI terms — replays exactly in SQL."""
+    from schema_validata_spark.operators.drift import psi_drift
+
+    df = _read(spark, sf_dir, "events")
+    base = df.where(F.col("event_id") % 3 != 0)
+    cur = df.where(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * F.lit(1.5)
+    )
+    return psi_drift(cur, base, "value", n_bins=10)
+
+
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profile (semistructured.py::json_profile) of the
+    events.props JSON column — presence / type-classification / numeric
+    range per declared key, one scan, JVM-side JsonPath. Both engines
+    normalize extracted JSON numbers identically (verified)."""
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    df = _read(spark, sf_dir, "events")
+    return json_profile(df, "props", ["k", "missing"])
+
+
+def q_imports_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency census (code_quality.py::import_stats) over documents
+    with deterministically planted imports (`import mod<id%7>` + `from
+    pkg<id%3> import thing` prepended per doc) — exercises the
+    language-routed regexp_extract_all path end-to-end; the oracle
+    replays the same regex list in DuckDB."""
+    from schema_validata_spark.operators.code_quality import import_stats
+
+    df = _read(spark, sf_dir, "documents")
+    code = df.select(
+        "doc_id",
+        F.lit("python").alias("lang"),
+        F.concat(
+            F.lit("import mod"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n"),
+            F.lit("from pkg"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(" import thing\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return import_stats(code, "text", "lang", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -1957,6 +2009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_candidates_documents": q_fork_candidates_documents,
         "code_structure_documents": q_code_structure_documents,
         "char_entropy_documents": q_char_entropy_documents,
+        "psi_drift_events": q_psi_drift_events,
+        "json_props_events": q_json_props_events,
+        "imports_documents": q_imports_documents,
     }
 
 
@@ -3390,5 +3445,89 @@ WITH chars AS (
 )
 SELECT d.doc_id, h.entropy_bits
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+""",
+        "psi_drift_events": """
+WITH base AS (
+  SELECT value AS v FROM events WHERE event_id % 3 <> 0 AND value IS NOT NULL
+), cur AS (
+  SELECT value * 1.5 AS v FROM events WHERE event_id % 3 = 0 AND value IS NOT NULL
+), e AS (
+  SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM base
+), bb AS (
+  SELECT least(9, greatest(0, CAST(floor((v - e.lo) / e.w) AS INT))) AS bin,
+         count(*) AS n_base
+  FROM base, e GROUP BY 1
+), cb AS (
+  SELECT least(9, greatest(0, CAST(floor((v - e.lo) / e.w) AS INT))) AS bin,
+         count(*) AS n_cur
+  FROM cur, e GROUP BY 1
+), j AS (
+  SELECT coalesce(bb.bin, cb.bin) AS bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+  FROM bb FULL OUTER JOIN cb ON bb.bin = cb.bin
+), f AS (
+  SELECT bin, n_base, n_cur,
+         greatest(n_base / (sum(n_base) OVER ())::DOUBLE, 1e-4) AS fb,
+         greatest(n_cur / (sum(n_cur) OVER ())::DOUBLE, 1e-4) AS fc
+  FROM j
+)
+SELECT f.bin, round(e.lo + f.bin * e.w, 6) AS lo_edge,
+       round(e.lo + (f.bin + 1) * e.w, 6) AS hi_edge,
+       n_base, n_cur,
+       round(fb, 6) AS frac_base, round(fc, 6) AS frac_cur,
+       round((fc - fb) * (ln(fc) - ln(fb)), 6) AS psi_term
+FROM f, e
+""",
+        "json_props_events": """
+WITH x AS (
+  SELECT json_extract_string(props, '$.k') AS vk,
+         json_extract_string(props, '$.missing') AS vm
+  FROM events
+), c AS (
+  SELECT 'k' AS key, vk AS v FROM x
+  UNION ALL
+  SELECT 'missing' AS key, vm AS v FROM x
+)
+SELECT key,
+       count(*) AS n_rows,
+       count(v) AS n_present,
+       count(*) FILTER (WHERE v IS NOT NULL
+         AND regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$'))
+         AS n_numeric,
+       count(*) FILTER (WHERE v IS NOT NULL
+         AND regexp_matches(v, '^(true|false)$')) AS n_bool,
+       count(*) FILTER (WHERE v IS NOT NULL
+         AND NOT regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$')
+         AND NOT regexp_matches(v, '^(true|false)$')) AS n_other,
+       round(min(CASE WHEN regexp_matches(v,
+         '^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$')
+         THEN CAST(v AS DOUBLE) END), 6) AS min_num,
+       round(max(CASE WHEN regexp_matches(v,
+         '^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$')
+         THEN CAST(v AS DOUBLE) END), 6) AS max_num,
+       round(avg(CASE WHEN regexp_matches(v,
+         '^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$')
+         THEN CAST(v AS DOUBLE) END), 6) AS avg_num
+FROM c GROUP BY key
+""",
+        "imports_documents": """
+WITH code AS (
+  SELECT doc_id,
+         'import mod' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'from pkg' || CAST(doc_id % 3 AS VARCHAR) || ' import thing' ||
+         chr(10) || text AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, unnest(
+    regexp_extract_all(text,
+      '(?m)^[ \t]*import[ \t]+([A-Za-z_][\\w.]*)', 1)
+    || regexp_extract_all(text,
+      '(?m)^[ \t]*from[ \t]+([A-Za-z_][\\w.]*)[ \t]+import\\b', 1)
+  ) AS module
+  FROM code
+)
+SELECT 'python' AS lang, module,
+       count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
+FROM m GROUP BY 2
 """,
     }

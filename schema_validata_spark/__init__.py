@@ -44,6 +44,8 @@ from schema_validata_spark.operators.drift import (
     drift_report,
     iqr_outlier_counts,
     ks_drift,
+    psi_drift,
+    psi_total,
 )
 from schema_validata_spark.plans.validate import validate_dataset, validate_table
 from schema_validata_spark.plans.resume import resumable_validate_table, resumable_violations
@@ -86,6 +88,8 @@ from schema_validata_spark.operators.sampling import pack_documents, quota_sampl
 from schema_validata_spark.operators.langid import lang_id_ngram
 from schema_validata_spark.operators.code_quality import (
     code_quality_flags,
+    extract_imports,
+    import_stats,
     scrub_secrets,
     secret_counts,
 )
@@ -98,6 +102,10 @@ from schema_validata_spark.operators.curation import (
 from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
 from schema_validata_spark.operators.diagnostics import key_skew_profile
 from schema_validata_spark.operators.similarity import semdedup
+from schema_validata_spark.operators.semistructured import (
+    json_profile,
+    json_rule_violations,
+)
 from schema_validata_spark.operators.text import bigram_logprob, tfidf_topk
 
 __all__ = [
@@ -176,6 +184,12 @@ __all__ = [
     "tfidf_topk",
     "bigram_logprob",
     "iqr_outlier_counts",
+    "psi_drift",
+    "psi_total",
+    "extract_imports",
+    "import_stats",
+    "json_profile",
+    "json_rule_violations",
     "plan_size_bytes",
 ]
 

@@ -304,3 +304,145 @@ def iqr_outlier_counts(
     if partition_col:
         out = out.withColumnRenamed("__part", partition_col)
     return out
+
+
+# ------------------------------------------------------------------ PSI
+
+def psi_bin_edges(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> tuple[float, float]:
+    """Baseline ``(min, max)`` for the equal-width PSI grid — the
+    persistable artifact (like :func:`quantile_thresholds` for KS): at
+    corpus scale compute once per baseline snapshot, then every
+    recurring check is ONE scan of the current snapshot."""
+    num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+    row = df.agg(
+        F.min(num).alias("lo"), F.max(num).alias("hi")
+    ).collect()[0]
+    return (
+        float(row["lo"]) if row["lo"] is not None else 0.0,
+        float(row["hi"]) if row["hi"] is not None else 0.0,
+    )
+
+
+def psi_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    min_frac: float = 1e-4,
+    edges: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Population Stability Index over an equal-width bin grid — the
+    third drift check (chi-square = categorical, KS = numeric shape,
+    PSI = the industry-standard scorecard drift number with its
+    conventional 0.1 / 0.25 watch/act thresholds). No reference
+    counterpart (the reference has no drift checks at all).
+
+    Grid: ``n_bins`` equal-width bins over the BASELINE ``[min, max]``;
+    values outside the baseline range clamp into the edge bins, so novel
+    mass cannot vanish. Per-bin fractions are floored at ``min_frac``
+    before the log (the standard guard: an empty bin registers as
+    bounded drift instead of ±inf).
+
+    Returns one row per OCCUPIED bin: ``(bin, lo_edge, hi_edge, n_base,
+    n_cur, frac_base, frac_cur, psi_term)`` with ``psi_term = (frac_cur
+    − frac_base) · ln(frac_cur / frac_base)`` rounded to 6 — sum the
+    column for the headline PSI (:func:`psi_total`). Bins empty on BOTH
+    sides contribute exactly 0 and are omitted, so the output is a
+    ≤ ``n_bins``-row frame regardless of corpus size.
+
+    Plan shape: one 2-value aggregate on the baseline for the grid
+    (skipped when ``edges`` is passed — the persisted-baseline path),
+    then one ``groupBy(bin)`` count per snapshot (map-side partial
+    combine; the shuffle moves ≤ ``n_bins`` rows per task) and a
+    full-outer join of two ≤ ``n_bins``-row frames. Everything after
+    the two scans is driver-trivial. Pure expression math — exactly
+    replayable in SQL (the DuckDB oracle replays the whole pipeline
+    including the clamp and the ``min_frac`` floor).
+    """
+    lo, hi = edges if edges is not None else psi_bin_edges(
+        baseline, col, n_bins
+    )
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__v") - F.lit(lo)) / F.lit(width)
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.select(num.alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    cur = binned(current, "n_cur")
+    base = binned(baseline, "n_base")
+    joined = base.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    tb = F.sum("n_base").over(_psi_window())
+    tc = F.sum("n_cur").over(_psi_window())
+    fb = F.greatest(
+        F.col("n_base").cast("double") / tb.cast("double"), F.lit(min_frac)
+    )
+    fc = F.greatest(
+        F.col("n_cur").cast("double") / tc.cast("double"), F.lit(min_frac)
+    )
+    return (
+        joined.select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias(
+                "lo_edge"
+            ),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+                "hi_edge"
+            ),
+            "n_base",
+            "n_cur",
+            F.round(fb, 6).alias("frac_base"),
+            F.round(fc, 6).alias("frac_cur"),
+            F.round((fc - fb) * (F.log(fc) - F.log(fb)), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
+
+
+def _psi_window():
+    """Unbounded single-frame window over the ≤ n_bins joined rows —
+    driver-trivial by construction (the frame is already tiny), and it
+    keeps the totals INSIDE the plan so ``psi_drift`` with precomputed
+    ``edges`` is one job, not two."""
+    from pyspark.sql.window import Window
+
+    return Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
+def psi_total(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    min_frac: float = 1e-4,
+    edges: tuple[float, float] | None = None,
+) -> float:
+    """Headline PSI: sum of :func:`psi_drift` terms (< 0.1 stable,
+    0.1–0.25 watch, > 0.25 action — the conventional reading)."""
+    rows = psi_drift(
+        current, baseline, col, n_bins, min_frac, edges
+    ).collect()
+    return float(sum(r["psi_term"] for r in rows))

@@ -1,0 +1,154 @@
+"""Semi-structured (JSON string) column profiling and validation.
+
+The reference validates only flat tabular columns
+(`/root/reference/src/schema_validata.py:2186–2487` — V1–V8 over
+scalar dtypes); real event/telemetry tables carry JSON payload columns,
+and a validation engine that cannot look inside them leaves the most
+failure-prone column unchecked. This module profiles and rule-checks
+JSON **without parsing row-by-row in Python**: extraction is
+``get_json_object`` (JVM-side JsonPath, whole-stage codegen), type
+classification is regex over the extracted text — the same classifier
+both engines can replay, so the operator is DuckDB-oracle-checkable.
+
+Scale notes: every function here is one scan + one tiny aggregate
+(``keys × 1`` rows out). Keys are DECLARED (like the data dictionary's
+columns), not discovered — discovery on 100 TB would be a full-corpus
+``json_object_keys`` explode; when needed, run :func:`json_profile`
+over a sample first, then pin the key list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+#: classifier regexes over the EXTRACTED text (get_json_object output:
+#: scalars unquoted, objects/arrays as JSON text) — shared verbatim with
+#: the DuckDB oracle, so keep them RE2-and-Java compatible.
+NUMERIC_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+BOOL_RE = r"^(true|false)$"
+
+
+def json_profile(
+    df: DataFrame, json_col: str, keys: list[str]
+) -> DataFrame:
+    """Per-key presence/type/range profile of a JSON string column —
+    the data-dictionary harvest (reference A1/A4/A7 analog) for the
+    semi-structured case.
+
+    For each declared key: ``n_rows``, ``n_present`` (path resolves to
+    a non-null value — ``get_json_object`` folds JSON ``null`` and
+    missing together, documented), ``n_numeric`` / ``n_bool`` /
+    ``n_other`` (regex classification of the extracted text), and
+    ``min_num`` / ``max_num`` / ``avg_num`` over the numeric subset.
+
+    Output is ``len(keys)`` rows. Plan shape: ONE scan — all keys'
+    extractions and classifications are columns of the same projection,
+    aggregated in a single ``agg`` (no per-key pass, no explode, no
+    Python). Adding a key adds a column, not a scan.
+    """
+    c = F.col(json_col)
+    aggs = []
+    for k in keys:
+        v = F.get_json_object(c, f"$.{k}")
+        is_num = v.rlike(NUMERIC_RE)
+        num = F.when(is_num, v.cast("double"))
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{k}__n_rows"),
+            F.count(v).alias(f"__{k}__n_present"),
+            # count(when(...)) not sum(cast): an all-NULL key must
+            # report 0, not NULL (oracle parity with count FILTER)
+            F.count(F.when(is_num, F.lit(1)))
+            .alias(f"__{k}__n_numeric"),
+            F.count(F.when(v.rlike(BOOL_RE), F.lit(1)))
+            .alias(f"__{k}__n_bool"),
+            F.count(
+                F.when(
+                    v.isNotNull() & ~is_num & ~v.rlike(BOOL_RE), F.lit(1)
+                )
+            ).alias(f"__{k}__n_other"),
+            F.round(F.min(num), 6).alias(f"__{k}__min_num"),
+            F.round(F.max(num), 6).alias(f"__{k}__max_num"),
+            F.round(F.avg(num), 6).alias(f"__{k}__avg_num"),
+        ]
+    wide = df.agg(*aggs)
+    fields = [
+        "n_rows", "n_present", "n_numeric", "n_bool", "n_other",
+        "min_num", "max_num", "avg_num",
+    ]
+    # unpivot the one wide row into (key, stats...) — driver-trivial
+    per_key = [
+        F.struct(
+            F.lit(k).alias("key"),
+            *[F.col(f"__{k}__{f}").alias(f) for f in fields],
+        )
+        for k in keys
+    ]
+    return wide.select(
+        F.explode(F.array(*per_key)).alias("s")
+    ).select("s.*")
+
+
+def json_rule_violations(
+    df: DataFrame,
+    json_col: str,
+    id_col: str,
+    rules: dict[str, dict],
+) -> DataFrame:
+    """Row-level JSON rule check — the violation-extractor (reference
+    §2.11 analog) for declared JSON keys. ``rules`` maps key →
+    ``{"required": bool, "type": "numeric"|"bool"|None,
+    "min": float|None, "max": float|None}``.
+
+    Returns ``(id, key, rule_id, observed_value)`` — one row per
+    violated (row, key, rule), same shape discipline as the tabular
+    extractors so downstream sinks are shared. One scan; the per-key
+    CASE branches are fused into a single explode of struct hits
+    (exactly the fused Stage-C pattern in operators/violations.py).
+    """
+    c = F.col(json_col)
+    hits = []
+    for k, r in rules.items():
+        v = F.get_json_object(c, f"$.{k}")
+        checks: list[tuple[str, F.Column]] = []
+        if r.get("required"):
+            checks.append(("required_key", v.isNull()))
+        t = r.get("type")
+        if t == "numeric":
+            checks.append(
+                ("json_type", v.isNotNull() & ~v.rlike(NUMERIC_RE))
+            )
+        elif t == "bool":
+            checks.append(("json_type", v.isNotNull() & ~v.rlike(BOOL_RE)))
+        num = F.when(v.rlike(NUMERIC_RE), v.cast("double"))
+        if r.get("min") is not None:
+            checks.append(
+                ("range_min", num.isNotNull() & (num < F.lit(float(r["min"]))))
+            )
+        if r.get("max") is not None:
+            checks.append(
+                ("range_max", num.isNotNull() & (num > F.lit(float(r["max"]))))
+            )
+        for rule_id, cond in checks:
+            hits.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.lit(rule_id).alias("rule_id"),
+                        F.coalesce(v, F.lit("__MISSING__")).alias(
+                            "observed_value"
+                        ),
+                    ),
+                )
+            )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.array(*hits), lambda x: x.isNotNull())
+        ).alias("h"),
+    )
+    return exploded.select(
+        "id", "h.key", "h.rule_id", "h.observed_value"
+    )
