@@ -262,6 +262,58 @@ def main() -> None:
             F.max("ratio_to_mean").alias("worst"),
         )
 
+    def op_psi(df):
+        from schema_validata_spark.operators.drift import psi_drift
+
+        # length drift between doc_id parities — numeric column derived
+        # in-plan, so the op cost is the two binned scans + edge probe
+        base = df.where(F.col("doc_id") % 2 == 0).select(
+            F.length("text").cast("double").alias("v")
+        )
+        cur = df.where(F.col("doc_id") % 2 == 1).select(
+            (F.length("text") * 1.1).cast("double").alias("v")
+        )
+        return psi_drift(cur, base, "v").agg(
+            F.sum("psi_term").alias("psi")
+        )
+
+    def op_json_profile(df):
+        from schema_validata_spark.operators.semistructured import (
+            json_profile,
+        )
+
+        j = df.select(
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(', "s": "x"}'),
+            ).alias("props")
+        )
+        return json_profile(j, "props", ["k", "s", "zz"]).agg(
+            F.sum("n_present").alias("p"),
+            F.sum("n_numeric").alias("nn"),
+        )
+
+    def op_imports(df):
+        from schema_validata_spark.operators.code_quality import (
+            import_stats,
+        )
+
+        code = df.select(
+            "doc_id",
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit("import mod"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("\n"),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return import_stats(code, "text", "lang", "doc_id").agg(
+            F.sum("n_refs").alias("refs"),
+            F.count(F.lit(1)).alias("mods"),
+        )
+
     ops = {
         "script_counts": op_script,
         "dedup_lines": op_dedup_lines,
@@ -276,6 +328,9 @@ def main() -> None:
         "bigram_logprob": op_bigram_lm,
         "winnow_fingerprints": op_winnow_fp,
         "key_skew_profile": op_key_skew,
+        "psi_drift": op_psi,
+        "json_profile": op_json_profile,
+        "import_stats": op_imports,
     }
 
     out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
