@@ -1946,6 +1946,37 @@ def q_imports_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return import_stats(code, "text", "lang", "doc_id")
 
 
+def q_fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check (consistency.py::
+    functional_dependency_violations): customers whose orders carry
+    more than one distinct priority — min/max witnesses stay O(1) per
+    group however hot the key. NA dependents excluded via the shared
+    24-literal NA set (mirrored by _na_sql in the oracle)."""
+    from schema_validata_spark.operators.consistency import (
+        functional_dependency_violations,
+    )
+
+    df = _read(spark, sf_dir, "orders")
+    return functional_dependency_violations(
+        df, ["o_custkey"], "o_orderpriority"
+    )
+
+
+def q_monotonicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user monotonicity (consistency.py::monotonicity_violations):
+    events whose value drops vs the previous event in (ts, event_id)
+    order — the composite order key makes the lag chain, and therefore
+    the violation set, deterministic and exactly replayable."""
+    from schema_validata_spark.operators.consistency import (
+        monotonicity_violations,
+    )
+
+    df = _read(spark, sf_dir, "events")
+    return monotonicity_violations(
+        df, ["user_id"], ["ts", "event_id"], "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -2012,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_events": q_psi_drift_events,
         "json_props_events": q_json_props_events,
         "imports_documents": q_imports_documents,
+        "fd_violations_orders": q_fd_violations_orders,
+        "monotonicity_events": q_monotonicity_events,
     }
 
 
@@ -3530,4 +3563,23 @@ SELECT 'python' AS lang, module,
        count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
 FROM m GROUP BY 2
 """,
+        "fd_violations_orders": (
+            "SELECT o_custkey, count(*) AS n_rows, "
+            "count(DISTINCT CAST(o_orderpriority AS VARCHAR)) AS n_dependent, "
+            "min(CAST(o_orderpriority AS VARCHAR)) AS witness_lo, "
+            "max(CAST(o_orderpriority AS VARCHAR)) AS witness_hi "
+            "FROM orders WHERE NOT " + _na_sql("o_orderpriority") + " "
+            "GROUP BY o_custkey "
+            "HAVING count(DISTINCT CAST(o_orderpriority AS VARCHAR)) > 1"
+        ),
+        "monotonicity_events": (
+            "WITH o AS ("
+            "  SELECT user_id, ts, event_id, value, "
+            "         lag(value) OVER ("
+            "           PARTITION BY user_id ORDER BY ts, event_id"
+            "         ) AS prev_value "
+            "  FROM events WHERE NOT " + _na_sql("value") + ") "
+            "SELECT user_id, ts, event_id, value, prev_value FROM o "
+            "WHERE prev_value IS NOT NULL AND prev_value > value"
+        ),
     }

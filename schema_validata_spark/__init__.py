@@ -99,6 +99,10 @@ from schema_validata_spark.operators.curation import (
     scrub_pii,
     url_hosts,
 )
+from schema_validata_spark.operators.consistency import (
+    functional_dependency_violations,
+    monotonicity_violations,
+)
 from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
 from schema_validata_spark.operators.diagnostics import key_skew_profile
 from schema_validata_spark.operators.similarity import semdedup
@@ -190,6 +194,8 @@ __all__ = [
     "import_stats",
     "json_profile",
     "json_rule_violations",
+    "functional_dependency_violations",
+    "monotonicity_violations",
     "plan_size_bytes",
 ]
 

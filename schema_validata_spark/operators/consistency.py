@@ -1,0 +1,111 @@
+"""Cross-row consistency rules: functional dependencies and ordering.
+
+The reference's rule matrix (V1–V8, `/root/reference/src/
+schema_validata.py:2186–2487`) is strictly per-column; the two checks
+every warehouse adds next are cross-row:
+
+* functional dependency — "determinant columns fix the dependent"
+  (repo → license, commit → author_date, path → lang). A violated FD
+  is how merged/duplicated source feeds announce themselves.
+* monotonicity — "within a partition, a value never goes backwards
+  when ordered by a sequence column" (commit timestamps per repo,
+  snapshot ids per table, event time per user).
+
+Both are single-shuffle DataFrame plans with no UDFs and exact DuckDB
+replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import is_na
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+) -> DataFrame:
+    """Determinant-key groups whose dependent column takes MORE THAN
+    ONE distinct non-NA value. Returns one row per violating key:
+    ``(*determinant_cols, n_rows, n_dependent, witness_lo,
+    witness_hi)`` — the witnesses are the min/max dependent values
+    (cast to string), which are guaranteed distinct when
+    ``n_dependent > 1`` and, unlike a ``collect_set`` sample, stay
+    O(1) per group no matter how hot the key is.
+
+    NA dependents (the reference's 24-literal + regex NA set) are
+    excluded before counting — a NULL license does not contradict a
+    known one; it is an `allow_null` matter, not an FD matter.
+
+    Plan shape: one shuffle on the determinant key with map-side
+    partial aggregation (count / count_distinct / min / max all
+    combine partially; the distinct count plans as a two-phase
+    partial_count_distinct, not an Expand, because it is the only
+    distinct aggregate). Hot determinant keys arrive at the reducer
+    already collapsed to one row per map task. The ``HAVING n > 1``
+    filter runs post-aggregate, so output is violations only.
+    """
+    dep = F.col(dependent_col).cast("string")
+    clean = df.where(~is_na(F.col(dependent_col)))
+    return (
+        clean.groupBy(*determinant_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(dep).alias("n_dependent"),
+            F.min(dep).alias("witness_lo"),
+            F.max(dep).alias("witness_hi"),
+        )
+        .where(F.col("n_dependent") > 1)
+    )
+
+
+def monotonicity_violations(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Rows whose ``value_col`` moves backwards (or fails to strictly
+    advance, with ``strict=True``) relative to the previous row when
+    each partition is ordered by ``order_cols``.
+
+    ``order_cols`` must be a DETERMINISTIC total order within a
+    partition (pass a tiebreaker column — e.g. ``["ts", "event_id"]``
+    — when the sequence column alone can tie); with ties the previous
+    row, and therefore the violation set, would be engine-dependent.
+
+    Returns ``(*partition_cols, *order_cols, value, prev_value)`` for
+    violating rows only. NA values are dropped before ordering (a
+    NULL in a lag chain would otherwise mask its neighbor's
+    comparison).
+
+    Plan shape: one shuffle on ``partition_cols`` + one in-partition
+    sort feeding a frame-less ``lag`` window — the canonical
+    sessionized-scan shape; AQE skew handling applies to the exchange.
+    At 10^12 rows the partition key (repo, table id, user) is the
+    natural data layout, so a source bucketed/sorted on it makes this
+    a zero-shuffle scan.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    v = F.col(value_col)
+    clean = df.where(~is_na(v))
+    out = clean.select(
+        *partition_cols,
+        *order_cols,
+        v.alias("value"),
+        F.lag(v).over(w).alias("prev_value"),
+    )
+    bad = (
+        F.col("prev_value") > F.col("value")
+        if not strict
+        else F.col("prev_value") >= F.col("value")
+    )
+    return out.where(F.col("prev_value").isNotNull() & bad)

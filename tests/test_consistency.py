@@ -1,0 +1,125 @@
+"""Cross-row consistency rules (operators/consistency.py): functional
+dependencies and monotonicity, each with a DuckDB replay mirroring the
+driver-oracle formulation."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.consistency import (
+    functional_dependency_violations,
+    monotonicity_violations,
+)
+
+
+def _fd_df(spark):
+    rows = [
+        ("r1", "mit"), ("r1", "mit"),            # consistent
+        ("r2", "mit"), ("r2", "apache-2.0"),     # violated
+        ("r3", None), ("r3", "gpl-3.0"),         # NA ignored → consistent
+        ("r4", "N/A"), ("r4", "n/a"),            # all-NA → no non-NA rows
+        ("r5", "a"), ("r5", "b"), ("r5", "c"),   # 3-way violation
+    ]
+    return spark.createDataFrame(rows, "repo string, license string")
+
+
+def test_fd_violations(spark):
+    got = {
+        r["repo"]: (r["n_rows"], r["n_dependent"], r["witness_lo"],
+                    r["witness_hi"])
+        for r in functional_dependency_violations(
+            _fd_df(spark), ["repo"], "license"
+        ).collect()
+    }
+    assert set(got) == {"r2", "r5"}
+    assert got["r2"] == (2, 2, "apache-2.0", "mit")
+    assert got["r5"] == (3, 3, "a", "c")   # witnesses distinct, O(1)/group
+
+
+def test_fd_composite_determinant(spark):
+    rows = [("r", "p", "py"), ("r", "p", "go"), ("r", "q", "py")]
+    df = spark.createDataFrame(rows, "repo string, path string, lang string")
+    got = functional_dependency_violations(
+        df, ["repo", "path"], "lang"
+    ).collect()
+    assert [(r["repo"], r["path"]) for r in got] == [("r", "p")]
+
+
+def test_fd_duckdb_replay(spark, tmp_path):
+    p = str(tmp_path / "fd.parquet")
+    _fd_df(spark).write.parquet(p)
+    got = sorted(
+        (r["repo"], r["n_rows"], r["n_dependent"], r["witness_lo"],
+         r["witness_hi"])
+        for r in functional_dependency_violations(
+            _fd_df(spark), ["repo"], "license"
+        ).collect()
+    )
+    want = duckdb.sql(f"""
+        SELECT repo, count(*) AS n_rows,
+               count(DISTINCT license) AS n_dependent,
+               min(license) AS witness_lo, max(license) AS witness_hi
+        FROM read_parquet('{p}/*.parquet')
+        WHERE license IS NOT NULL
+          AND NOT lower(trim(license)) IN ('n/a', 'na')
+        GROUP BY repo HAVING count(DISTINCT license) > 1 ORDER BY repo
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def _mono_df(spark):
+    rows = [
+        ("u1", 1, 10.0), ("u1", 2, 12.0), ("u1", 3, 11.0),  # 3 violates
+        ("u2", 1, 5.0), ("u2", 2, 5.0), ("u2", 3, 6.0),     # flat ok (lax)
+        ("u3", 1, 1.0),                                      # single row ok
+        ("u4", 1, None), ("u4", 2, 2.0), ("u4", 3, 1.0),    # NA dropped
+    ]
+    return spark.createDataFrame(rows, "u string, seq int, v double")
+
+
+def test_monotonicity_lax_and_strict(spark):
+    lax = monotonicity_violations(_mono_df(spark), ["u"], ["seq"], "v")
+    got = sorted((r["u"], r["seq"], r["value"], r["prev_value"])
+                 for r in lax.collect())
+    assert got == [("u1", 3, 11.0, 12.0), ("u4", 3, 1.0, 2.0)]
+    strict = monotonicity_violations(
+        _mono_df(spark), ["u"], ["seq"], "v", strict=True
+    )
+    assert ("u2", 2, 5.0, 5.0) in {
+        (r["u"], r["seq"], r["value"], r["prev_value"])
+        for r in strict.collect()
+    }
+
+
+def test_monotonicity_duckdb_replay(spark, tmp_path):
+    p = str(tmp_path / "mono.parquet")
+    _mono_df(spark).write.parquet(p)
+    got = sorted(
+        (r["u"], r["seq"], r["value"], r["prev_value"])
+        for r in monotonicity_violations(
+            _mono_df(spark), ["u"], ["seq"], "v"
+        ).collect()
+    )
+    want = duckdb.sql(f"""
+        WITH o AS (
+          SELECT u, seq, v AS value,
+                 lag(v) OVER (PARTITION BY u ORDER BY seq) AS prev_value
+          FROM read_parquet('{p}/*.parquet') WHERE v IS NOT NULL
+        )
+        SELECT u, seq, value, prev_value FROM o
+        WHERE prev_value IS NOT NULL AND prev_value > value
+        ORDER BY u, seq
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_monotonicity_composite_order_deterministic(spark):
+    # order ties on ts broken by event_id → identical output every run
+    rows = [("u", 1, 1, 3.0), ("u", 1, 2, 2.0), ("u", 2, 3, 1.0)]
+    df = spark.createDataFrame(rows, "u string, ts int, eid int, v double")
+    out = sorted(
+        (r["eid"], r["value"], r["prev_value"])
+        for r in monotonicity_violations(
+            df, ["u"], ["ts", "eid"], "v"
+        ).collect()
+    )
+    assert out == [(2, 2.0, 3.0), (3, 1.0, 2.0)]
