@@ -110,7 +110,11 @@ from schema_validata_spark.operators.semistructured import (
     json_profile,
     json_rule_violations,
 )
-from schema_validata_spark.operators.text import bigram_logprob, tfidf_topk
+from schema_validata_spark.operators.text import (
+    bigram_logprob,
+    bigram_score_table,
+    tfidf_topk,
+)
 
 __all__ = [
     "is_na",
@@ -187,6 +191,7 @@ __all__ = [
     "semdedup",
     "tfidf_topk",
     "bigram_logprob",
+    "bigram_score_table",
     "iqr_outlier_counts",
     "psi_drift",
     "psi_total",

@@ -835,11 +835,98 @@ def tfidf_topk(
     )
 
 
+def _bigram_array(text_col: str) -> Column:
+    """In-row bigram strings: ``zip_with`` over two slices of the token
+    array — no positional self-join, no window over a token stream."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_score_table(
+    df: DataFrame,
+    text_col: str,
+    alpha: float = 0.4,
+) -> tuple[DataFrame, float]:
+    """Train the stupid-backoff bigram score table ONCE — the persisted
+    artifact for corpus-scale scoring (:func:`bigram_logprob` re-derives
+    it per call when not given one; at 10^12 docs that re-training is
+    the dominant cost, so write this table out like ``vocab_stats`` and
+    every scoring run becomes one scan + one broadcast join).
+
+    Returns ``(table, unk_logprob)``: ``table`` is ``(bg, lp)`` at
+    DISTINCT-bigram cardinality (vocabulary-sized, broadcastable);
+    ``unk_logprob = ln(alpha / T)`` is the floor for bigrams absent
+    from the table entirely (an unseen SUFFIX word backs off with
+    count 1 — the same ``coalesce(c_tok, 1)`` convention used inside).
+
+    The table keeps the self-train leave-one-out convention (hapax
+    bigrams carry their backoff score); applied to a HELD-OUT corpus
+    that convention is conservative — a scored bigram seen once in
+    training gets the backoff value a true held-out model would give
+    it, so scores never flatter near-misses.
+    """
+    from schema_validata_spark.functions.joins import maybe_broadcast
+
+    doc_bg = df.select(
+        F.explode(_bigram_array(text_col)).alias("bg")
+    )
+    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    pre_counts = doc_bg.groupBy(w1.alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_w1")
+    )
+    uni = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    total = uni.agg(F.sum("c_tok").alias("t")).collect()[0]["t"] or 1
+    table = (
+        bg_counts.join(
+            maybe_broadcast(pre_counts),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .join(
+            maybe_broadcast(uni),
+            F.substring_index(F.col("bg"), " ", -1) == F.col("tok"),
+            "left",
+        )
+        .select(
+            "bg",
+            F.when(
+                F.col("c_bg") > 1,
+                F.log(
+                    F.col("c_bg").cast("double") / F.col("c_w1").cast("double")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce(F.col("c_tok"), F.lit(1)).cast("double")
+                    / F.lit(float(total))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    import math
+
+    return table, math.log(float(alpha) / float(total))
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str,
     id_col: str,
     alpha: float = 0.4,
+    score_table: DataFrame | None = None,
+    unk_logprob: float | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability with stupid backoff
     (Brants et al. 2007): ``P(w2|w1) = c(w1 w2)/c(w1)`` when the bigram
@@ -872,70 +959,44 @@ def bigram_logprob(
     joined exactly ONCE (size-gated broadcast) — round-4's shape joined
     the occurrence stream three times and went superlinear at 2M docs.
     The corpus token total is the one-row driver literal, as in
-    :func:`unigram_logprob`. Self-training inside the call re-derives
-    the explode per consumer; at corpus scale persist the score table
-    once (a ``vocab_stats``-class job) and scoring is a single scan.
+    :func:`unigram_logprob`.
+
+    Pass a persisted ``(score_table, unk_logprob)`` from
+    :func:`bigram_score_table` to skip self-training: scoring is then
+    ONE explode + ONE left broadcast join (unknown bigrams floor at
+    ``unk_logprob``) — the corpus-scale path, where the table is
+    trained once per corpus snapshot, not once per consumer.
     """
     from schema_validata_spark.functions.joins import maybe_broadcast
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("id"), bigrams.alias("bg"))
+    if score_table is None:
+        # self-train on the input: prefix counts derive from the bigram
+        # stream (c(w1) over non-final positions — the denominator that
+        # makes P sum to 1 per context), the score table folds all
+        # three count tables at DISTINCT-bigram cardinality, and the
+        # occurrence stream is joined exactly ONCE (round-4's shape
+        # joined it three times and went superlinear at 2M docs)
+        score_table, unk_logprob = bigram_score_table(df, text_col, alpha)
+        join_how = "inner"  # every input bigram is in its own table
+    else:
+        if unk_logprob is None:
+            raise ValueError(
+                "external score_table requires unk_logprob (the "
+                "ln(alpha/T) floor returned by bigram_score_table)"
+            )
+        join_how = "left"
+    base = df.select(
+        F.col(id_col).alias("id"), _bigram_array(text_col).alias("bg")
+    )
     doc_bg = base.select("id", F.explode("bg").alias("bg"))
-    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    # prefix counts derive from the bigram stream: c(w1) as a BIGRAM
-    # PREFIX equals the unigram count over all non-final positions —
-    # exactly the denominator stupid backoff wants (P sums to 1 per
-    # context), and it reuses the exploded frame instead of a second
-    # corpus pass
-    w1 = F.substring_index(F.col("bg"), " ", 1)
-    pre_counts = doc_bg.groupBy(w1.alias("w1")).agg(
-        F.count(F.lit(1)).alias("c_w1")
+    scored = doc_bg.join(maybe_broadcast(score_table), "bg", join_how).select(
+        "id",
+        (
+            F.coalesce(F.col("lp"), F.lit(float(unk_logprob)))
+            if join_how == "left"
+            else F.col("lp")
+        ).alias("lp"),
     )
-    # unigram table for the backoff path (all positions, standard form)
-    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).groupBy(
-        "tok"
-    ).agg(F.count(F.lit(1)).alias("c_tok"))
-    total = uni.agg(F.sum("c_tok").alias("t")).collect()[0]["t"] or 1
-    # one distinct-bigram-level score table: every join below is between
-    # distinct-cardinality frames, never against the occurrence stream
-    bg_lp = (
-        bg_counts.join(
-            maybe_broadcast(pre_counts),
-            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
-        )
-        .join(
-            maybe_broadcast(uni),
-            F.substring_index(F.col("bg"), " ", -1) == F.col("tok"),
-            "left",
-        )
-        .select(
-            "bg",
-            F.when(
-                F.col("c_bg") > 1,
-                F.log(
-                    F.col("c_bg").cast("double") / F.col("c_w1").cast("double")
-                ),
-            )
-            .otherwise(
-                F.log(
-                    F.lit(float(alpha))
-                    * F.coalesce(F.col("c_tok"), F.lit(1)).cast("double")
-                    / F.lit(float(total))
-                )
-            )
-            .alias("lp"),
-        )
-    )
-    scored = doc_bg.join(maybe_broadcast(bg_lp), "bg").select("id", "lp")
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob2"),

@@ -260,3 +260,45 @@ class TestCharEntropy:
             .executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+def test_bigram_external_score_table(spark):
+    """The persisted-table path: scoring the training corpus through an
+    external (table, unk_lp) pair must equal self-training exactly, and
+    a held-out bigram must floor at unk_logprob."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.text import (
+        bigram_logprob,
+        bigram_score_table,
+    )
+
+    rows = [(1, "a b a b c"), (2, "a b x"), (3, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    table, unk = bigram_score_table(df, "text")
+    self_trained = sorted(
+        map(tuple, bigram_logprob(df, "text", "doc_id").collect())
+    )
+    external = sorted(
+        map(
+            tuple,
+            bigram_logprob(
+                df, "text", "doc_id", score_table=table, unk_logprob=unk
+            ).collect(),
+        )
+    )
+    assert self_trained == external
+
+    held_out = spark.createDataFrame(
+        [(9, "zz yy")], "doc_id long, text string"
+    )
+    got = bigram_logprob(
+        held_out, "text", "doc_id", score_table=table, unk_logprob=unk
+    ).collect()[0]
+    assert got["n_bigrams"] == 1
+    assert abs(got["avg_logprob2"] - round(unk, 6)) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bigram_logprob(held_out, "text", "doc_id", score_table=table)
