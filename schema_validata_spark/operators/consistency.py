@@ -40,12 +40,16 @@ def functional_dependency_violations(
     excluded before counting — a NULL license does not contradict a
     known one; it is an `allow_null` matter, not an FD matter.
 
-    Plan shape: one shuffle on the determinant key with map-side
-    partial aggregation (count / count_distinct / min / max all
-    combine partially; the distinct count plans as a two-phase
-    partial_count_distinct, not an Expand, because it is the only
-    distinct aggregate). Hot determinant keys arrive at the reducer
-    already collapsed to one row per map task. The ``HAVING n > 1``
+    Plan shape (verified with ``.explain("formatted")``): the single
+    distinct aggregate plans as Catalyst's two-phase rewrite — NO
+    Expand. Stage 1 partial-aggregates on ``(determinant, dependent)``
+    (count/min/max combine map-side, so a hot key ships at most one
+    row per distinct dependent value per map task), exchanges on that
+    pair, and collapses to the distinct pairs. Stage 2 re-aggregates
+    on the determinant alone with ``partial_count_distinct`` over the
+    already-collapsed pairs, so its exchange carries at most
+    ``n_distinct`` rows per key — the skew-proof shape for FDs, where
+    n_distinct per key is small by hypothesis. The ``HAVING n > 1``
     filter runs post-aggregate, so output is violations only.
     """
     dep = F.col(dependent_col).cast("string")

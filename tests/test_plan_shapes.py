@@ -119,3 +119,41 @@ def test_minhash_candidates_are_hash_joined_never_nested_loop(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_fd_violations_two_phase_distinct_no_expand(spark):
+    from schema_validata_spark.operators.consistency import (
+        functional_dependency_violations,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    fd = functional_dependency_violations(
+        orders, ["o_custkey"], "o_orderpriority"
+    )
+    tree = _plan(fd, "simple")
+    # Catalyst's two-phase distinct rewrite: collapse to distinct
+    # (determinant, dependent) pairs, then count them per key — an
+    # Expand node (the multi-distinct rewrite) would double the shuffle
+    # volume for nothing here.
+    assert "Expand" not in tree, tree
+    assert tree.count("Exchange") == 2, tree
+    assert tree.count("Scan parquet") == 1, tree
+    plan = _plan(fd)
+    # the NA exclusion must reach the scan as an IsNotNull pushdown
+    assert "IsNotNull(o_orderpriority)" in plan, plan
+
+
+def test_monotonicity_single_shuffle_lag_window(spark):
+    from schema_validata_spark.operators.consistency import (
+        monotonicity_violations,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mono = monotonicity_violations(
+        events, ["user_id"], ["ts", "event_id"], "value"
+    )
+    tree = _plan(mono, "simple")
+    # one partition-key exchange feeding an in-partition sort + lag
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
