@@ -239,6 +239,37 @@ def main() -> None:
             F.avg("avg_logprob2").alias("lp"),
         )
 
+    # external-table scoring path: the table is trained ONCE (on the
+    # small corpus — a persisted per-snapshot artifact in production)
+    # OUTSIDE the timed region; what's timed is what a corpus-scale
+    # consumer pays per run: one explode + one broadcast left join.
+    _bigram_artifact: dict = {}
+
+    def op_bigram_lm_ext(df):
+        from schema_validata_spark.operators.text import (
+            bigram_logprob,
+            bigram_score_table,
+        )
+
+        if "table" not in _bigram_artifact:
+            small_path = build(spark, small, src_rows)
+            train = spark.read.parquet(small_path)
+            table, unk = bigram_score_table(train, "text")
+            tpath = os.path.join(DATA, "bigram_table")
+            table.write.mode("overwrite").parquet(tpath)
+            _bigram_artifact["table"] = spark.read.parquet(tpath)
+            _bigram_artifact["unk"] = unk
+        return bigram_logprob(
+            df,
+            "text",
+            "doc_id",
+            score_table=_bigram_artifact["table"],
+            unk_logprob=_bigram_artifact["unk"],
+        ).agg(
+            F.sum("n_bigrams").alias("n"),
+            F.avg("avg_logprob2").alias("lp"),
+        )
+
     def op_winnow_fp(df):
         from schema_validata_spark.operators.winnow import (
             winnow_fingerprint_table,
@@ -326,12 +357,18 @@ def main() -> None:
         "snapshot_delta": op_snapshot_delta,
         "tfidf_topk": op_tfidf,
         "bigram_logprob": op_bigram_lm,
+        "bigram_logprob_ext": op_bigram_lm_ext,
         "winnow_fingerprints": op_winnow_fp,
         "key_skew_profile": op_key_skew,
         "psi_drift": op_psi,
         "json_profile": op_json_profile,
         "import_stats": op_imports,
     }
+
+    only = os.environ.get("SCALE_SMOKE_OPS")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
     timings: dict[str, dict[int, float]] = {k: {} for k in ops}
