@@ -15,12 +15,89 @@ Scale notes: every function here is one scan + one tiny aggregate
 columns), not discovered — discovery on 100 TB would be a full-corpus
 ``json_object_keys`` explode; when needed, run :func:`json_profile`
 over a sample first, then pin the key list.
+
+Two extraction engines, one semantics (a parity test holds them equal):
+
+* ``engine="jsonpath"`` — one ``get_json_object`` per key. Each call
+  re-parses the JSON string, so the scan cost is O(keys × len(json))
+  per row: fine to ~10 declared keys, the wrong plan for wide key sets.
+* ``engine="struct"`` — ONE ``from_json`` with an all-``string`` struct
+  schema, materialized in ITS OWN projection; every key is a cheap
+  field reference on that aliased struct. The projection layout is the
+  performance contract: handing out ``from_json(c).getField(k)``
+  expressions directly re-inlines the parse into every consumer (36
+  ``from_json`` in the 16-key profile's optimized plan — measured as
+  slow as JsonPath), whereas ``CollapseProject`` refuses to inline a
+  NON-CHEAP expression that is referenced more than once, so the
+  aliased parse survives as a single plan node (a plan test pins
+  exactly one ``from_json`` in the optimized plan). Measured at 16
+  keys × 200k rows: 5.5 s JsonPath / 5.9 s inlined-struct / 0.08 s
+  projected-struct per warm pass. Jackson's ``StringType`` converter
+  returns scalar token text re-rendered exactly like
+  ``get_json_object`` (``-2e3`` → ``-2000.0``) and re-serializes
+  object/array subtrees to JSON text, so the engines are bit-equal for
+  every value class (probed: nested objects, arrays, escapes, unicode,
+  bigint, malformed JSON, array roots, missing keys, JSON null).
+* ``engine="auto"`` (default) — ``jsonpath`` up to
+  ``STRUCT_ENGINE_KEY_THRESHOLD`` declared keys or when any key uses
+  JsonPath navigation (dots/brackets — a struct field name is LITERAL,
+  so ``a.b`` means different things to the two engines), ``struct``
+  above it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: `auto` switches to the single-parse struct engine above this many
+#: declared keys — below it, per-key JsonPath is cheaper than the
+#: struct materialization (and is the long-oracled legacy plan).
+STRUCT_ENGINE_KEY_THRESHOLD = 10
+
+_PARSED = "__svs_json_parsed"
+
+
+def _is_path(k: str) -> bool:
+    """True when the key is JsonPath NAVIGATION (nested/indexed), which
+    the struct engine cannot express as a literal field name."""
+    return "." in k or "[" in k
+
+
+def _extracted(
+    df: DataFrame, json_col: str, keys: list[str], engine: str
+) -> tuple[DataFrame, dict[str, Column]]:
+    """``(base_df, key → extracted-text Column)`` under the chosen
+    engine (see module docstring). ``struct`` returns a base frame with
+    the parse materialized in its own projection — consumers MUST build
+    on the returned frame, not ``df``, to keep the single-parse plan."""
+    if engine == "auto":
+        engine = (
+            "jsonpath"
+            if len(keys) <= STRUCT_ENGINE_KEY_THRESHOLD
+            or any(_is_path(k) for k in keys)
+            else "struct"
+        )
+    if engine == "jsonpath":
+        c = F.col(json_col)
+        return df, {k: F.get_json_object(c, f"$.{k}") for k in keys}
+    if engine == "struct":
+        bad = [k for k in keys if _is_path(k)]
+        if bad:
+            raise ValueError(
+                f"engine='struct' takes literal top-level keys; these are "
+                f"JsonPath navigation: {bad!r} — use engine='jsonpath'"
+            )
+        schema = T.StructType(
+            [T.StructField(k, T.StringType()) for k in keys]
+        )
+        base = df.select(
+            "*", F.from_json(F.col(json_col), schema).alias(_PARSED)
+        )
+        p = F.col(_PARSED)
+        return base, {k: p.getField(k) for k in keys}
+    raise ValueError(f"unknown engine {engine!r}")
 
 
 #: classifier regexes over the EXTRACTED text (get_json_object output:
@@ -31,7 +108,10 @@ BOOL_RE = r"^(true|false)$"
 
 
 def json_profile(
-    df: DataFrame, json_col: str, keys: list[str]
+    df: DataFrame,
+    json_col: str,
+    keys: list[str],
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-key presence/type/range profile of a JSON string column —
     the data-dictionary harvest (reference A1/A4/A7 analog) for the
@@ -46,12 +126,14 @@ def json_profile(
     Output is ``len(keys)`` rows. Plan shape: ONE scan — all keys'
     extractions and classifications are columns of the same projection,
     aggregated in a single ``agg`` (no per-key pass, no explode, no
-    Python). Adding a key adds a column, not a scan.
+    Python). Adding a key adds a column, not a scan; past
+    ``STRUCT_ENGINE_KEY_THRESHOLD`` keys the ``auto`` engine parses the
+    JSON once per row instead of once per key (module docstring).
     """
-    c = F.col(json_col)
+    base, vals = _extracted(df, json_col, keys, engine)
     aggs = []
     for k in keys:
-        v = F.get_json_object(c, f"$.{k}")
+        v = vals[k]
         is_num = v.rlike(NUMERIC_RE)
         num = F.when(is_num, v.cast("double"))
         aggs += [
@@ -72,16 +154,18 @@ def json_profile(
             F.round(F.max(num), 6).alias(f"__{k}__max_num"),
             F.round(F.avg(num), 6).alias(f"__{k}__avg_num"),
         ]
-    wide = df.agg(*aggs)
+    wide = base.agg(*aggs)
     fields = [
         "n_rows", "n_present", "n_numeric", "n_bool", "n_other",
         "min_num", "max_num", "avg_num",
     ]
-    # unpivot the one wide row into (key, stats...) — driver-trivial
+    # unpivot the one wide row into (key, stats...) — driver-trivial.
+    # Backtick-quote the refs: a dotted key (JsonPath navigation like
+    # "k1.a") would otherwise parse as struct-field navigation.
     per_key = [
         F.struct(
             F.lit(k).alias("key"),
-            *[F.col(f"__{k}__{f}").alias(f) for f in fields],
+            *[F.col(f"`__{k}__{f}`").alias(f) for f in fields],
         )
         for k in keys
     ]
@@ -95,6 +179,7 @@ def json_rule_violations(
     json_col: str,
     id_col: str,
     rules: dict[str, dict],
+    engine: str = "auto",
 ) -> DataFrame:
     """Row-level JSON rule check — the violation-extractor (reference
     §2.11 analog) for declared JSON keys. ``rules`` maps key →
@@ -106,11 +191,12 @@ def json_rule_violations(
     extractors so downstream sinks are shared. One scan; the per-key
     CASE branches are fused into a single explode of struct hits
     (exactly the fused Stage-C pattern in operators/violations.py).
+    ``engine`` as in :func:`json_profile`.
     """
-    c = F.col(json_col)
+    base, vals = _extracted(df, json_col, list(rules), engine)
     hits = []
     for k, r in rules.items():
-        v = F.get_json_object(c, f"$.{k}")
+        v = vals[k]
         checks: list[tuple[str, F.Column]] = []
         if r.get("required"):
             checks.append(("required_key", v.isNull()))
@@ -143,7 +229,7 @@ def json_rule_violations(
                     ),
                 )
             )
-    exploded = df.select(
+    exploded = base.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.array(*hits), lambda x: x.isNotNull())

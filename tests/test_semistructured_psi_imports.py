@@ -234,3 +234,121 @@ def test_import_duckdb_replay(spark, tmp_path):
         FROM m GROUP BY 1 ORDER BY 1
     """).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+# ------------------------------------------ struct engine (wide keys)
+
+def _tricky_json_df(spark):
+    """Every value class the two engines must agree on: exponent
+    numbers (both re-render -2e3 → -2000.0), nested objects, arrays,
+    escape sequences, unicode, bigint, malformed JSON, array roots,
+    JSON null, empty strings, missing keys — across 12 declared keys
+    so `auto` picks the struct engine."""
+    rows = [
+        (1, '{"k0": -2e3, "k1": {"a": 1, "b": [1, 2]}, "k2": [1, "x"],'
+            ' "k3": "a\\nb", "k4": "café", '
+            '"k5": 12345678901234567890, "k6": 0.10, "k7": true,'
+            ' "k8": "", "k9": null, "k10": 7, "k11": "z"}'),
+        (2, '{"k0": null, "k3": ""}'),
+        (3, "not json at all"),
+        (4, '{"k0": true, "k11": false}'),
+        (5, "[1,2,3]"),
+        (6, '{"k0": "1.50", "k6": -0.5}'),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "id long, props string")
+
+
+_WIDE_KEYS = [f"k{i}" for i in range(12)]
+
+
+def test_json_profile_engine_parity(spark):
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    df = _tricky_json_df(spark)
+    a = sorted(map(tuple, json_profile(df, "props", _WIDE_KEYS,
+                                       engine="jsonpath").collect()))
+    b = sorted(map(tuple, json_profile(df, "props", _WIDE_KEYS,
+                                       engine="struct").collect()))
+    assert a == b
+    # auto at 12 keys picks struct — identical output again
+    c = sorted(map(tuple, json_profile(df, "props", _WIDE_KEYS).collect()))
+    assert c == a
+
+
+def test_json_violations_engine_parity(spark):
+    from schema_validata_spark.operators.semistructured import (
+        json_rule_violations,
+    )
+
+    df = _tricky_json_df(spark)
+    rules = {
+        f"k{i}": {"required": i == 0, "type": "numeric" if i % 2 else None,
+                  "min": 0, "max": 100}
+        for i in range(12)
+    }
+    a = sorted(map(tuple, json_rule_violations(
+        df, "props", "id", rules, engine="jsonpath").collect()))
+    b = sorted(map(tuple, json_rule_violations(
+        df, "props", "id", rules, engine="struct").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_json_struct_engine_single_parse_plan(spark):
+    """The performance contract from the module docstring: the struct
+    engine's optimized plan carries exactly ONE from_json (the aliased
+    projection CollapseProject must not inline), and the jsonpath plan
+    carries one get_json_object per key and zero from_json."""
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    df = _tricky_json_df(spark)
+    plan_s = (json_profile(df, "props", _WIDE_KEYS, engine="struct")
+              ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan_s.count("from_json") == 1
+    assert "get_json_object" not in plan_s
+    plan_j = (json_profile(df, "props", _WIDE_KEYS, engine="jsonpath")
+              ._jdf.queryExecution().optimizedPlan().toString())
+    # the contrast that motivates the struct engine: the per-key
+    # extraction is re-inlined into every consuming aggregate (3 uses
+    # per key here), so the jsonpath plan carries keys × uses parses
+    assert plan_j.count("get_json_object") >= len(_WIDE_KEYS)
+    assert "from_json" not in plan_j
+
+
+def test_json_auto_engine_selection(spark):
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    df = _tricky_json_df(spark)
+    # ≤ 10 keys: auto stays on the long-oracled jsonpath plan
+    few = (json_profile(df, "props", _WIDE_KEYS[:3])
+           ._jdf.queryExecution().optimizedPlan().toString())
+    assert "from_json" not in few
+    # > 10 keys: auto switches to the single-parse struct plan
+    many = (json_profile(df, "props", _WIDE_KEYS)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert many.count("from_json") == 1
+    # dotted key = JsonPath navigation: auto must NOT switch (a struct
+    # field name is literal, so the engines would disagree)
+    dotted = (json_profile(df, "props", _WIDE_KEYS + ["k1.a"])
+              ._jdf.queryExecution().optimizedPlan().toString())
+    assert "from_json" not in dotted
+
+
+def test_json_struct_engine_rejects_path_keys(spark):
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    with pytest.raises(ValueError, match="JsonPath navigation"):
+        json_profile(_tricky_json_df(spark), "props", ["k1.a"],
+                     engine="struct")
+
+
+def test_json_jsonpath_nested_navigation_still_works(spark):
+    """Dotted keys are a jsonpath-only feature and keep working: $.k1.a
+    navigates into the nested object."""
+    from schema_validata_spark.operators.semistructured import json_profile
+
+    out = {r["key"]: r for r in json_profile(
+        _tricky_json_df(spark), "props", ["k1.a"], engine="jsonpath"
+    ).collect()}
+    assert out["k1.a"]["n_present"] == 1
+    assert out["k1.a"]["max_num"] == 1.0
