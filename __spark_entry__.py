@@ -1977,6 +1977,87 @@ def q_monotonicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) profile (consistency.py::
+    benford_first_digit) of o_totalprice at cents scale — 9-group
+    aggregate with map-side combine, chi-square statistic windowed over
+    the 9-row result. Digit extraction goes through ``floor`` (never a
+    double→int CAST, whose truncate-vs-round behavior is
+    engine-specific), so the DuckDB replay is bit-exact."""
+    from schema_validata_spark.operators.consistency import (
+        benford_first_digit,
+    )
+
+    df = _read(spark, sf_dir, "orders")
+    return benford_first_digit(df, "o_totalprice", unit_scale=100)
+
+
+def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table control-total reconciliation (consistency.py::
+    reconcile_aggregate): per order, sum(l_extendedprice·(1−l_discount)
+    ·(1+l_tax)) vs o_totalprice — the TPC-H invariant this synthetic
+    corpus deliberately does NOT satisfy, so every checked key reports
+    a real mismatch with its abs_err. Sampled to orderkey % 10 = 0
+    to keep the oracle frame small; the fact side collapses in a
+    partial aggregate BEFORE the full-outer join."""
+    from schema_validata_spark.operators.consistency import (
+        reconcile_aggregate,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    expr = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    out = reconcile_aggregate(
+        li, orders, ["l_orderkey"], ["o_orderkey"], expr,
+        "o_totalprice", abs_tol=0.01,
+    )
+    return out.where(F.col("l_orderkey") % 10 == 0)
+
+
+def q_seq_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (consistency.py::sequence_gaps) over the
+    orderkeys of 'F'-status orders — a naturally holey subsequence
+    (~3.3k gaps at sf0.01). bucket=512 exercises BOTH the
+    within-bucket lag windows and the cross-bucket summary path
+    (including runs of entirely-missing buckets); the oracle is the
+    classic single-window gaps-and-islands, which the bucketed plan
+    must reproduce exactly."""
+    from schema_validata_spark.operators.consistency import sequence_gaps
+
+    df = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return sequence_gaps(df, "o_orderkey", bucket=512)
+
+
+#: conditional rules shared by the Spark query and the oracle — SQL
+#: boolean expressions valid in BOTH dialects (plain comparisons only).
+_COND_RULES = [
+    ("urgent_big", "o_orderpriority = '1-URGENT'", "o_totalprice > 50000"),
+    ("f_is_even", "o_orderstatus = 'F'", "o_orderkey % 2 = 0"),
+    ("low_prio_small", "o_orderpriority = '5-LOW'", "o_totalprice < 200000"),
+]
+
+
+def q_cond_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused if-then invariants (consistency.py::
+    conditional_rule_counts): three cross-column rules over orders in
+    ONE scan — each rule is two conditional counters in the same
+    partial hash aggregate, the 1-row result exploded to rule rows.
+    NULL consequents count as violations (three-valued logic matched
+    by COALESCE(..., FALSE) in the oracle)."""
+    from schema_validata_spark.operators.consistency import (
+        conditional_rule_counts,
+    )
+
+    df = _read(spark, sf_dir, "orders")
+    return conditional_rule_counts(df, _COND_RULES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -2045,6 +2126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imports_documents": q_imports_documents,
         "fd_violations_orders": q_fd_violations_orders,
         "monotonicity_events": q_monotonicity_events,
+        "benford_orders": q_benford_orders,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+        "seq_gaps_orders": q_seq_gaps_orders,
+        "cond_rules_orders": q_cond_rules_orders,
     }
 
 
@@ -3581,5 +3666,65 @@ FROM m GROUP BY 2
             "  FROM events WHERE NOT " + _na_sql("value") + ") "
             "SELECT user_id, ts, event_id, value, prev_value FROM o "
             "WHERE prev_value IS NOT NULL AND prev_value > value"
+        ),
+        # floor() (not CAST) for the double→int step: DuckDB's
+        # double→BIGINT CAST rounds, Spark's truncates; floor is
+        # IEEE-pinned in both. (obs-exp)*(obs-exp) matches the Spark
+        # side's explicit product (pow() is not guaranteed bit-equal).
+        "benford_orders": (
+            "WITH base AS ("
+            "  SELECT CAST(substring(CAST(CAST("
+            "    floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0)"
+            "    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit"
+            "  FROM orders WHERE NOT " + _na_sql("o_totalprice") +
+            "    AND abs(CAST(o_totalprice AS DOUBLE)) * 100.0 >= 1.0"
+            "), c AS (SELECT digit, count(*) AS n FROM base GROUP BY digit), "
+            "s AS ("
+            "  SELECT digit, n, n / (SELECT sum(n) FROM c) AS obs, "
+            "         log10(1 + 1.0 / digit) AS exp, "
+            "         (SELECT sum(n) FROM c) AS total FROM c) "
+            "SELECT digit, n, round(obs, 6) AS obs_frac, "
+            "round(exp, 6) AS exp_frac, "
+            "round(sum(total * (obs - exp) * (obs - exp) / exp) "
+            "      OVER (), 6) AS chi2 FROM s"
+        ),
+        # fact expression written with the same associativity as the
+        # Spark column — (e*(1-d))*(1+t) — so each row's product is the
+        # identical IEEE double before the per-key sum; round(,6) soaks
+        # up sum-order jitter (ulp-scale at these magnitudes).
+        "reconcile_orders_lineitem": (
+            "WITH f AS ("
+            "  SELECT l_orderkey AS k, "
+            "    sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))"
+            "      AS actual FROM lineitem GROUP BY 1), "
+            "c AS (SELECT o_orderkey AS k, "
+            "      CAST(o_totalprice AS DOUBLE) AS expected FROM orders) "
+            "SELECT COALESCE(c.k, f.k) AS l_orderkey, "
+            "round(expected, 6) AS expected, round(actual, 6) AS actual, "
+            "round(abs(actual - expected), 6) AS abs_err, "
+            "CASE WHEN c.k IS NULL THEN 'missing_control' "
+            "     WHEN f.k IS NULL THEN 'missing_facts' "
+            "     WHEN abs(actual - expected) <= 0.01 THEN 'match' "
+            "     ELSE 'mismatch' END AS recon "
+            "FROM f FULL OUTER JOIN c ON f.k = c.k "
+            "WHERE COALESCE(c.k, f.k) % 10 = 0"
+        ),
+        "seq_gaps_orders": (
+            "WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders "
+            "           WHERE o_orderstatus = 'F' AND o_orderkey IS NOT NULL), "
+            "o AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k) "
+            "SELECT prev + 1 AS gap_start, k - 1 AS gap_end, "
+            "k - prev - 1 AS gap_len "
+            "FROM o WHERE prev IS NOT NULL AND k - prev > 1"
+        ),
+        "cond_rules_orders": " UNION ALL ".join(
+            f"SELECT '{rid}' AS rule_id, "
+            f"count(*) FILTER (WHERE {w}) AS n_applicable, "
+            f"count(*) FILTER (WHERE ({w}) AND COALESCE(({t}), FALSE)) "
+            f"  AS n_pass, "
+            f"count(*) FILTER (WHERE ({w}) AND NOT COALESCE(({t}), FALSE)) "
+            f"  AS n_violations "
+            f"FROM orders"
+            for rid, w, t in _COND_RULES
         ),
     }

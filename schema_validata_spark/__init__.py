@@ -100,8 +100,15 @@ from schema_validata_spark.operators.curation import (
     url_hosts,
 )
 from schema_validata_spark.operators.consistency import (
+    benford_first_digit,
+    benford_report,
+    conditional_rule_counts,
+    conditional_rule_violations,
     functional_dependency_violations,
     monotonicity_violations,
+    reconcile_aggregate,
+    reconcile_summary,
+    sequence_gaps,
 )
 from schema_validata_spark.operators.delta import snapshot_delta, validate_delta
 from schema_validata_spark.operators.diagnostics import key_skew_profile
@@ -201,6 +208,13 @@ __all__ = [
     "json_rule_violations",
     "functional_dependency_violations",
     "monotonicity_violations",
+    "benford_first_digit",
+    "benford_report",
+    "reconcile_aggregate",
+    "reconcile_summary",
+    "sequence_gaps",
+    "conditional_rule_counts",
+    "conditional_rule_violations",
     "plan_size_bytes",
 ]
 

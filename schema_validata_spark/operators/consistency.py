@@ -1,8 +1,10 @@
-"""Cross-row consistency rules: functional dependencies and ordering.
+"""Cross-row consistency rules: functional dependencies, ordering,
+first-digit (Benford) drift, aggregate reconciliation, sequence-gap
+detection, and conditional (if-then) rules.
 
 The reference's rule matrix (V1–V8, `/root/reference/src/
-schema_validata.py:2186–2487`) is strictly per-column; the two checks
-every warehouse adds next are cross-row:
+schema_validata.py:2186–2487`) is strictly per-column; the checks
+every warehouse adds next are cross-row / cross-table:
 
 * functional dependency — "determinant columns fix the dependent"
   (repo → license, commit → author_date, path → lang). A violated FD
@@ -10,9 +12,18 @@ every warehouse adds next are cross-row:
 * monotonicity — "within a partition, a value never goes backwards
   when ordered by a sequence column" (commit timestamps per repo,
   snapshot ids per table, event time per user).
+* Benford first-digit profile — fabricated or truncated numeric feeds
+  (file sizes, star counts, prices) drift off the log-uniform
+  first-significant-digit law; a 9-group aggregate catches it.
+* aggregate reconciliation — a fact table's per-key aggregate must
+  equal the control total carried on the dimension row (per-repo file
+  counts vs the repo manifest, order line sums vs the order total).
+* sequence gaps — a surrogate-key / commit-sequence column should be
+  contiguous; holes mean lost loads.
+* conditional rules — "when <antecedent> then <consequent>" row
+  invariants that span columns (if lang='python' then path ends .py).
 
-Both are single-shuffle DataFrame plans with no UDFs and exact DuckDB
-replays.
+All are UDF-free DataFrame plans with exact DuckDB replays.
 """
 
 from __future__ import annotations
@@ -113,3 +124,310 @@ def monotonicity_violations(
         else F.col("prev_value") >= F.col("value")
     )
     return out.where(F.col("prev_value").isNotNull() & bad)
+
+
+# ------------------------------------------------- Benford first digit
+
+def benford_first_digit(
+    df: DataFrame, col: str, unit_scale: float = 1.0
+) -> DataFrame:
+    """First-significant-digit profile of ``col`` vs Benford's law.
+
+    Returns nine rows ``(digit, n, obs_frac, exp_frac, chi2)`` —
+    observed count and fraction per leading digit 1–9, the Benford
+    expectation ``log10(1 + 1/d)``, and the chi-square statistic
+    ``N * Σ (obs−exp)²/exp`` repeated on every row (the frame is the
+    drift artifact; pair with :func:`~schema_validata_spark.operators.
+    drift.chi2_sf` driver-side for a p-value, dof = 8).
+
+    ``unit_scale`` shifts the decimal point before digit extraction
+    (100 for a dollars.cents column) so sub-unit magnitudes keep their
+    leading digit. The digit is taken from the INTEGER PART of the
+    scaled absolute value — rows whose scaled magnitude is < 1 (or NA)
+    are excluded rather than guessed at; callers chasing sub-unit tails
+    pass a larger ``unit_scale``. ``floor`` (not cast) makes the
+    double→int step portable: SQL engines disagree on whether a
+    double→bigint CAST truncates or rounds, ``floor`` is IEEE-pinned
+    everywhere.
+
+    Plan shape: one scan → 9-group partial hash aggregate (map-side
+    combine collapses each task to ≤ 9 rows, so the exchange is
+    O(tasks), never O(rows)) → a single-row total cross-joined back
+    (broadcast, 9 × 1). Nothing about the shape changes at 10^12 rows.
+    """
+    v = F.abs(F.col(col).cast("double")) * F.lit(float(unit_scale))
+    digit = F.substring(
+        F.floor(v).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(~is_na(F.col(col)) & (v >= 1.0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    exp_frac = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs_frac = F.col("n") / F.col("__total")
+    # (obs-exp)*(obs-exp), not pow(x, 2): libm pow is not guaranteed
+    # bit-identical to the product across engines; the product is.
+    dev = obs_frac - exp_frac
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        obs_frac.alias("__obs"),
+        exp_frac.alias("__exp"),
+        (F.col("__total") * dev * dev / exp_frac).alias("__term"),
+    )
+    from pyspark.sql.window import Window
+
+    w_all = F.sum("__term").over(Window.partitionBy())
+    return scored.select(
+        "digit",
+        "n",
+        F.round("__obs", 6).alias("obs_frac"),
+        F.round("__exp", 6).alias("exp_frac"),
+        F.round(w_all, 6).alias("chi2"),
+    )
+
+
+def benford_report(df: DataFrame, col: str, unit_scale: float = 1.0):
+    """Driver-side convenience: ``(stat, p_value, per_digit_rows)``
+    from one action over :func:`benford_first_digit` (dof = 8)."""
+    from schema_validata_spark.operators.drift import chi2_sf
+
+    rows = benford_first_digit(df, col, unit_scale).collect()
+    stat = rows[0]["chi2"] if rows else float("nan")
+    return stat, chi2_sf(stat, 8) if rows else float("nan"), rows
+
+
+# --------------------------------------------- aggregate reconciliation
+
+#: reconciliation verdict labels
+RECON_MATCH = "match"
+RECON_MISMATCH = "mismatch"
+RECON_MISSING_FACTS = "missing_facts"
+RECON_MISSING_CONTROL = "missing_control"
+
+
+def reconcile_aggregate(
+    fact_df: DataFrame,
+    control_df: DataFrame,
+    fact_key: list[str],
+    control_key: list[str],
+    fact_expr,
+    control_col: str,
+    abs_tol: float = 1e-6,
+) -> DataFrame:
+    """Cross-table control-total check: per key, ``sum(fact_expr)``
+    over the fact table must equal the control value carried on the
+    (unique-keyed) control table, within ``abs_tol``.
+
+    Returns one row per key: ``(*control_key, expected, actual,
+    abs_err, recon)`` with ``recon`` ∈ {match, mismatch,
+    missing_facts, missing_control}. ``missing_facts`` = control row
+    with no fact rows (expected ≠ 0); ``missing_control`` = fact rows
+    with no control row. ``expected``/``actual``/``abs_err`` are
+    rounded to 6 places for portable comparison; the match decision
+    uses the unrounded doubles.
+
+    Plan shape: the fact side collapses FIRST (partial hash aggregate
+    on ``fact_key``, map-side combine — the exchange carries one row
+    per key per task, not the fact rows), then a full-outer join with
+    the control side, which AQE will broadcast when the control table
+    is small and skew-split when one key dominates. NULL-safe struct
+    key equality, same rationale as snapshot_delta: a NULL key is data
+    corruption the validator must SEE, not silently drop.
+
+    At 10^12 fact rows this is the cheapest possible shape — one
+    partial-agg exchange of ~n_keys rows plus one join; there is no
+    variant that avoids touching every fact row once.
+    """
+    fsum = (
+        fact_df.groupBy(
+            F.struct(*[F.col(c) for c in fact_key]).alias("__k")
+        )
+        .agg(F.sum(fact_expr).alias("__actual"))
+        .alias("f")
+    )
+    ctrl = control_df.select(
+        F.struct(
+            *[F.col(c).alias(k) for c, k in zip(control_key, fact_key)]
+        ).alias("__k"),
+        F.col(control_col).cast("double").alias("__expected"),
+    ).alias("c")
+    j = fsum.join(
+        ctrl, on=F.col("f.__k") == F.col("c.__k"), how="full_outer"
+    )
+    err = F.abs(F.col("__actual") - F.col("__expected"))
+    recon = (
+        F.when(F.col("c.__k").isNull(), F.lit(RECON_MISSING_CONTROL))
+        .when(F.col("f.__k").isNull(), F.lit(RECON_MISSING_FACTS))
+        .when(err <= F.lit(float(abs_tol)), F.lit(RECON_MATCH))
+        .otherwise(F.lit(RECON_MISMATCH))
+    )
+    key = F.coalesce(F.col("c.__k"), F.col("f.__k"))
+    return j.select(
+        *[key.getField(k).alias(k) for k in fact_key],
+        F.round("__expected", 6).alias("expected"),
+        F.round("__actual", 6).alias("actual"),
+        F.round(err, 6).alias("abs_err"),
+        recon.alias("recon"),
+    )
+
+
+def reconcile_summary(recon_df: DataFrame) -> DataFrame:
+    """Rollup of :func:`reconcile_aggregate`: one row per verdict with
+    ``(recon, n_keys, max_abs_err)`` — ``max_abs_err`` rounded to 2
+    (sum-order float jitter lives far below a cent)."""
+    return recon_df.groupBy("recon").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.max("abs_err"), 2).alias("max_abs_err"),
+    )
+
+
+# ------------------------------------------------------- sequence gaps
+
+def sequence_gaps(
+    df: DataFrame, col: str, bucket: int = 1_000_000
+) -> DataFrame:
+    """Holes in an integer sequence column: returns ``(gap_start,
+    gap_end, gap_len)`` for every maximal run of missing values
+    strictly between the column's observed min and max.
+
+    The naive plan — ``lag`` over the globally-ordered distinct keys —
+    collapses to ONE task (an unpartitioned window), a non-starter at
+    10^12 keys. This implementation buckets instead:
+
+    1. distinct keys → bucket id ``key div bucket`` (hash aggregate,
+       map-side combine);
+    2. WITHIN-bucket gaps via ``lag`` over a window PARTITIONED BY
+       bucket — parallel across n/bucket independent partitions;
+    3. CROSS-bucket gaps (including runs of entirely-missing buckets)
+       via ``lag`` over the per-bucket (min, max) summary — that
+       window is unpartitioned but runs over n/``bucket`` rows, not n
+       (10^12 keys / 10^6 bucket = 10^6 summary rows: one comfortable
+       task); the summary itself is a bucket-keyed hash aggregate.
+
+    The union is exactly the gaps-and-islands result (property-tested
+    against the brute-force complement). NA keys are excluded; the
+    column is cast to bigint (a fractional key has no successor).
+    """
+    from pyspark.sql.window import Window
+
+    k = F.col(col).cast("bigint")
+    keys = (
+        df.where(~is_na(F.col(col)) & k.isNotNull())
+        .select(k.alias("k"))
+        .distinct()
+        # integer `div`, not floor(k / b): the double division path
+        # loses exactness above 2^53. Truncating div is monotone
+        # non-decreasing in k, which is all the cross-bucket lag needs.
+        .withColumn("b", F.expr(f"k div {int(bucket)}"))
+    )
+    in_w = Window.partitionBy("b").orderBy("k")
+    within = (
+        keys.select(
+            "k", F.lag("k").over(in_w).alias("prev")
+        )
+        .where(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+        )
+    )
+    summary = keys.groupBy("b").agg(
+        F.min("k").alias("bmin"), F.max("k").alias("bmax")
+    )
+    edge_w = Window.partitionBy().orderBy("b")
+    across = (
+        summary.select(
+            "bmin", F.lag("bmax").over(edge_w).alias("prev_max")
+        )
+        .where(
+            F.col("prev_max").isNotNull()
+            & (F.col("bmin") - F.col("prev_max") > 1)
+        )
+        .select(
+            (F.col("prev_max") + 1).alias("gap_start"),
+            (F.col("bmin") - 1).alias("gap_end"),
+        )
+    )
+    gaps = within.unionByName(across)
+    return gaps.select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )
+
+
+# --------------------------------------------------- conditional rules
+
+def conditional_rule_counts(
+    df: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Fused if-then row invariants: ``rules`` is a list of
+    ``(rule_id, when_sql, then_sql)`` SQL boolean expressions; a row is
+    APPLICABLE when ``when_sql`` is true and VIOLATING when applicable
+    and ``then_sql`` is not true (false OR NULL — an unknown consequent
+    cannot discharge the rule, same three-valued stance as the verdict
+    engine). Returns one row per rule: ``(rule_id, n_applicable,
+    n_pass, n_violations)``.
+
+    Plan shape: ALL rules evaluate in ONE scan — each compiles to two
+    conditional-count aggregates fused into a single partial hash
+    aggregate (whole-stage codegen keeps every predicate JVM-side),
+    then the 1×(2·R) aggregate row is exploded to R rule rows via an
+    inline array of structs. Adding a rule adds two counters to the
+    same scan, not a pass.
+    """
+    aggs = []
+    for i, (_rid, when_sql, then_sql) in enumerate(rules):
+        app = F.expr(when_sql)
+        ok = app & F.coalesce(F.expr(then_sql), F.lit(False))
+        aggs.append(
+            F.sum(F.when(app, 1).otherwise(0)).alias(f"__app_{i}")
+        )
+        aggs.append(F.sum(F.when(ok, 1).otherwise(0)).alias(f"__ok_{i}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.coalesce(F.col(f"__app_{i}"), F.lit(0)).alias(
+                "n_applicable"
+            ),
+            F.coalesce(F.col(f"__ok_{i}"), F.lit(0)).alias("n_pass"),
+            (
+                F.coalesce(F.col(f"__app_{i}"), F.lit(0))
+                - F.coalesce(F.col(f"__ok_{i}"), F.lit(0))
+            ).alias("n_violations"),
+        )
+        for i, (rid, _w, _t) in enumerate(rules)
+    ]
+    return row.select(
+        F.explode(F.array(*structs)).alias("r")
+    ).select("r.rule_id", "r.n_applicable", "r.n_pass", "r.n_violations")
+
+
+def conditional_rule_violations(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    id_cols: list[str],
+) -> DataFrame:
+    """Row-level companion to :func:`conditional_rule_counts`: emits
+    ``(*id_cols, rule_id)`` for every (row, rule) where the rule is
+    applicable and the consequent is not true. Same fused one-scan
+    shape as the violation extractors (operators/violations.py): the
+    per-rule flags build an array of rule ids filtered non-null, then
+    ONE explode — R rules cost one scan, zero shuffles."""
+    flags = [
+        F.when(
+            F.expr(w) & ~F.coalesce(F.expr(t), F.lit(False)),
+            F.lit(rid),
+        )
+        for (rid, w, t) in rules
+    ]
+    arr = F.filter(
+        F.array(*flags), lambda x: x.isNotNull()
+    )
+    return (
+        df.select(*id_cols, F.explode(arr).alias("rule_id"))
+    )

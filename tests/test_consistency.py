@@ -123,3 +123,249 @@ def test_monotonicity_composite_order_deterministic(spark):
         ).collect()
     )
     assert out == [(2, 2.0, 3.0), (3, 1.0, 2.0)]
+
+
+# ---------------------------------------------------------------- benford
+
+from schema_validata_spark.operators.consistency import (  # noqa: E402
+    RECON_MATCH,
+    RECON_MISMATCH,
+    RECON_MISSING_CONTROL,
+    RECON_MISSING_FACTS,
+    benford_first_digit,
+    benford_report,
+    conditional_rule_counts,
+    conditional_rule_violations,
+    reconcile_aggregate,
+    reconcile_summary,
+    sequence_gaps,
+)
+
+
+def _benford_df(spark):
+    rows = [
+        (1.5,), (12.0,), (19.9,), (2.3,), (250.0,), (31.0,),
+        (0.4,),          # |v| < 1 at unit_scale=1 → excluded
+        (None,),         # NA → excluded
+        (-9.1,),         # abs() → digit 9
+    ]
+    return spark.createDataFrame(rows, "v double")
+
+
+def test_benford_digits_and_fractions(spark):
+    out = {
+        r["digit"]: r for r in benford_first_digit(_benford_df(spark), "v").collect()
+    }
+    # digits: 1.5→1, 12→1, 19.9→1, 2.3→2, 250→2, 31→3, -9.1→9
+    assert {d: out[d]["n"] for d in out} == {1: 3, 2: 2, 3: 1, 9: 1}
+    assert abs(out[1]["obs_frac"] - 3 / 7) < 1e-6
+    assert abs(out[1]["exp_frac"] - 0.301030) < 1e-6
+    chi2s = {r["chi2"] for r in out.values()}
+    assert len(chi2s) == 1 and min(chi2s) >= 0.0
+
+
+def test_benford_unit_scale(spark):
+    out = {
+        r["digit"]: r["n"]
+        for r in benford_first_digit(_benford_df(spark), "v", unit_scale=10).collect()
+    }
+    # 0.4*10=4 now included; all others keep their first digit
+    assert out[4] == 1 and sum(out.values()) == 8
+
+
+def test_benford_report_pvalue(spark):
+    stat, p, rows = benford_report(_benford_df(spark), "v")
+    assert stat >= 0 and 0.0 <= p <= 1.0 and len(rows) == 4
+
+
+def test_benford_duckdb_replay(spark, tmp_path):
+    p = str(tmp_path / "ben.parquet")
+    _benford_df(spark).write.parquet(p)
+    got = sorted(
+        (r["digit"], r["n"], r["obs_frac"], r["exp_frac"], r["chi2"])
+        for r in benford_first_digit(_benford_df(spark), "v").collect()
+    )
+    want = duckdb.sql(f"""
+        WITH base AS (
+          SELECT CAST(substring(CAST(CAST(floor(abs(v) * 1.0) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM read_parquet('{p}/*.parquet')
+          WHERE v IS NOT NULL AND abs(v) * 1.0 >= 1.0
+        ), c AS (SELECT digit, count(*) AS n FROM base GROUP BY digit),
+        s AS (
+          SELECT digit, n,
+                 n / (SELECT sum(n) FROM c) AS obs,
+                 log10(1 + 1.0 / digit) AS exp,
+                 (SELECT sum(n) FROM c) AS total
+          FROM c
+        )
+        SELECT digit, n, round(obs, 6), round(exp, 6),
+               round(sum(total * (obs - exp) * (obs - exp) / exp)
+                     OVER (), 6) AS chi2
+        FROM s ORDER BY digit
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+# ----------------------------------------------------------- reconcile
+
+def test_reconcile_aggregate_labels(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (4, 3.0)], "k int, amt double"
+    )
+    ctrl = spark.createDataFrame(
+        [(1, 15.0), (2, 9.0), (3, 2.0)], "ck int, total double"
+    )
+    out = {
+        r["k"]: r
+        for r in reconcile_aggregate(
+            facts, ctrl, ["k"], ["ck"], F.col("amt"), "total", abs_tol=0.5
+        ).collect()
+    }
+    assert out[1]["recon"] == RECON_MATCH and out[1]["abs_err"] == 0.0
+    assert out[2]["recon"] == RECON_MISMATCH and out[2]["abs_err"] == 2.0
+    assert out[3]["recon"] == RECON_MISSING_FACTS and out[3]["actual"] is None
+    assert out[4]["recon"] == RECON_MISSING_CONTROL and out[4]["expected"] is None
+    summ = {r["recon"]: r["n_keys"] for r in reconcile_summary(
+        reconcile_aggregate(
+            facts, ctrl, ["k"], ["ck"], F.col("amt"), "total", abs_tol=0.5
+        )
+    ).collect()}
+    assert summ == {
+        RECON_MATCH: 1, RECON_MISMATCH: 1,
+        RECON_MISSING_FACTS: 1, RECON_MISSING_CONTROL: 1,
+    }
+
+
+def test_reconcile_null_key_visible(spark):
+    facts = spark.createDataFrame([(None, 1.0)], "k int, amt double")
+    ctrl = spark.createDataFrame([(None, 1.0)], "ck int, total double")
+    out = reconcile_aggregate(
+        facts, ctrl, ["k"], ["ck"], F.col("amt"), "total"
+    ).collect()
+    # struct-key equality is null-safe per field: the NULL keys MEET
+    assert len(out) == 1 and out[0]["recon"] == RECON_MATCH
+
+
+# -------------------------------------------------------- sequence gaps
+
+def test_sequence_gaps_planted(spark):
+    keys = [0, 1, 2, 3, 4, 7, 8, 20, 21, 35]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "k", bucket=10).collect()
+    )
+    # (5,6) within bucket 0; (9,19) spans the fully-missing bucket 1;
+    # (22,34) crosses buckets 2→3
+    assert got == [(5, 6, 2), (9, 19, 11), (22, 34, 13)]
+
+
+def test_sequence_gaps_dense_and_dupes(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [5, 5, 6, 7, 7, 8]], "k long"
+    )
+    assert sequence_gaps(df, "k", bucket=4).count() == 0
+
+
+def test_sequence_gaps_property(spark):
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(5):
+        uni = sorted(rng.sample(range(0, 400), rng.randint(2, 120)))
+        df = spark.createDataFrame([(k,) for k in uni], "k long")
+        got = sorted(
+            (r["gap_start"], r["gap_end"])
+            for r in sequence_gaps(
+                df, "k", bucket=rng.choice([3, 7, 16, 1000])
+            ).collect()
+        )
+        want, prev = [], uni[0]
+        for k in uni[1:]:
+            if k - prev > 1:
+                want.append((prev + 1, k - 1))
+            prev = k
+        assert got == want, f"trial {trial}"
+
+
+def test_sequence_gaps_duckdb_replay(spark, tmp_path):
+    keys = [3, 4, 9, 10, 11, 40, 41, 55]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    p = str(tmp_path / "seq.parquet")
+    df.write.parquet(p)
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "k", bucket=8).collect()
+    )
+    want = duckdb.sql(f"""
+        WITH k AS (SELECT DISTINCT k FROM read_parquet('{p}/*.parquet')
+                   WHERE k IS NOT NULL),
+        o AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+        SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+               k - prev - 1 AS gap_len
+        FROM o WHERE prev IS NOT NULL AND k - prev > 1 ORDER BY 1
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+# ----------------------------------------------------- conditional rules
+
+def _rules_df(spark):
+    rows = [
+        ("python", "a.py", 10),
+        ("python", "b.rs", 20),     # violates r1
+        ("python", None, 30),       # NULL consequent → violates r1
+        ("rust", "c.rs", None),
+        ("rust", "d.py", 5),        # not applicable to r1
+    ]
+    return spark.createDataFrame(rows, "lang string, path string, n int")
+
+
+RULES = [
+    ("py_ext", "lang = 'python'", "path LIKE '%.py'"),
+    ("n_pos", "n IS NOT NULL", "n > 0"),
+    ("never", "lang = 'go'", "n > 100"),
+]
+
+
+def test_conditional_rule_counts(spark):
+    out = {
+        r["rule_id"]: (r["n_applicable"], r["n_pass"], r["n_violations"])
+        for r in conditional_rule_counts(_rules_df(spark), RULES).collect()
+    }
+    assert out["py_ext"] == (3, 1, 2)
+    assert out["n_pos"] == (4, 4, 0)
+    assert out["never"] == (0, 0, 0)
+
+
+def test_conditional_rule_violations_rows(spark):
+    got = sorted(
+        (r["lang"], r["rule_id"])
+        for r in conditional_rule_violations(
+            _rules_df(spark), RULES, ["lang"]
+        ).collect()
+    )
+    assert got == [("python", "py_ext"), ("python", "py_ext")]
+
+
+def test_conditional_rules_duckdb_replay(spark, tmp_path):
+    p = str(tmp_path / "rules.parquet")
+    _rules_df(spark).write.parquet(p)
+    got = sorted(
+        (r["rule_id"], r["n_applicable"], r["n_pass"], r["n_violations"])
+        for r in conditional_rule_counts(_rules_df(spark), RULES).collect()
+    )
+    parts = []
+    for rid, w, t in RULES:
+        parts.append(f"""
+            SELECT '{rid}' AS rule_id,
+                   count(*) FILTER (WHERE {w}) AS n_applicable,
+                   count(*) FILTER (WHERE ({w}) AND COALESCE(({t}), FALSE))
+                     AS n_pass,
+                   count(*) FILTER (WHERE ({w})
+                     AND NOT COALESCE(({t}), FALSE)) AS n_violations
+            FROM read_parquet('{p}/*.parquet')
+        """)
+    want = duckdb.sql(" UNION ALL ".join(parts) + " ORDER BY rule_id").fetchall()
+    assert got == [tuple(r) for r in want]
