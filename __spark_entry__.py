@@ -2058,6 +2058,71 @@ def q_cond_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conditional_rule_counts(df, _COND_RULES)
 
 
+def q_volume_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition row-count drift between two snapshots (delta.py::
+    partition_volume_drift): the 'new' snapshot is derived from orders
+    with planted anomalies — 1-URGENT dropped entirely
+    (missing_partition), 2-HIGH halved (shrunk), 3-MEDIUM inflated 1.5×
+    (grown), plus a synthetic 9-SYNTH partition (new_partition) — so
+    every verdict label appears. Each side collapses to one row per
+    priority in a partial hash aggregate BEFORE the tiny full-outer
+    join; the exchange carries O(partitions) rows."""
+    from schema_validata_spark.operators.delta import (
+        partition_volume_drift,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    new = (
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+        .where(
+            (F.col("o_orderpriority") != "2-HIGH")
+            | (F.col("o_orderkey") % 2 == 0)
+        )
+        .unionByName(
+            orders.where(
+                (F.col("o_orderpriority") == "3-MEDIUM")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") < 7).withColumn(
+                "o_orderpriority", F.lit("9-SYNTH")
+            )
+        )
+    )
+    return partition_volume_drift(
+        new, orders, ["o_orderpriority"], rel_tol=0.10
+    )
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feed-freshness verdicts (consistency.py::
+    freshness_check) over events grouped by event_type, against an
+    explicit as-of instant (never the wall clock — runs replay
+    deterministically). Planted staleness: 'error' events after
+    Jan 15 are filtered out (stale group) and 'view' timestamps are
+    nulled (all-NA group → fresh=false with NULL last_seen); the
+    other three types stay fresh. One partial max aggregate — the
+    exchange is O(groups)."""
+    from schema_validata_spark.operators.consistency import (
+        freshness_check,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    src = ev.where(
+        (F.col("event_type") != "error")
+        | (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).withColumn(
+        "ts",
+        F.when(
+            F.col("event_type") == "view", F.lit(None).cast("timestamp")
+        ).otherwise(F.col("ts")),
+    )
+    return freshness_check(
+        src, "ts", ["event_type"], 86400, "2024-01-31 12:00:00"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -2130,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "seq_gaps_orders": q_seq_gaps_orders,
         "cond_rules_orders": q_cond_rules_orders,
+        "volume_drift_orders": q_volume_drift_orders,
+        "freshness_events": q_freshness_events,
     }
 
 
@@ -3726,5 +3793,55 @@ FROM m GROUP BY 2
             f"  AS n_violations "
             f"FROM orders"
             for rid, w, t in _COND_RULES
+        ),
+        # same planted-anomaly 'new' snapshot as the Spark side; the
+        # rel_change division happens in double on both engines and is
+        # rounded to 6 places (NULL for a new partition — no base)
+        "volume_drift_orders": (
+            "WITH new_snap AS ("
+            "  SELECT o_orderpriority FROM orders "
+            "  WHERE o_orderpriority <> '1-URGENT' "
+            "    AND (o_orderpriority <> '2-HIGH' OR o_orderkey % 2 = 0) "
+            "  UNION ALL "
+            "  SELECT o_orderpriority FROM orders "
+            "  WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0 "
+            "  UNION ALL "
+            "  SELECT '9-SYNTH' FROM orders WHERE o_orderkey < 7), "
+            "o AS (SELECT o_orderpriority AS k, count(*) AS n_o "
+            "      FROM orders GROUP BY 1), "
+            "n AS (SELECT o_orderpriority AS k, count(*) AS n_n "
+            "      FROM new_snap GROUP BY 1) "
+            "SELECT COALESCE(o.k, n.k) AS o_orderpriority, "
+            "COALESCE(n_o, 0) AS old_rows, COALESCE(n_n, 0) AS new_rows, "
+            "round((COALESCE(n_n, 0) - COALESCE(n_o, 0)) "
+            "      / CAST(n_o AS DOUBLE), 6) AS rel_change, "
+            "CASE WHEN o.k IS NULL THEN 'new_partition' "
+            "     WHEN n.k IS NULL THEN 'missing_partition' "
+            "     WHEN (COALESCE(n_n, 0) - n_o) / CAST(n_o AS DOUBLE) "
+            "          > 0.10 THEN 'grown' "
+            "     WHEN (COALESCE(n_n, 0) - n_o) / CAST(n_o AS DOUBLE) "
+            "          < -0.10 THEN 'shrunk' "
+            "     ELSE 'ok' END AS volume "
+            "FROM o FULL OUTER JOIN n ON o.k = n.k"
+        ),
+        # floor(epoch(..)) = Spark's unix_timestamp second truncation;
+        # the all-NA 'view' group keeps its row with NULL last_seen
+        "freshness_events": (
+            "WITH src AS ("
+            "  SELECT event_type, "
+            "    CASE WHEN event_type = 'view' THEN NULL ELSE ts END AS ts2 "
+            "  FROM events "
+            "  WHERE event_type <> 'error' "
+            "     OR ts < TIMESTAMP '2024-01-15 00:00:00'), "
+            "g AS (SELECT event_type, max(ts2) AS last_seen "
+            "      FROM src GROUP BY 1) "
+            "SELECT event_type, last_seen, "
+            "CAST(floor(epoch(TIMESTAMP '2024-01-31 12:00:00')) AS BIGINT) "
+            "  - CAST(floor(epoch(last_seen)) AS BIGINT) AS lag_seconds, "
+            "CASE WHEN last_seen IS NULL THEN FALSE "
+            "     ELSE (CAST(floor(epoch(TIMESTAMP '2024-01-31 12:00:00')) "
+            "           AS BIGINT) - CAST(floor(epoch(last_seen)) AS BIGINT)"
+            "          ) <= 86400 END AS fresh "
+            "FROM g"
         ),
     }

@@ -431,3 +431,56 @@ def conditional_rule_violations(
     return (
         df.select(*id_cols, F.explode(arr).alias("rule_id"))
     )
+
+
+# ---------------------------------------------------- freshness check
+
+def freshness_check(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    max_lag_seconds: int,
+    as_of: str,
+) -> DataFrame:
+    """Per-group data-freshness verdict: the newest ``ts_col`` value in
+    each group must be within ``max_lag_seconds`` of ``as_of`` (an
+    explicit ISO timestamp string — never the wall clock, so runs are
+    deterministic, replayable against a snapshot, and testable).
+    A feed that stopped emitting is a pipeline fault the validator
+    must surface even when every row it DID emit is valid — the
+    temporal complement of partition_volume_drift.
+
+    Returns one row per group: ``(*group_cols, last_seen,
+    lag_seconds, fresh)``. NA timestamps are excluded before the max
+    (an unparseable timestamp cannot prove freshness); a group whose
+    timestamps are ALL NA still appears — ``last_seen`` NULL,
+    ``lag_seconds`` NULL, ``fresh`` false — because "this feed has no
+    usable clock" is precisely the alarm. Rows with ``ts_col`` in the
+    future of ``as_of`` yield a negative lag and count as fresh
+    (clock-skew tolerance is the caller's policy, visible in the lag).
+
+    Plan shape: one partial max/count aggregate — map-side combine
+    collapses each task to one row per group, the exchange is
+    O(groups), never O(rows). At 10^12 rows over (repo, lang) groups
+    this is a single cheap pass; no window, no join.
+    """
+    ts = F.col(ts_col)
+    clean_ts = F.when(~is_na(ts), ts)
+    last_seen = F.max(clean_ts).alias("last_seen")
+    out = df.groupBy(*group_cols).agg(
+        last_seen,
+        F.count(clean_ts).alias("__n_ts"),
+    )
+    lag = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.col("last_seen"))
+    ).cast("bigint")
+    fresh = F.when(
+        F.col("last_seen").isNull(), F.lit(False)
+    ).otherwise(lag <= F.lit(int(max_lag_seconds)))
+    return out.select(
+        *group_cols,
+        F.col("last_seen"),
+        lag.alias("lag_seconds"),
+        fresh.alias("fresh"),
+    )

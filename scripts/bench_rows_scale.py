@@ -1,0 +1,263 @@
+"""Two-size scaling smoke for the ROW-oriented round-5 consistency
+operators — the ops that run over fact/ledger-shaped tables rather
+than a documents corpus, so `bench_ops_scale.py`'s replicated-text
+harness cannot characterize them:
+
+* `functional_dependency_violations` (two-phase distinct aggregate),
+* `monotonicity_violations` (partitioned lag window),
+* `benford_first_digit` (9-group hash aggregate + chi-square),
+* `reconcile_aggregate` (partial-agg-then-full-outer control check),
+* `sequence_gaps` (bucketed gaps-and-islands),
+* `conditional_rule_counts` (fused multi-rule conditional counters).
+
+Builds a synthetic orders-shaped table at two sizes (default 2M and
+20M rows) from `spark.range` — fully deterministic, no external data —
+with planted signal so every op produces non-trivial output:
+
+* orderkeys skip every id where ``id % 997 == 17`` (sequence gaps);
+* one customer in 5000 carries TWO nations split by orderkey parity
+  (FD violations with hot-key-safe witnesses);
+* a per-customer running measure dips backwards on ``id % 101 == 13``
+  (monotonicity violations);
+* price spans four decades via ``10^((id%400)/100)`` — a Benford-ish
+  magnitude spread — with a planted digit-1 excess on ``id % 23 == 0``;
+* the control table (built OUTSIDE the timed region — in production it
+  is the upstream ledger, not derived from the facts) disagrees on one
+  customer in 500 and omits one in 1000 (mismatch + missing verdicts);
+* order status 'F' rows lack a ship date once in 400 (conditional-rule
+  violations), and a ``price >= 10`` consequent fails on the sub-unit
+  tail.
+
+Each op is one full scan + a one-row (or tiny) collected aggregate so
+Catalyst cannot prune the work. Prints ONE JSON line with per-op
+seconds at both sizes, rows/sec at the big size, and ``linearity`` =
+(t_big/t_small)/(big/small); <= 1.0 is linear-or-better. Steal is
+sampled around the timed region (same taint protocol as bench.py):
+a draw whose steal exceeds 2 % is stamped ``tainted: true``.
+
+Usage:  python scripts/bench_rows_scale.py [small_rows] [big_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DATA = os.path.join(ROOT, ".benchdata")
+
+
+def _cpu_times() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = list(map(int, parts))
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
+def build(spark, n_rows: int) -> str:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(DATA, f"scale_rows_{n_rows}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.range(n_rows)
+    i = F.col("id")
+    okey = F.when(i % 997 == 17, i + 50_000_000_000).otherwise(i)
+    ckey_mod = max(n_rows // 40, 1000)
+    ckey = i % F.lit(ckey_mod)
+    # the violating customer's rows recur with stride ckey_mod, so any
+    # parity OF i is constant across them — split on the occurrence
+    # index (the quotient) instead, which increments per occurrence
+    occurrence = F.floor(i / F.lit(ckey_mod))
+    nation = F.when(
+        (ckey % 1000 == 7) & (occurrence % 2 == 0), (ckey % 25) + 100
+    ).otherwise(ckey % 25)
+    # four decades of magnitude; planted leading-1 excess on 1-in-23
+    price = F.when(
+        i % 23 == 0, F.lit(1.0) + (i % 9).cast("double") / 10.0
+    ).otherwise(
+        F.pow(F.lit(10.0), ((i % 400).cast("double") / 100.0))
+        * (F.lit(1.0) + (i % 97).cast("double") / 100.0)
+    )
+    run_val = F.when(i % 101 == 13, i - 50).otherwise(i)
+    status = F.element_at(
+        F.array(F.lit("O"), F.lit("F"), F.lit("P")), (i % 3 + 1).cast("int")
+    )
+    shipdate = F.when(
+        (status == "F") & (i % 400 != 3),
+        F.date_add(F.lit("2024-01-01"), (i % 365).cast("int")),
+    )
+    df = base.select(
+        okey.alias("orderkey"),
+        ckey.alias("custkey"),
+        nation.alias("nation"),
+        F.round(price, 4).alias("price"),
+        run_val.alias("run_val"),
+        status.alias("status"),
+        shipdate.alias("shipdate"),
+    )
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_control(spark, facts_path: str, n_rows: int) -> str:
+    """Per-customer control totals with planted disagreement: one key
+    in 500 is shifted, one in 1000 dropped. Built once per size, not
+    timed — the control side is upstream truth in production."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(DATA, f"scale_rows_ctl_{n_rows}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    facts = spark.read.parquet(facts_path)
+    ctl = (
+        facts.groupBy("custkey")
+        .agg(F.sum("price").alias("expected_total"))
+        .where(F.col("custkey") % 1000 != 11)
+        .withColumn(
+            "expected_total",
+            F.when(
+                F.col("custkey") % 500 == 3,
+                F.col("expected_total") + 42.0,
+            ).otherwise(F.col("expected_total")),
+        )
+    )
+    ctl.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from schema_validata_spark.operators.consistency import (
+        benford_first_digit,
+        conditional_rule_counts,
+        functional_dependency_violations,
+        monotonicity_violations,
+        reconcile_aggregate,
+        sequence_gaps,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-rows-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    controls: dict[int, str] = {}
+    current_n: list[int] = [0]  # set by the size loop; avoids a
+    # df.count() job inside the timed region just to key the control
+
+    def op_fd(df):
+        return functional_dependency_violations(
+            df, ["custkey"], "nation"
+        ).agg(
+            F.count(F.lit(1)).alias("bad_keys"),
+            F.sum("n_rows").alias("rows_in_bad_keys"),
+        )
+
+    def op_monotonic(df):
+        return monotonicity_violations(
+            df, ["custkey"], ["orderkey"], "run_val"
+        ).agg(F.count(F.lit(1)).alias("violations"))
+
+    def op_benford(df):
+        return benford_first_digit(df, "price").agg(
+            F.sum("n").alias("n"), F.max("chi2").alias("chi2")
+        )
+
+    def op_reconcile(df):
+        ctl = spark.read.parquet(controls[current_n[0]])
+        return reconcile_aggregate(
+            df,
+            ctl,
+            ["custkey"],
+            ["custkey"],
+            F.col("price"),
+            "expected_total",
+            abs_tol=1e-6,
+        ).groupBy("recon").agg(F.count(F.lit(1)).alias("n"))
+
+    def op_seq_gaps(df):
+        return sequence_gaps(df, "orderkey").agg(
+            F.count(F.lit(1)).alias("gaps"),
+            F.sum("gap_len").alias("missing_keys"),
+        )
+
+    def op_cond_rules(df):
+        return conditional_rule_counts(
+            df,
+            [
+                ("shipped_when_final", "status = 'F'", "shipdate IS NOT NULL"),
+                ("price_floor", "status IN ('O','F')", "price >= 10.0"),
+                ("nation_domain", "custkey >= 0", "nation BETWEEN 0 AND 24"),
+            ],
+        ).agg(
+            F.sum("n_applicable").alias("app"),
+            F.sum("n_violations").alias("bad"),
+        )
+
+    ops = {
+        "fd_violations": op_fd,
+        "monotonicity": op_monotonic,
+        "benford": op_benford,
+        "reconcile": op_reconcile,
+        "seq_gaps": op_seq_gaps,
+        "cond_rules": op_cond_rules,
+    }
+
+    only = os.environ.get("SCALE_SMOKE_OPS")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        ops = {k: v for k, v in ops.items() if k in keep}
+
+    out: dict = {"sizes": [small, big], "cpus": int(cpus), "ops": {}}
+    timings: dict[str, dict[int, float]] = {k: {} for k in ops}
+    repeats = int(os.environ.get("SCALE_SMOKE_REPEATS", "2"))
+    t_all, s_all = _cpu_times()
+    for n in (small, big):
+        path = build(spark, n)
+        controls[n] = build_control(spark, path, n)
+        current_n[0] = n
+        df = spark.read.parquet(path)
+        for name, fn in ops.items():
+            best, rows = None, None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                rows = fn(df).collect()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name][n] = best
+            print(f"{name} @ {n}: {best:.1f}s  {rows[:4]}", flush=True)
+    t_end, s_end = _cpu_times()
+    steal_pct = round(100.0 * (s_end - s_all) / max(t_end - t_all, 1), 2)
+    for name in ops:
+        ts, tb = timings[name][small], timings[name][big]
+        out["ops"][name] = {
+            "small_s": round(ts, 2),
+            "big_s": round(tb, 2),
+            "rows_per_sec_big": int(big / tb),
+            "linearity": round((tb / ts) / (big / small), 3),
+        }
+    out["steal_pct"] = steal_pct
+    out["tainted"] = steal_pct > 2.0
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

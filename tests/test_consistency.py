@@ -369,3 +369,82 @@ def test_conditional_rules_duckdb_replay(spark, tmp_path):
         """)
     want = duckdb.sql(" UNION ALL ".join(parts) + " ORDER BY rule_id").fetchall()
     assert got == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------- freshness check
+
+def _fresh_df(spark):
+    rows = [
+        ("live", "2024-01-31 06:00:00"),   # 6h old -> fresh
+        ("live", "2024-01-30 00:00:00"),
+        ("stale", "2024-01-20 00:00:00"),  # 11.5d old -> stale
+        ("noclock", None),                  # all-NA group
+        ("ahead", "2024-02-01 00:00:00"),  # future ts -> negative lag
+    ]
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_freshness_verdicts(spark):
+    from schema_validata_spark.operators.consistency import freshness_check
+
+    got = {
+        r["g"]: (r["last_seen"], r["lag_seconds"], r["fresh"])
+        for r in freshness_check(
+            _fresh_df(spark), "ts", ["g"], 86400, "2024-01-31 12:00:00"
+        ).collect()
+    }
+    assert set(got) == {"live", "stale", "noclock", "ahead"}
+    assert got["live"][1] == 6 * 3600 and got["live"][2] is True
+    assert got["stale"][2] is False
+    # all-NA group: present, NULL last_seen/lag, NOT fresh
+    assert got["noclock"] == (None, None, False)
+    # future timestamp: negative lag, fresh (skew policy is visible)
+    assert got["ahead"][1] == -12 * 3600 and got["ahead"][2] is True
+
+
+def test_freshness_na_literal_excluded(spark):
+    """String NA literals in a string timestamp column must not win
+    the max — is_na gating happens before aggregation."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.consistency import freshness_check
+
+    df = spark.createDataFrame(
+        [("g", "2024-01-01 00:00:00"), ("g", "N/A")],
+        "g string, ts string",
+    )
+    out = freshness_check(df, "ts", ["g"], 86400, "2024-01-02 00:00:00")
+    row = out.collect()[0]
+    assert str(row["last_seen"]).startswith("2024-01-01")
+    assert row["fresh"] is True
+
+
+def test_freshness_duckdb_replay(spark, tmp_path):
+    p = str(tmp_path / "fresh.parquet")
+    _fresh_df(spark).write.parquet(p)
+    from schema_validata_spark.operators.consistency import freshness_check
+
+    got = sorted(
+        (r["g"], str(r["last_seen"]), r["lag_seconds"], r["fresh"])
+        for r in freshness_check(
+            _fresh_df(spark), "ts", ["g"], 86400, "2024-01-31 12:00:00"
+        ).collect()
+    )
+    want = duckdb.sql(f"""
+        WITH g AS (SELECT g, max(ts) AS last_seen
+                   FROM read_parquet('{p}/*.parquet') GROUP BY 1)
+        SELECT g, last_seen,
+               CAST(floor(epoch(TIMESTAMP '2024-01-31 12:00:00')) AS BIGINT)
+                 - CAST(floor(epoch(last_seen)) AS BIGINT) AS lag_seconds,
+               CASE WHEN last_seen IS NULL THEN FALSE
+                    ELSE (CAST(floor(epoch(TIMESTAMP '2024-01-31 12:00:00'))
+                          AS BIGINT)
+                          - CAST(floor(epoch(last_seen)) AS BIGINT)) <= 86400
+               END AS fresh
+        FROM g ORDER BY g
+    """).fetchall()
+    assert got == [(r[0], str(r[1]), r[2], r[3]) for r in want]

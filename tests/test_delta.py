@@ -174,3 +174,64 @@ def test_duplicate_keys_raise_loudly(spark):
     spec = load_spec_dict({"t": {"k": {"required": True}}}).tables["t"]
     with pytest.raises(ValueError, match="duplicate key"):
         validate_delta(new, old, spec, key_cols=["k"])
+
+
+# ------------------------------------------------ partition volume drift
+
+def test_partition_volume_drift_all_verdicts(spark):
+    from schema_validata_spark.operators.delta import (
+        VOL_GONE, VOL_GROWN, VOL_NEW, VOL_OK, VOL_SHRUNK,
+        partition_volume_drift,
+    )
+
+    old = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 10 + [("c",)] * 10 + [("d",)] * 10,
+        "p string",
+    )
+    new = spark.createDataFrame(
+        # a unchanged; b doubled; c down to 2; d gone; e appears
+        [("a",)] * 10 + [("b",)] * 20 + [("c",)] * 2 + [("e",)] * 5,
+        "p string",
+    )
+    got = {
+        r["p"]: (r["old_rows"], r["new_rows"], r["rel_change"], r["volume"])
+        for r in partition_volume_drift(new, old, ["p"]).collect()
+    }
+    assert got["a"] == (10, 10, 0.0, VOL_OK)
+    assert got["b"] == (10, 20, 1.0, VOL_GROWN)
+    assert got["c"] == (10, 2, -0.8, VOL_SHRUNK)
+    assert got["d"] == (10, 0, -1.0, VOL_GONE)
+    assert got["e"] == (0, 5, None, VOL_NEW)
+
+
+def test_partition_volume_drift_null_key_is_seen(spark):
+    """A NULL partition value is a partition of its own on BOTH sides
+    — corrupt keys must match each other across snapshots, not fan out
+    or vanish."""
+    from schema_validata_spark.operators.delta import (
+        VOL_OK, partition_volume_drift,
+    )
+
+    old = spark.createDataFrame([(None,), (None,), ("x",)], "p string")
+    new = spark.createDataFrame([(None,), (None,), ("x",)], "p string")
+    got = {
+        r["p"]: r["volume"]
+        for r in partition_volume_drift(new, old, ["p"]).collect()
+    }
+    assert got == {None: VOL_OK, "x": VOL_OK}
+
+
+def test_partition_volume_drift_tolerance_boundary(spark):
+    """rel_change exactly AT the tolerance is ok (strict inequality),
+    just past it flips the verdict."""
+    from schema_validata_spark.operators.delta import (
+        VOL_GROWN, VOL_OK, partition_volume_drift,
+    )
+
+    old = spark.createDataFrame([("a",)] * 100 + [("b",)] * 100, "p string")
+    new = spark.createDataFrame([("a",)] * 110 + [("b",)] * 111, "p string")
+    got = {
+        r["p"]: r["volume"]
+        for r in partition_volume_drift(new, old, ["p"], rel_tol=0.10).collect()
+    }
+    assert got == {"a": VOL_OK, "b": VOL_GROWN}
