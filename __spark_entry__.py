@@ -2123,6 +2123,28 @@ def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level schema drift between two snapshots (delta.py::
+    schema_drift): the 'new' snapshot drops o_orderpriority (removed),
+    casts o_custkey to string (type_changed) and appends a derived
+    o_margin double (added) — every verdict label appears, the rest
+    read ok. Pure metadata: both schemas come off the analyzed plans,
+    ZERO data files are touched; types are reported engine-neutral
+    (int64/float64/string/timestamp) so the DuckDB replay via
+    DESCRIBE-subquery compares identically."""
+    from schema_validata_spark.operators.delta import schema_drift
+
+    orders = _read(spark, sf_dir, "orders")
+    new = (
+        orders.drop("o_orderpriority")
+        .withColumn("o_custkey", F.col("o_custkey").cast("string"))
+        .withColumn(
+            "o_margin", (F.col("o_totalprice") * 0.1).cast("double")
+        )
+    )
+    return schema_drift(new, orders)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -2197,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cond_rules_orders": q_cond_rules_orders,
         "volume_drift_orders": q_volume_drift_orders,
         "freshness_events": q_freshness_events,
+        "schema_drift_orders": q_schema_drift_orders,
     }
 
 
@@ -3843,5 +3866,39 @@ FROM m GROUP BY 2
             "           AS BIGINT) - CAST(floor(epoch(last_seen)) AS BIGINT)"
             "          ) <= 86400 END AS fresh "
             "FROM g"
+        ),
+        # schema introspection via DESCRIBE-subquery on BOTH snapshots;
+        # engine-specific type names fold to the same neutral
+        # vocabulary the Spark side emits (neutral_type)
+        "schema_drift_orders": (
+            "WITH o AS (SELECT column_name AS c, "
+            "  CASE column_type WHEN 'BIGINT' THEN 'int64' "
+            "   WHEN 'INTEGER' THEN 'int32' WHEN 'SMALLINT' THEN 'int16' "
+            "   WHEN 'TINYINT' THEN 'int8' WHEN 'VARCHAR' THEN 'string' "
+            "   WHEN 'DOUBLE' THEN 'float64' WHEN 'FLOAT' THEN 'float32' "
+            "   WHEN 'DATE' THEN 'date' WHEN 'TIMESTAMP' THEN 'timestamp' "
+            "   WHEN 'BOOLEAN' THEN 'bool' WHEN 'BLOB' THEN 'binary' "
+            "   ELSE lower(column_type) END AS t "
+            "  FROM (DESCRIBE SELECT * FROM orders)), "
+            "n AS (SELECT column_name AS c, "
+            "  CASE column_type WHEN 'BIGINT' THEN 'int64' "
+            "   WHEN 'INTEGER' THEN 'int32' WHEN 'SMALLINT' THEN 'int16' "
+            "   WHEN 'TINYINT' THEN 'int8' WHEN 'VARCHAR' THEN 'string' "
+            "   WHEN 'DOUBLE' THEN 'float64' WHEN 'FLOAT' THEN 'float32' "
+            "   WHEN 'DATE' THEN 'date' WHEN 'TIMESTAMP' THEN 'timestamp' "
+            "   WHEN 'BOOLEAN' THEN 'bool' WHEN 'BLOB' THEN 'binary' "
+            "   ELSE lower(column_type) END AS t "
+            "  FROM (DESCRIBE SELECT o_orderkey, "
+            "        CAST(o_custkey AS VARCHAR) AS o_custkey, "
+            "        o_orderstatus, o_totalprice, o_orderdate, "
+            "        CAST(o_totalprice * 0.1 AS DOUBLE) AS o_margin "
+            "        FROM orders)) "
+            "SELECT COALESCE(o.c, n.c) AS column_name, "
+            "o.t AS old_type, n.t AS new_type, "
+            "CASE WHEN o.c IS NULL THEN 'added' "
+            "     WHEN n.c IS NULL THEN 'removed' "
+            "     WHEN o.t <> n.t THEN 'type_changed' "
+            "     ELSE 'ok' END AS change "
+            "FROM o FULL OUTER JOIN n ON o.c = n.c"
         ),
     }

@@ -294,3 +294,92 @@ def partition_volume_drift(
         F.round(rel, 6).alias("rel_change"),
         verdict.alias("volume"),
     )
+
+
+# ------------------------------------------------------- schema drift
+
+#: schema-drift verdict labels
+SCH_OK = "ok"
+SCH_ADDED = "added"
+SCH_REMOVED = "removed"
+SCH_TYPE_CHANGED = "type_changed"
+
+#: engine-neutral names for the simple Spark SQL types, so schema_drift
+#: output is comparable across engines (a DuckDB BIGINT and a Spark
+#: bigint are the same drift fact). Complex/parametric types
+#: (decimal(p,s), array<...>, map<...>, struct<...>) pass through
+#: lowercased — their simpleString IS the portable name.
+_NEUTRAL_TYPES = {
+    "bigint": "int64",
+    "long": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "real": "float32",
+    "string": "string",
+    "varchar": "string",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def neutral_type(type_name: str) -> str:
+    """Map a Spark ``DataType.simpleString()`` to its engine-neutral
+    name (see ``_NEUTRAL_TYPES``); parametric/nested names pass
+    through lowercased."""
+    t = type_name.strip().lower()
+    return _NEUTRAL_TYPES.get(t, t)
+
+
+def schema_drift(new_df: DataFrame, old_df: DataFrame) -> DataFrame:
+    """Column-level schema comparison between two snapshots — the
+    structural complement of partition_volume_drift (row counts) and
+    freshness_check (recency): a column that silently vanished, changed
+    type, or appeared unannounced breaks every downstream consumer even
+    when all the data in the surviving columns is valid. The reference
+    checks a declared spec against ONE observed schema
+    (/root/reference/src/schema_validata.py `schema_validate_column_*`);
+    this compares two OBSERVED schemas across snapshots, which is what
+    an Iceberg table's schema-evolution history makes a first-class
+    validation target.
+
+    Returns one row per column seen in EITHER snapshot:
+    ``(column_name, old_type, new_type, change)`` with ``change`` ∈
+    {ok, added, removed, type_changed}. Types are reported in
+    engine-neutral names (``neutral_type``) so the same drift verdict
+    reads identically from Spark, DuckDB, or an Iceberg catalog dump.
+    Rows keep old-schema column order, with added columns appended —
+    deterministic without any sort.
+
+    Plan shape: pure metadata — both schemas come off the DataFrames'
+    analyzed plans, so this touches ZERO data files and runs in
+    milliseconds at any corpus size (the createDataFrame is
+    O(columns), parallelize of a driver-local list). With Iceberg the
+    same comparison could read two schema ids from the table metadata
+    without instantiating DataFrames at all; this is the
+    source-agnostic form.
+    """
+    old = {f.name: neutral_type(f.dataType.simpleString()) for f in old_df.schema.fields}
+    new = {f.name: neutral_type(f.dataType.simpleString()) for f in new_df.schema.fields}
+    rows = []
+    for name, ot in old.items():
+        nt = new.get(name)
+        if nt is None:
+            rows.append((name, ot, None, SCH_REMOVED))
+        elif nt != ot:
+            rows.append((name, ot, nt, SCH_TYPE_CHANGED))
+        else:
+            rows.append((name, ot, nt, SCH_OK))
+    for name, nt in new.items():
+        if name not in old:
+            rows.append((name, None, nt, SCH_ADDED))
+    return new_df.sparkSession.createDataFrame(
+        rows,
+        "column_name string, old_type string, new_type string, change string",
+    )
