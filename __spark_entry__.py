@@ -2145,6 +2145,39 @@ def q_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift(new, orders)
 
 
+def q_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistical-profile drift between two snapshots
+    (delta.py::profile_drift): the 'new' snapshot nulls
+    o_orderpriority on 20 % of rows (null_rate_drift — delta 0.2
+    against tol 0.05) and folds status 'F' into 'O' (distinct_drift —
+    3→2, rel −0.33 against tol 0.20); o_custkey and o_totalprice stay
+    ok. exact=True so the DuckDB replay compares bit-exact counts; the
+    default HLL mode is the 100 TB path (one partial-agg pass, no
+    EXPAND)."""
+    from schema_validata_spark.operators.delta import profile_drift
+
+    orders = _read(spark, sf_dir, "orders")
+    new = orders.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 10 < 2, F.lit(None).cast("string")
+        ).otherwise(F.col("o_orderpriority")),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "F", F.lit("O")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return profile_drift(
+        new,
+        orders,
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+        null_tol=0.05,
+        distinct_tol=0.20,
+        exact=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_lineitem": q_profile_lineitem,
@@ -2220,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_drift_orders": q_volume_drift_orders,
         "freshness_events": q_freshness_events,
         "schema_drift_orders": q_schema_drift_orders,
+        "profile_drift_orders": q_profile_drift_orders,
     }
 
 
@@ -3900,5 +3934,71 @@ FROM m GROUP BY 2
             "     WHEN o.t <> n.t THEN 'type_changed' "
             "     ELSE 'ok' END AS change "
             "FROM o FULL OUTER JOIN n ON o.c = n.c"
+        ),
+        # exact per-snapshot profile aggregates (orders has no NA-literal
+        # strings, so IS NULL == the engine's rich is_na on this data);
+        # verdicts from the unrounded doubles, displayed rates round(6)
+        "profile_drift_orders": (
+            "WITH newsnap AS (SELECT o_orderkey, o_custkey, "
+            "  CASE WHEN o_orderstatus = 'F' THEN 'O' "
+            "       ELSE o_orderstatus END AS o_orderstatus, "
+            "  o_totalprice, "
+            "  CASE WHEN o_orderkey % 10 < 2 THEN NULL "
+            "       ELSE o_orderpriority END AS o_orderpriority "
+            "  FROM orders), "
+            "o AS (SELECT count(*) AS n, "
+            "  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nu1, "
+            "  count(DISTINCT o_custkey) AS d1, "
+            "  count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nu2, "
+            "  count(DISTINCT o_orderstatus) AS d2, "
+            "  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nu3, "
+            "  count(DISTINCT o_totalprice) AS d3, "
+            "  count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nu4, "
+            "  count(DISTINCT o_orderpriority) AS d4 FROM orders), "
+            "n2 AS (SELECT count(*) AS n, "
+            "  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nu1, "
+            "  count(DISTINCT o_custkey) AS d1, "
+            "  count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nu2, "
+            "  count(DISTINCT o_orderstatus) AS d2, "
+            "  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nu3, "
+            "  count(DISTINCT o_totalprice) AS d3, "
+            "  count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nu4, "
+            "  count(DISTINCT o_orderpriority) AS d4 FROM newsnap), "
+            "cols AS ("
+            "  SELECT 'o_custkey' AS column_name, o.nu1 AS nu_o, "
+            "         o.d1 AS d_o, n2.nu1 AS nu_n, n2.d1 AS d_n, "
+            "         o.n AS n_o, n2.n AS n_n FROM o, n2 "
+            "  UNION ALL SELECT 'o_orderstatus', o.nu2, o.d2, n2.nu2, "
+            "         n2.d2, o.n, n2.n FROM o, n2 "
+            "  UNION ALL SELECT 'o_totalprice', o.nu3, o.d3, n2.nu3, "
+            "         n2.d3, o.n, n2.n FROM o, n2 "
+            "  UNION ALL SELECT 'o_orderpriority', o.nu4, o.d4, n2.nu4, "
+            "         n2.d4, o.n, n2.n FROM o, n2) "
+            "SELECT column_name, "
+            "round(nu_o / CAST(greatest(n_o, 1) AS DOUBLE), 6) "
+            "  AS old_null_rate, "
+            "round(nu_n / CAST(greatest(n_n, 1) AS DOUBLE), 6) "
+            "  AS new_null_rate, "
+            "round(nu_n / CAST(greatest(n_n, 1) AS DOUBLE) "
+            "      - nu_o / CAST(greatest(n_o, 1) AS DOUBLE), 6) "
+            "  AS null_rate_delta, "
+            "d_o AS old_distinct, d_n AS new_distinct, "
+            "round(CASE WHEN d_o > 0 THEN (d_n - d_o) "
+            "      / CAST(d_o AS DOUBLE) END, 6) AS distinct_rel_change, "
+            "CASE WHEN abs(nu_n / CAST(greatest(n_n, 1) AS DOUBLE) "
+            "              - nu_o / CAST(greatest(n_o, 1) AS DOUBLE)) "
+            "          > 0.05 "
+            "      AND (CASE WHEN d_o > 0 THEN abs((d_n - d_o) "
+            "           / CAST(d_o AS DOUBLE)) > 0.20 "
+            "           ELSE d_n > 0 END) "
+            "     THEN 'null_and_distinct_drift' "
+            "     WHEN abs(nu_n / CAST(greatest(n_n, 1) AS DOUBLE) "
+            "              - nu_o / CAST(greatest(n_o, 1) AS DOUBLE)) "
+            "          > 0.05 THEN 'null_rate_drift' "
+            "     WHEN (CASE WHEN d_o > 0 THEN abs((d_n - d_o) "
+            "           / CAST(d_o AS DOUBLE)) > 0.20 "
+            "           ELSE d_n > 0 END) THEN 'distinct_drift' "
+            "     ELSE 'ok' END AS drift "
+            "FROM cols"
         ),
     }

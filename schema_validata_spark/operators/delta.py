@@ -383,3 +383,114 @@ def schema_drift(new_df: DataFrame, old_df: DataFrame) -> DataFrame:
         rows,
         "column_name string, old_type string, new_type string, change string",
     )
+
+
+# ------------------------------------------------------ profile drift
+
+#: profile-drift verdict labels
+PROF_OK = "ok"
+PROF_NULL_DRIFT = "null_rate_drift"
+PROF_DISTINCT_DRIFT = "distinct_drift"
+PROF_BOTH = "null_and_distinct_drift"
+
+
+def profile_drift(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    cols: list[str],
+    null_tol: float = 0.05,
+    distinct_tol: float = 0.20,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column statistical-profile comparison between two snapshots
+    — the content complement of partition_volume_drift (row counts) and
+    schema_drift (structure): a column whose null rate jumped from 0.1 %
+    to 12 %, or whose distinct-value count collapsed, signals an
+    upstream extractor fault even when every individual value still
+    passes its rules. Extends the reference's one-snapshot profiling
+    (`build_data_dictionary`, /root/reference/src/schema_validata.py)
+    to the two-snapshot setting the north rule's Iceberg corpus makes
+    routine.
+
+    Returns one row per profiled column: ``(column_name, old_null_rate,
+    new_null_rate, null_rate_delta, old_distinct, new_distinct,
+    distinct_rel_change, drift)`` with ``drift`` ∈ {ok,
+    null_rate_drift, distinct_drift, null_and_distinct_drift}.
+    Null-rate drift is an ABSOLUTE delta vs ``null_tol`` (rates live on
+    [0,1]; a relative test explodes near zero). Distinct drift is a
+    RELATIVE change vs ``distinct_tol`` (cardinalities span orders of
+    magnitude); an empty old snapshot (distinct 0) drifts whenever the
+    new side is non-empty. Rich NA semantics apply — the 24-literal/
+    4-regex null model (functions/nulls.is_na) decides "null", exactly
+    as in profiling, so a snapshot that starts emitting 'N/A' strings
+    registers as null drift, not as new distinct values. Rates are
+    rounded to 6 places for cross-engine float stability; verdicts use
+    the unrounded doubles.
+
+    Plan shape: ONE aggregate per snapshot over all profiled columns —
+    by default HLL sketches (``approx_count_distinct``, rsd 0.01) keep
+    it a single partial-agg pass whose exchange carries one row per
+    task: the 100 TB path. ``exact=True`` swaps in exact
+    ``count(distinct ...)``; Spark plans multi-column exact distincts
+    via EXPAND (one replicated pass per column) — acceptable at oracle/
+    test scale, and what the DuckDB replay compares bit-exactly. The
+    two one-row summaries then cross-join (1×1) — no shuffle of data
+    rows ever carries more than the aggregate states.
+    """
+    from schema_validata_spark.functions.nulls import is_na
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"__n_{tag}")]
+        for c in cols:
+            clean = F.when(~is_na(F.col(c)), F.col(c))
+            aggs.append(
+                F.count(F.when(is_na(F.col(c)), F.lit(1))).alias(
+                    f"__null_{tag}_{c}"
+                )
+            )
+            aggs.append(
+                (
+                    F.count_distinct(clean)
+                    if exact
+                    else F.approx_count_distinct(clean, 0.01)
+                ).alias(f"__dist_{tag}_{c}")
+            )
+        return df.agg(*aggs)
+
+    j = side(old_df, "o").crossJoin(side(new_df, "n"))
+    per_col = []
+    for c in cols:
+        o_rate = F.col(f"__null_o_{c}") / F.greatest(
+            F.col("__n_o"), F.lit(1)
+        )
+        n_rate = F.col(f"__null_n_{c}") / F.greatest(
+            F.col("__n_n"), F.lit(1)
+        )
+        null_delta = n_rate - o_rate
+        od, nd = F.col(f"__dist_o_{c}"), F.col(f"__dist_n_{c}")
+        dist_rel = F.when(od > 0, (nd - od).cast("double") / od)
+        null_bad = F.abs(null_delta) > F.lit(float(null_tol))
+        dist_bad = F.when(
+            od > 0, F.abs(dist_rel) > F.lit(float(distinct_tol))
+        ).otherwise(nd > 0)
+        drift = (
+            F.when(null_bad & dist_bad, F.lit(PROF_BOTH))
+            .when(null_bad, F.lit(PROF_NULL_DRIFT))
+            .when(dist_bad, F.lit(PROF_DISTINCT_DRIFT))
+            .otherwise(F.lit(PROF_OK))
+        )
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.round(o_rate, 6).alias("old_null_rate"),
+                F.round(n_rate, 6).alias("new_null_rate"),
+                F.round(null_delta, 6).alias("null_rate_delta"),
+                od.cast("bigint").alias("old_distinct"),
+                nd.cast("bigint").alias("new_distinct"),
+                F.round(dist_rel, 6).alias("distinct_rel_change"),
+                drift.alias("drift"),
+            )
+        )
+    return j.select(
+        F.explode(F.array(*per_col)).alias("__p")
+    ).select("__p.*")

@@ -290,3 +290,85 @@ def test_neutral_type_passthrough():
     assert neutral_type("TIMESTAMP_NTZ") == "timestamp"
     assert neutral_type("decimal(10,2)") == "decimal(10,2)"
     assert neutral_type("array<float>") == "array<float>"
+
+
+# ------------------------------------------------------ profile drift
+
+def test_profile_drift_verdicts_and_na_literals(spark):
+    """All four verdicts; 'N/A' strings count as NULL (rich NA model),
+    so a snapshot that starts emitting NA literals registers as null
+    drift, not as new distinct values."""
+    from schema_validata_spark.operators.delta import (
+        PROF_BOTH, PROF_DISTINCT_DRIFT, PROF_NULL_DRIFT, PROF_OK,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [("a%d" % (i % 10), "b%d" % (i % 10), "c%d" % (i % 10),
+          "d%d" % (i % 10)) for i in range(100)],
+        "w string, x string, y string, z string",
+    )
+    new = spark.createDataFrame(
+        # w untouched; x: 20% 'N/A' literals (null drift, distinct
+        # still 10); y: folded to 2 values (distinct drift); z: 30%
+        # real NULLs AND folded to 3 values (both)
+        [("a%d" % (i % 10),
+          "N/A" if i < 20 else "b%d" % (i % 10),
+          "c%d" % (i % 2),
+          None if i < 30 else "d%d" % (i % 3)) for i in range(100)],
+        "w string, x string, y string, z string",
+    )
+    got = {
+        r["column_name"]: r["drift"]
+        for r in profile_drift(
+            new, old, ["w", "x", "y", "z"], exact=True
+        ).collect()
+    }
+    assert got == {
+        "w": PROF_OK,
+        "x": PROF_NULL_DRIFT,
+        "y": PROF_DISTINCT_DRIFT,
+        "z": PROF_BOTH,
+    }
+
+
+def test_profile_drift_empty_old_side(spark):
+    """old distinct 0 → rel change NULL; any new values drift."""
+    from schema_validata_spark.operators.delta import (
+        PROF_DISTINCT_DRIFT, profile_drift,
+    )
+
+    old = spark.createDataFrame([(None,)] * 100, "x string")
+    # null rate stays ~1.0 on both sides (delta 0.01 < tol) so the
+    # verdict isolates the distinct axis
+    new = spark.createDataFrame([(None,)] * 99 + [("v",)], "x string")
+    row = profile_drift(new, old, ["x"], exact=True).collect()[0]
+    assert row["distinct_rel_change"] is None
+    assert row["drift"] == PROF_DISTINCT_DRIFT
+
+
+def test_profile_drift_hll_mode_agrees_on_verdicts(spark):
+    """The scale path (HLL, rsd 0.01) must reach the same verdicts as
+    exact mode on well-separated drifts — and its plan must stay a
+    single-pass aggregate (no EXPAND stage)."""
+    from schema_validata_spark.operators.delta import profile_drift
+
+    old = spark.createDataFrame(
+        [("k%d" % i, "s%d" % (i % 50)) for i in range(2000)],
+        "k string, s string",
+    )
+    new = spark.createDataFrame(
+        [("k%d" % i, "s%d" % (i % 5)) for i in range(2000)],
+        "k string, s string",
+    )
+    exact = {
+        r["column_name"]: r["drift"]
+        for r in profile_drift(new, old, ["k", "s"], exact=True).collect()
+    }
+    approx_df = profile_drift(new, old, ["k", "s"], exact=False)
+    approx = {
+        r["column_name"]: r["drift"] for r in approx_df.collect()
+    }
+    assert exact == approx == {"k": "ok", "s": "distinct_drift"}
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
