@@ -401,6 +401,7 @@ def profile_drift(
     null_tol: float = 0.05,
     distinct_tol: float = 0.20,
     exact: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Per-column statistical-profile comparison between two snapshots
     — the content complement of partition_volume_drift (row counts) and
@@ -428,34 +429,49 @@ def profile_drift(
     the unrounded doubles.
 
     Plan shape: ONE aggregate per snapshot over all profiled columns —
-    by default HLL sketches (``approx_count_distinct``, rsd 0.01) keep
-    it a single partial-agg pass whose exchange carries one row per
-    task: the 100 TB path. ``exact=True`` swaps in exact
-    ``count(distinct ...)``; Spark plans multi-column exact distincts
-    via EXPAND (one replicated pass per column) — acceptable at oracle/
-    test scale, and what the DuckDB replay compares bit-exactly. The
-    two one-row summaries then cross-join (1×1) — no shuffle of data
-    rows ever carries more than the aggregate states.
+    by default HLL sketches (``approx_count_distinct``) keep it a
+    single partial-agg pass whose exchange carries one row per task:
+    the 100 TB path. ``rsd`` defaults to Spark's 0.05 — the tolerance
+    comparison has 4× margin at the default ``distinct_tol`` 0.20, and
+    measured fixed cost grows steeply at tighter precision (rsd 0.01
+    compiled+ran ~20× slower flat, dominating any input below ~10^8
+    rows). The rich NA predicate is PRE-PROJECTED once per column (a
+    measured 2.6× plan-compile saving vs embedding the 24-literal/
+    4-regex tree inside every aggregate expression — subexpression
+    elimination does not reach across aggregate buffers). ``exact=True``
+    swaps in exact ``count(distinct ...)``; Spark plans multi-column
+    exact distincts via EXPAND (one replicated pass per column) —
+    acceptable at oracle/test scale, and what the DuckDB replay
+    compares bit-exactly. The two one-row summaries then cross-join
+    (1×1) — no shuffle of data rows ever carries more than the
+    aggregate states.
     """
     from schema_validata_spark.functions.nulls import is_na
 
     def side(df: DataFrame, tag: str) -> DataFrame:
+        proj = []
+        for c in cols:
+            na = is_na(F.col(c))
+            proj.append(na.alias(f"__na_{c}"))
+            proj.append(F.when(~na, F.col(c)).alias(f"__cl_{c}"))
+        p = df.select(*proj)
         aggs = [F.count(F.lit(1)).alias(f"__n_{tag}")]
         for c in cols:
-            clean = F.when(~is_na(F.col(c)), F.col(c))
             aggs.append(
-                F.count(F.when(is_na(F.col(c)), F.lit(1))).alias(
+                F.count(F.when(F.col(f"__na_{c}"), F.lit(1))).alias(
                     f"__null_{tag}_{c}"
                 )
             )
             aggs.append(
                 (
-                    F.count_distinct(clean)
+                    F.count_distinct(F.col(f"__cl_{c}"))
                     if exact
-                    else F.approx_count_distinct(clean, 0.01)
+                    else F.approx_count_distinct(
+                        F.col(f"__cl_{c}"), float(rsd)
+                    )
                 ).alias(f"__dist_{tag}_{c}")
             )
-        return df.agg(*aggs)
+        return p.agg(*aggs)
 
     j = side(old_df, "o").crossJoin(side(new_df, "n"))
     per_col = []

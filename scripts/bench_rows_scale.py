@@ -141,10 +141,15 @@ def main() -> None:
     from schema_validata_spark.operators.consistency import (
         benford_first_digit,
         conditional_rule_counts,
+        freshness_check,
         functional_dependency_violations,
         monotonicity_violations,
         reconcile_aggregate,
         sequence_gaps,
+    )
+    from schema_validata_spark.operators.delta import (
+        partition_volume_drift,
+        profile_drift,
     )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -212,6 +217,43 @@ def main() -> None:
             F.sum("n_violations").alias("bad"),
         )
 
+    def op_freshness(df):
+        # shipdate is a date; one partial max aggregate per status group
+        return freshness_check(
+            df, "shipdate", ["status"], 86400 * 400, "2025-06-01 00:00:00"
+        ).agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.sum(F.col("fresh").cast("int")).alias("fresh_groups"),
+        )
+
+    def op_volume_drift(df):
+        # two-snapshot volume check: 'new' side drops one nation and
+        # halves another — BOTH sides scan inside the timed region,
+        # which is the operator's honest cost (two snapshots, two scans)
+        new = df.where(F.col("nation") != 3).where(
+            (F.col("nation") != 5) | (F.col("orderkey") % 2 == 0)
+        )
+        return partition_volume_drift(new, df, ["nation"]).groupBy(
+            "volume"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    def op_profile_drift(df):
+        # HLL scale path: one fused partial aggregate per snapshot
+        new = df.withColumn(
+            "status",
+            F.when(F.col("status") == "P", F.lit("O")).otherwise(
+                F.col("status")
+            ),
+        ).withColumn(
+            "price",
+            F.when(F.col("orderkey") % 7 == 0, F.lit(None)).otherwise(
+                F.col("price")
+            ),
+        )
+        return profile_drift(
+            new, df, ["custkey", "status", "price"], exact=False
+        ).select("column_name", "drift")
+
     ops = {
         "fd_violations": op_fd,
         "monotonicity": op_monotonic,
@@ -219,6 +261,9 @@ def main() -> None:
         "reconcile": op_reconcile,
         "seq_gaps": op_seq_gaps,
         "cond_rules": op_cond_rules,
+        "freshness": op_freshness,
+        "volume_drift": op_volume_drift,
+        "profile_drift_hll": op_profile_drift,
     }
 
     only = os.environ.get("SCALE_SMOKE_OPS")
