@@ -530,6 +530,13 @@ def embedding_near_duplicates(
              "dropped_buckets": 0, "dropped_rows": 0}
         )
     idx = lsh_index(df, vec_col, id_col, dim, n_planes, n_tables)
+    # Pre-cast to array<double> BEFORE the checkpoint/self-join: every
+    # interpreted fold below (norm once per index row, dot once per
+    # candidate pair) otherwise re-runs a per-element float→double cast
+    # on both inputs per evaluation. Cosine values are bit-identical —
+    # the cast is the same, it just happens once per row instead of once
+    # per fold.
+    idx = idx.withColumn("embedding", _as_double_array(F.col("embedding")))
     if max_total_pairs is not None:
         from schema_validata_spark.operators.dedup import _fit_cap_stats_rows
         from pyspark.sql import Window
@@ -601,7 +608,24 @@ def embedding_near_duplicates(
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
-    pairs = (
+    # Verify-then-dedupe, with the threshold gate ABOVE an aggregate:
+    # cos_sim is computed once in the join's own stage, deduplicated by
+    # ``groupBy(id1, id2).agg(first(cos_sim))`` (every duplicate of a
+    # pair across LSH tables carries the identical deterministic value),
+    # and only then filtered. Two measured pathologies this avoids:
+    #
+    # * the old dedupe-first plan was a SortAggregate with
+    #   first(embedding) payloads — every candidate pair's TWO embedding
+    #   arrays crossed the exchange and were sorted twice (Sort +
+    #   Exchange + Sort of ~1 KB rows); here the exchange carries
+    #   (id1, id2, cos_sim) scalars only (~24 B/row).
+    # * a plain ``select(sim).filter(sim >= t)`` double-evaluates the
+    #   interpreted cosine fold: predicate pushdown inlines the full
+    #   fold expression into the Filter below the Project (no CSE across
+    #   that boundary — measured 2×). A filter on an aggregate RESULT
+    #   cannot be pushed below the aggregate, so the fold runs exactly
+    #   once per candidate row.
+    return (
         l.join(
             r,
             on=[
@@ -613,33 +637,27 @@ def embedding_near_duplicates(
         .select(
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
-            F.col("l.embedding").alias("e1"),
-            F.col("r.embedding").alias("e2"),
-            F.col("l._nrm").alias("_n1"),
-            F.col("r._nrm").alias("_n2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    return pairs.select(
-        "id1",
-        "id2",
-        F.round(
-            # NULL/NaN semantics identical to cosine(): zero norms →
-            # try_divide NULL, NaN-bearing vectors → NaN dot/norm →
-            # nanvl NULL; either way the >= threshold gate drops them.
-            F.nanvl(
-                F.try_divide(
-                    dot(_as_double_array(F.col("e1")), _as_double_array(F.col("e2"))),
-                    F.col("_n1") * F.col("_n2"),
+            F.round(
+                # NULL/NaN semantics identical to cosine(): zero norms →
+                # try_divide NULL, NaN-bearing vectors → NaN dot/norm →
+                # nanvl NULL; either way the >= threshold gate drops them.
+                F.nanvl(
+                    F.try_divide(
+                        dot(F.col("l.embedding"), F.col("r.embedding")),
+                        F.col("l._nrm") * F.col("r._nrm"),
+                    ),
+                    F.lit(None).cast("double"),
                 ),
-                F.lit(None).cast("double"),
-            ),
-            6,
-        ).alias("cos_sim"),
-    ).filter(
-        # zero/NaN vectors yield NULL cos_sim — NULL >= t is NULL, so
-        # they fail the gate without an extra inlined predicate
-        F.col("cos_sim") >= threshold
+                6,
+            ).alias("cos_sim"),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .filter(
+            # zero/NaN vectors yield NULL cos_sim — NULL >= t is NULL, so
+            # they fail the gate without an extra inlined predicate
+            F.col("cos_sim") >= threshold
+        )
     )
 
 

@@ -1,0 +1,117 @@
+"""Capture .explain("formatted") for the bench queries (and the declared
+queries that share their operators) into plans/r06/<query>_<tag>.txt.
+
+Usage: python scripts/capture_plans.py before|after
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "plans", "r06")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("capture-plans-r06")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from schema_validata_spark.operators.duplicates import duplicate_value_counts
+    from schema_validata_spark.operators.integrity import fk_violations
+    from schema_validata_spark.operators.profile import profile_df
+    from schema_validata_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_clusters,
+        shingle_jaccard_pairs,
+    )
+    from schema_validata_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+    )
+    from schema_validata_spark.operators.text import text_stats_df
+    from schema_validata_spark.operators.violations import extract_violations
+    from schema_validata_spark.plans.validate import validate_table
+    from __spark_entry__ import ORDERS_SPEC, _FAILED_PAIRS
+
+    def read(name: str):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet").repartition(CPUS)
+
+    lineitem = read("lineitem")
+    orders = read("orders")
+    customer = read("customer")
+    documents = read("documents")
+    embeddings = read("embeddings")
+    target = [float(x) for x in embeddings.limit(1).first()["embedding"]]
+
+    frames = {
+        "validate_orders_full": lambda: validate_table(
+            orders, ORDERS_SPEC, key_cols=["o_orderkey"],
+            partition_col="o_orderstatus", list_errors=True,
+        ).violations,
+        "profile_lineitem": lambda: profile_df(lineitem),
+        "violations_orders": lambda: extract_violations(
+            orders, ORDERS_SPEC, ["o_orderkey"], _FAILED_PAIRS
+        ),
+        "dup_counts_orders": lambda: duplicate_value_counts(
+            orders, ["o_custkey"]
+        ),
+        "fk_orphans_orders": lambda: fk_violations(
+            orders, customer, ["o_custkey"], ["c_custkey"], ["o_orderkey"]
+        ),
+        "text_stats_documents": lambda: text_stats_df(
+            documents, "text", ["doc_id"]
+        ),
+        "minhash_near_dups": lambda: minhash_near_duplicates(
+            documents, "text", "doc_id", threshold=0.5, num_perm=64,
+            bands=16, k=3,
+        ),
+        "ann_topk": lambda: brute_force_topk(
+            embeddings, "embedding", "vec_id", target, topk=10
+        ),
+        "near_dup_clusters": lambda: near_dup_clusters(
+            documents, "doc_id",
+            shingle_jaccard_pairs(documents, "text", "doc_id", k=3,
+                                  min_jaccard=0.6,
+                                  max_total_pairs=50_000_000),
+        ),
+        "embedding_near_dups": lambda: embedding_near_duplicates(
+            embeddings, "embedding", "vec_id", dim=64, threshold=0.4,
+            n_planes=4, n_tables=4,
+        ),
+    }
+
+    for name, make in frames.items():
+        try:
+            df = make()
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # capture the failure instead of dying
+            plan = f"PLAN CAPTURE FAILED: {e!r}"
+        path = os.path.join(OUT, f"{name}_{TAG}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
