@@ -80,10 +80,31 @@ def unallowed_violation(col: str, allowed: list) -> Column:
     return bad
 
 
+#: expression-construction memo (NOT result caching): predicates depend
+#: only on the spec fields in the key, and pyspark Columns are immutable
+#: unresolved trees reusable across frames — skip the py4j rebuild on
+#: every validate/extract call
+_PRED_MEMO: dict[tuple, Column | None] = {}
+
+
 def violation_predicate(cs: ColumnSpec, rule_id: str) -> Column | None:
     """Predicate for (column spec, rule) or None when the rule has no
     row-level shape (data_type is aggregate-only; unique_value needs the
     two-phase duplicates operator, not a per-row predicate)."""
+    key = (
+        cs.field_name, rule_id, cs.length, cs.range_min, cs.range_max,
+        cs.regex_pattern,
+        tuple(cs.allowed_value_list)
+        if cs.allowed_value_list is not None else None,
+    )
+    if key in _PRED_MEMO:
+        return _PRED_MEMO[key]
+    pred = _violation_predicate_build(cs, rule_id)
+    _PRED_MEMO[key] = pred
+    return pred
+
+
+def _violation_predicate_build(cs: ColumnSpec, rule_id: str) -> Column | None:
     c = cs.field_name
     if rule_id == "allow_null":
         return null_violation(c)

@@ -395,9 +395,16 @@ def _prune_buckets(
     label: str = "candidate_pairs",
     max_total_pairs: int | None = None,
     stats_out: dict | None = None,
+    counted_out: dict | None = None,
 ) -> DataFrame:
     """Drop over-``max_bucket`` buckets (quadratic guard) from a
     ``(..., band, band_hash)`` frame.
+
+    ``counted_out`` (caller-supplied dict): on the budget path it
+    receives the UNfiltered window-counted, checkpointed frame under key
+    ``"counted"`` — callers that need another aggregate over the full
+    posting set (e.g. per-doc posting sizes) can read the already
+    materialized blocks instead of re-running the expensive upstream.
 
     ``stats_out`` (caller-supplied dict, round-5): receives the guard's
     coverage accounting as DATA — ``bucket_cap`` (the effective cap
@@ -440,6 +447,8 @@ def _prune_buckets(
         counted = bands_df.withColumn(
             "_n", F.count(F.lit(1)).over(w)
         ).localCheckpoint(eager=True)
+        if counted_out is not None:
+            counted_out["counted"] = counted
         max_bucket, dropped_b, dropped_r = _fit_cap_stats_rows(
             counted, "_n", max_bucket, max_total_pairs, label=label
         )
@@ -765,9 +774,11 @@ def shingle_jaccard_pairs(
             "band_hash"
         ),
     ).withColumn("band", F.lit(0))
+    counted_out: dict = {}
     pruned = _prune_buckets(
         sh, max_posting, log_drops=log_drops, label="shingle_jaccard_pairs",
         max_total_pairs=max_total_pairs, stats_out=stats_out,
+        counted_out=counted_out,
     )
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -782,10 +793,21 @@ def shingle_jaccard_pairs(
         .groupBy(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sizes = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.array_distinct(shingle_hashes(text_col, k))).alias("_sz"),
-    )
+    if "counted" in counted_out:
+        # Budget path: the UNfiltered posting set is already materialized
+        # (localCheckpoint) for the window count and the cap fit — per-doc
+        # distinct-shingle sizes are exactly one count(*) per id over it,
+        # which replaces a second full shingling scan of the corpus.
+        # Docs with zero shingles emit no postings and so no size row,
+        # but they cannot appear in ``inter`` either (inner join).
+        sizes = counted_out["counted"].groupBy("id").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+    else:
+        sizes = df.select(
+            F.col(id_col).alias("id"),
+            F.size(F.array_distinct(shingle_hashes(text_col, k))).alias("_sz"),
+        )
     s1 = sizes.withColumnsRenamed({"id": "id1", "_sz": "_sz1"})
     s2 = sizes.withColumnsRenamed({"id": "id2", "_sz": "_sz2"})
     return (

@@ -33,6 +33,12 @@ from schema_validata_spark.operators.stats import column_stats, stats_agg_df
 #: reference max_unique_vals cap for the allowed-value harvest (:1774, :1897)
 MAX_UNIQUE_VALS = 100
 
+#: expression-construction memos (NOT result caching) — pyspark Columns
+#: are immutable unresolved trees keyed only by column name/dtype, so
+#: repeated profile calls reuse them instead of paying the py4j build
+_SLIM_MEMO: dict[tuple, tuple] = {}
+_DIST_MEMO: dict[tuple, object] = {}
+
 
 def _slim_profile_agg(df: DataFrame, cols: list[str]) -> DataFrame:
     """One aggregation computing ONLY what the profile needs per column:
@@ -49,33 +55,37 @@ def _slim_profile_agg(df: DataFrame, cols: list[str]) -> DataFrame:
 
     dtypes = dict(df.dtypes)
     prep: list = []
+    aggs: list = []
     for c in cols:
-        col = F.col(c)
-        s = F.trim(col.cast("string"))
-        is_str = dtypes[c] in ("string", "varchar", "char")
-        na = is_na_pretrimmed(col, s) if is_str else is_na_typed(col, dtypes[c])
-        prep += [
-            na.alias(f"__na_{c}"),
-            F.when(
-                ~na,
-                F.expr(f"try_cast(trim(cast(`{c}` as string)) as double)"),
-            ).alias(f"__num_{c}"),
-            F.length(col.cast("string")).alias(f"__len_{c}"),
-        ]
-    prepped = df.select(*prep)
-    aggs = []
-    for c in cols:
-        na = F.col(f"__na_{c}")
-        aggs.append(
-            F.struct(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(na.cast("long")).alias("null_count"),
-                F.min(F.col(f"__num_{c}")).alias("min_num"),
-                F.max(F.col(f"__num_{c}")).alias("max_num"),
-                F.max(F.when(~na, F.col(f"__len_{c}"))).alias("max_len"),
-            ).alias(c)
-        )
-    return prepped.agg(*aggs)
+        key = (c, dtypes[c])
+        hit = _SLIM_MEMO.get(key)
+        if hit is None:
+            col = F.col(c)
+            s = F.trim(col.cast("string"))
+            is_str = dtypes[c] in ("string", "varchar", "char")
+            na = is_na_pretrimmed(col, s) if is_str else is_na_typed(col, dtypes[c])
+            na_b = F.col(f"__na_{c}")
+            hit = (
+                (
+                    na.alias(f"__na_{c}"),
+                    F.when(
+                        ~na,
+                        F.expr(f"try_cast(trim(cast(`{c}` as string)) as double)"),
+                    ).alias(f"__num_{c}"),
+                    F.length(col.cast("string")).alias(f"__len_{c}"),
+                ),
+                F.struct(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(na_b.cast("long")).alias("null_count"),
+                    F.min(F.col(f"__num_{c}")).alias("min_num"),
+                    F.max(F.col(f"__num_{c}")).alias("max_num"),
+                    F.max(F.when(~na_b, F.col(f"__len_{c}"))).alias("max_len"),
+                ).alias(c),
+            )
+            _SLIM_MEMO[key] = hit
+        prep.extend(hit[0])
+        aggs.append(hit[1])
+    return df.select(*prep).agg(*aggs)
 
 
 def profile_df(
@@ -101,14 +111,19 @@ def profile_df(
         # the second carries only the N cast columns beats one 12×-wide
         # scan; both results are single rows, so the join is free.
         dtypes = dict(df.dtypes)
-        dist = df.agg(
-            *[
-                F.count_distinct(
-                    F.when(~is_na_typed(F.col(c), dtypes[c]), F.col(c).cast("string"))
+
+        def _dist(c: str):
+            key = (c, dtypes[c])
+            hit = _DIST_MEMO.get(key)
+            if hit is None:
+                hit = F.count_distinct(
+                    F.when(~is_na_typed(F.col(c), dtypes[c]),
+                           F.col(c).cast("string"))
                 ).alias(f"__d_{c}")
-                for c in cols
-            ]
-        )
+                _DIST_MEMO[key] = hit
+            return hit
+
+        dist = df.agg(*[_dist(c) for c in cols])
         base = _slim_profile_agg(df, cols).crossJoin(dist)
     else:
         base = stats_agg_df(df, cols)

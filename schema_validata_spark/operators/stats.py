@@ -62,6 +62,17 @@ _DATE_LIKE_RX = r"(?i)^(\d{1,4}[-/]\d|[a-z]{3,9}[- ,]{1,2}\d)"
 # the int/float/bool cast votes (they'd all fail anyway, expensively).
 _VOTE_MAX_LEN = 64
 
+# Expression-construction memos — NOT result caching. A pyspark Column is
+# an immutable, unresolved expression tree keyed only by column NAME, so
+# the same Column object can be reused across DataFrames and queries
+# within one process. Building the Stage-A prep/struct expressions costs
+# hundreds of py4j round trips (~0.7 s per validate/profile call on the
+# bench host — pure driver-side latency, measured); identical
+# (column, dtype, flags) requests reuse the built objects instead. Every
+# query still computes from its own input data on every run.
+_PREP_MEMO: dict[tuple, tuple] = {}
+_STRUCT_MEMO: dict[tuple, Column] = {}
+
 
 @dataclass(frozen=True)
 class ColumnStats:
@@ -108,80 +119,92 @@ def _prep_exprs(
     The trimmed string exists only as a shared subexpression inside the
     codegen'd Project (CSE), never in the row buffer.
     """
-    from schema_validata_spark.functions.nulls import is_na_pretrimmed
-
     keep_original = keep_original if keep_original is not None else set(cols)
     dtypes = dict(df.dtypes)
     out: list[Column] = []
     for col in cols:
-        c = F.col(col)
-        s = F.trim(c.cast("string"))
-        is_str = dtypes[col] in ("string", "varchar", "char")
-        na = is_na_pretrimmed(c, s) if is_str else is_na_typed(c, dtypes[col])
-        ok = ~na
-        if col in keep_original:
-            out.append(c)
-        out.append(na.alias(f"__na_{col}"))
-        # NA-gated: NA spellings that happen to cast ('NaN', '-nan',
-        # '1.#qnan' → NaN, which Spark ranks GREATEST) must never reach
-        # min/max — the reference masks NA before profiling ranges.
-        # Exact-round-trip numeric dtypes take a DIRECT double cast (the
-        # string render+trim+parse per cell is pure hot-path waste for
-        # them); float is excluded — its shortest string repr parses to
-        # a DIFFERENT double than widening ("0.1"→0.1d vs 0.1f→0.1000…149d)
-        # and the string form is the value-as-written semantics the
-        # reference profiles — as are boolean/temporal (non-numeric here).
-        t = dtypes[col].lower()
-        if t in ("tinyint", "smallint", "int", "bigint", "double") or t.startswith(
-            "decimal"
-        ):
-            num_src = c.cast("double")
-        else:
-            num_src = F.expr(
-                f"try_cast(trim(cast(`{col}` as string)) as double)"
-            )
-        out.append(F.when(ok, num_src).alias(f"__num_{col}"))
-        out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
-        if is_str:
-            # dtype votes as per-row booleans (see rule 2). Gated behind
-            # length <= 64: no numeric/bool rendering is longer, so
-            # multi-KB values skip the cast/translate machinery — the
-            # gate is one int compare.
-            short = F.length(s) <= _VOTE_MAX_LEN
-            num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
-            out += [
-                (ok & short & s.rlike(INT_RX)).alias(f"__iok_{col}"),
-                (ok & short & F.expr(
-                    f"try_cast(trim(cast(`{col}` as string)) as long) is not null"
-                )).alias(f"__lok_{col}"),
-                (ok & short & num.isNotNull()).alias(f"__fok_{col}"),
-                (ok & short & F.expr(
-                    f"try_cast(translate(trim(cast(`{col}` as string)), "
-                    f"'{NUMERIC_SYMBOLS}', '') as double) is not null"
-                )).alias(f"__sok_{col}"),
-                (ok & short & F.lower(s).isin(*BOOL_VALUES)).alias(f"__bok_{col}"),
-                # startswith("0") with NO digit-follow requirement is
-                # EXACT reference parity (identify_leading_zeros
-                # src/schema_validata.py:1261–1284, gated BEFORE the
-                # numeric ballots at :1489): ['0','1'] and ['0.5'] type
-                # String in the reference too — intentional bug-for-bug
-                (ok & s.startswith("0")).alias(f"__lz_{col}"),
-            ]
-            # Datetime format bitmask: bit i set when format i parsed the
-            # value; the date-like prefilter keeps the exception-driven
-            # parser cascade off non-date values entirely.
-            parseable = (F.length(s) <= _DT_MAX_LEN) & s.rlike(_DATE_LIKE_RX)
-            mask_terms = [
-                F.when(
-                    F.try_to_timestamp(s, F.lit(fmt)).isNotNull(),
-                    F.lit(1 << i).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                for i, fmt in enumerate(DATETIME_FORMATS)
-            ]
-            mask = F.when(
-                parseable, sum(mask_terms[1:], start=mask_terms[0])
+        key = (col, dtypes[col], col in keep_original)
+        hit = _PREP_MEMO.get(key)
+        if hit is None:
+            hit = tuple(_prep_exprs_one(col, dtypes[col], col in keep_original))
+            _PREP_MEMO[key] = hit
+        out.extend(hit)
+    return out
+
+
+def _prep_exprs_one(col: str, dtype: str, keep: bool) -> list[Column]:
+    """Build one column's prep expressions (memoized by ``_prep_exprs``)."""
+    from schema_validata_spark.functions.nulls import is_na_pretrimmed
+
+    out: list[Column] = []
+    c = F.col(col)
+    s = F.trim(c.cast("string"))
+    is_str = dtype in ("string", "varchar", "char")
+    na = is_na_pretrimmed(c, s) if is_str else is_na_typed(c, dtype)
+    ok = ~na
+    if keep:
+        out.append(c)
+    out.append(na.alias(f"__na_{col}"))
+    # NA-gated: NA spellings that happen to cast ('NaN', '-nan',
+    # '1.#qnan' → NaN, which Spark ranks GREATEST) must never reach
+    # min/max — the reference masks NA before profiling ranges.
+    # Exact-round-trip numeric dtypes take a DIRECT double cast (the
+    # string render+trim+parse per cell is pure hot-path waste for
+    # them); float is excluded — its shortest string repr parses to
+    # a DIFFERENT double than widening ("0.1"→0.1d vs 0.1f→0.1000…149d)
+    # and the string form is the value-as-written semantics the
+    # reference profiles — as are boolean/temporal (non-numeric here).
+    t = dtype.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "double") or t.startswith(
+        "decimal"
+    ):
+        num_src = c.cast("double")
+    else:
+        num_src = F.expr(
+            f"try_cast(trim(cast(`{col}` as string)) as double)"
+        )
+    out.append(F.when(ok, num_src).alias(f"__num_{col}"))
+    out.append(F.length(c.cast("string")).alias(f"__len_{col}"))
+    if is_str:
+        # dtype votes as per-row booleans (see rule 2). Gated behind
+        # length <= 64: no numeric/bool rendering is longer, so
+        # multi-KB values skip the cast/translate machinery — the
+        # gate is one int compare.
+        short = F.length(s) <= _VOTE_MAX_LEN
+        num = F.expr(f"try_cast(trim(cast(`{col}` as string)) as double)")
+        out += [
+            (ok & short & s.rlike(INT_RX)).alias(f"__iok_{col}"),
+            (ok & short & F.expr(
+                f"try_cast(trim(cast(`{col}` as string)) as long) is not null"
+            )).alias(f"__lok_{col}"),
+            (ok & short & num.isNotNull()).alias(f"__fok_{col}"),
+            (ok & short & F.expr(
+                f"try_cast(translate(trim(cast(`{col}` as string)), "
+                f"'{NUMERIC_SYMBOLS}', '') as double) is not null"
+            )).alias(f"__sok_{col}"),
+            (ok & short & F.lower(s).isin(*BOOL_VALUES)).alias(f"__bok_{col}"),
+            # startswith("0") with NO digit-follow requirement is
+            # EXACT reference parity (identify_leading_zeros
+            # src/schema_validata.py:1261–1284, gated BEFORE the
+            # numeric ballots at :1489): ['0','1'] and ['0.5'] type
+            # String in the reference too — intentional bug-for-bug
+            (ok & s.startswith("0")).alias(f"__lz_{col}"),
+        ]
+        # Datetime format bitmask: bit i set when format i parsed the
+        # value; the date-like prefilter keeps the exception-driven
+        # parser cascade off non-date values entirely.
+        parseable = (F.length(s) <= _DT_MAX_LEN) & s.rlike(_DATE_LIKE_RX)
+        mask_terms = [
+            F.when(
+                F.try_to_timestamp(s, F.lit(fmt)).isNotNull(),
+                F.lit(1 << i).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
-            out.append(mask.alias(f"__dtmask_{col}"))
+            for i, fmt in enumerate(DATETIME_FORMATS)
+        ]
+        mask = F.when(
+            parseable, sum(mask_terms[1:], start=mask_terms[0])
+        ).otherwise(F.lit(0).cast("long"))
+        out.append(mask.alias(f"__dtmask_{col}"))
     return out
 
 
@@ -197,8 +220,25 @@ def _stat_struct(
     partial+final hash aggregation merges them exactly across any
     partitioning — the treeAggregate property the north rule asks for.
     """
-    c = F.col(col)
     spark_type = dict(df.dtypes)[col]
+    key = (col, spark_type, with_sketch, with_approx_distinct)
+    hit = _STRUCT_MEMO.get(key)
+    if hit is None:
+        hit = _stat_struct_build(
+            col, spark_type, with_sketch, with_approx_distinct
+        )
+        _STRUCT_MEMO[key] = hit
+    return hit
+
+
+def _stat_struct_build(
+    col: str,
+    spark_type: str,
+    with_sketch: bool,
+    with_approx_distinct: bool,
+) -> Column:
+    """Build one stat struct (memoized by ``_stat_struct``)."""
+    c = F.col(col)
     is_string = spark_type in ("string", "varchar", "char")
     na = F.col(f"__na_{col}")
     ok = ~na

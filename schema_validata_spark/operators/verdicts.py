@@ -43,6 +43,9 @@ from schema_validata_spark.functions.types import type_is_compatible
 from schema_validata_spark.operators.stats import ColumnStats
 from schema_validata_spark.sources.spec import ColumnSpec, TableSpec
 
+#: per-column-spec memo for rule_agg_columns (see comment there)
+_RULE_AGG_MEMO: dict[tuple, tuple] = {}
+
 # reference src/schema_validata.py:110–121 — verbatim, quirks included.
 SCHEMA_ERROR_TEMPLATES = {
     "required_column": "Column by name '{col}' is required, but missing in dataset.",
@@ -119,26 +122,46 @@ def rule_agg_columns(
     for cs in spec.columns:
         if cs.field_name not in present:
             continue
+        # Expression-construction memo (NOT result caching): the counter
+        # Columns depend only on the column spec fields below, and pyspark
+        # Columns are immutable unresolved trees reusable across frames —
+        # rebuilding them costs py4j round trips on every validate call.
+        key = (
+            cs.field_name,
+            cs.regex_pattern,
+            tuple(cs.allowed_value_list)
+            if cs.allowed_value_list is not None
+            else None,
+            bool(cs.unique_value),
+            include_distinct,
+        )
+        hit = _RULE_AGG_MEMO.get(key)
+        if hit is not None:
+            aggs.extend(hit)
+            continue
+        built: list = []
         c = F.col(cs.field_name)
         ok = ~is_na(c)
         if cs.regex_pattern:
             miss = regex_violation(cs.field_name, cs.regex_pattern)
-            aggs.append(
+            built.append(
                 F.sum(miss.cast("long")).alias(f"{cs.field_name}::regex_miss")
             )
         if cs.allowed_value_list is not None:
             bad = unallowed_violation(cs.field_name, cs.allowed_value_list)
-            aggs.append(F.sum(bad.cast("long")).alias(f"{cs.field_name}::unallowed"))
+            built.append(F.sum(bad.cast("long")).alias(f"{cs.field_name}::unallowed"))
         if cs.unique_value and include_distinct:
             # RAW value distinct (reference ``duplicated()`` semantics,
             # src/schema_validata.py:1868) — must match the raw-column
             # grouping in operators/duplicates.py, or a column holding
             # "a" and " a" fails the distinct check while dup_counts
             # reports 0 and enumeration emits no rows.
-            aggs.append(
+            built.append(
                 F.count_distinct(F.when(ok, c)).alias(f"{cs.field_name}::distinct")
             )
-            aggs.append(F.sum(ok.cast("long")).alias(f"{cs.field_name}::nonnull"))
+            built.append(F.sum(ok.cast("long")).alias(f"{cs.field_name}::nonnull"))
+        _RULE_AGG_MEMO[key] = tuple(built)
+        aggs.extend(built)
     return aggs
 
 
