@@ -313,6 +313,15 @@ def sequence_gaps(
     """
     from pyspark.sql.window import Window
 
+    if bucket < 1:
+        # bucket=0 makes `k div 0` NULL for every key (non-ANSI Spark),
+        # silently collapsing all keys into one NULL bucket — output
+        # stays correct but the plan degrades to exactly the
+        # single-task unpartitioned window the bucketing exists to
+        # avoid; negative buckets similarly misbehave. Fail loudly.
+        raise ValueError(
+            f"sequence_gaps: bucket must be >= 1 (got {bucket})"
+        )
     k = F.col(col).cast("bigint")
     keys = (
         df.where(~is_na(F.col(col)) & k.isNotNull())
@@ -467,10 +476,9 @@ def freshness_check(
     ts = F.col(ts_col)
     clean_ts = F.when(~is_na(ts), ts)
     last_seen = F.max(clean_ts).alias("last_seen")
-    out = df.groupBy(*group_cols).agg(
-        last_seen,
-        F.count(clean_ts).alias("__n_ts"),
-    )
+    # one aggregate only — a count(clean_ts) used to ride along but was
+    # never read, dead per-group work carried through the exchange
+    out = df.groupBy(*group_cols).agg(last_seen)
     lag = (
         F.unix_timestamp(F.lit(as_of).cast("timestamp"))
         - F.unix_timestamp(F.col("last_seen"))

@@ -65,13 +65,25 @@ def _slim_profile_agg(df: DataFrame, cols: list[str]) -> DataFrame:
             is_str = dtypes[c] in ("string", "varchar", "char")
             na = is_na_pretrimmed(col, s) if is_str else is_na_typed(col, dtypes[c])
             na_b = F.col(f"__na_{c}")
+            # exact-round-trip numeric dtypes take the direct double cast
+            # (same equivalence stats._prep_exprs relies on — the string
+            # render+trim+parse yields the identical double for these
+            # types and is pure per-cell waste); float stays on the
+            # string path (its shortest repr parses to a different
+            # double than widening)
+            t = dtypes[c].lower()
+            if t in (
+                "tinyint", "smallint", "int", "bigint", "double"
+            ) or t.startswith("decimal"):
+                num_src = col.cast("double")
+            else:
+                num_src = F.expr(
+                    f"try_cast(trim(cast(`{c}` as string)) as double)"
+                )
             hit = (
                 (
                     na.alias(f"__na_{c}"),
-                    F.when(
-                        ~na,
-                        F.expr(f"try_cast(trim(cast(`{c}` as string)) as double)"),
-                    ).alias(f"__num_{c}"),
+                    F.when(~na, num_src).alias(f"__num_{c}"),
                     F.length(col.cast("string")).alias(f"__len_{c}"),
                 ),
                 F.struct(

@@ -92,6 +92,12 @@ def _extracted(
         schema = T.StructType(
             [T.StructField(k, T.StringType()) for k in keys]
         )
+        if _PARSED in df.columns:
+            # a frame previously produced by this engine already carries
+            # the parse column; selecting '*' plus a second alias would
+            # create a duplicate name and make downstream getField/agg
+            # references ambiguous — drop the stale one first
+            df = df.drop(_PARSED)
         base = df.select(
             "*", F.from_json(F.col(json_col), schema).alias(_PARSED)
         )
