@@ -548,13 +548,30 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram (k-shingle) Jaccard for candidate pairs:
     ``(id1, id2, jaccard)``. Shingle-hash arrays join in by id — two
-    broadcast-or-shuffle hash joins, then pure array math."""
+    broadcast-or-shuffle hash joins, then pure array math.
+
+    The union size is derived as ``|A| + |B| − |A ∩ B|`` from per-doc
+    distinct sizes computed ONCE in the doc-side frame — the per-pair
+    ``array_union`` (which allocated a merged array per pair, and was
+    evaluated twice when a caller's threshold filter got pushed below
+    the projection) is gone; ``array_intersect`` over pre-distinct
+    arrays returns the identical set, so the integers — and therefore
+    the rounded jaccard doubles — are unchanged.
+    """
     sh = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, k).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(text_col, k)).alias("sh"),
+    ).select("id", "sh", F.size("sh").alias("sz"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     return (
-        pairs.join(sh.withColumnsRenamed({"id": "id1", "sh": "sh1"}), "id1")
-        .join(sh.withColumnsRenamed({"id": "id2", "sh": "sh2"}), "id2")
+        pairs.join(
+            sh.withColumnsRenamed({"id": "id1", "sh": "sh1", "sz": "sz1"}),
+            "id1",
+        )
+        .join(
+            sh.withColumnsRenamed({"id": "id2", "sh": "sh2", "sz": "sz2"}),
+            "id2",
+        )
         .select(
             "id1",
             "id2",
@@ -564,8 +581,8 @@ def jaccard_pairs(
             # fails the gate instead
             F.round(
                 F.try_divide(
-                    F.size(F.array_intersect("sh1", "sh2")).cast("double"),
-                    F.size(F.array_union("sh1", "sh2")).cast("double"),
+                    inter,
+                    (F.col("sz1") + F.col("sz2")).cast("double") - inter,
                 ),
                 6,
             ).alias("jaccard"),
@@ -725,8 +742,14 @@ def simhash_near_duplicates(
             F.col("r.id").alias("id2"),
             F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
+        # filter BEFORE the dedup exchange: hamming is deterministic per
+        # pair (same simhashes on both evaluations), so deduping the
+        # filtered rows equals filtering the deduped rows — but the
+        # exchange now carries only the verified pairs, and deduping on
+        # all three columns plans as a pure hash aggregate instead of a
+        # SortAggregate with first(hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2", "hamming"])
     )
 
 
