@@ -151,15 +151,24 @@ def nullify(col: Column | str) -> Column:
     return F.when(is_na(c), F.lit(None)).otherwise(c)
 
 
-def all_non_na(cols: list[str]):
+def all_non_na(cols: list[str], dtypes: dict[str, str] | None = None):
     """Conjunction ``~is_na(c)`` over every column — the shared "all key
     parts present" predicate used by both the FK orphan check and the
     duplicate aggregates, so a change to NA semantics can never make the
-    two diverge."""
+    two diverge.
+
+    ``dtypes`` (``dict(df.dtypes)``) opts into the per-dtype fast path:
+    a bigint key column can never render as ``'missing'``, so the
+    trim/lower/isin/rlike chain is skipped for typed columns —
+    bit-identical semantics (see :func:`is_na_typed`), one isnull
+    compare instead of a regex per row."""
     from pyspark.sql import functions as F
 
     pred = None
     for c in cols:
-        p = ~is_na(F.col(c))
+        p = ~(
+            is_na_typed(F.col(c), dtypes[c]) if dtypes is not None
+            else is_na(F.col(c))
+        )
         pred = p if pred is None else (pred & p)
     return pred

@@ -46,7 +46,7 @@ _UUID_RX = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-
 
 
 def _nonnull(df: DataFrame, cols: list[str]) -> DataFrame:
-    return df.filter(all_non_na(cols))
+    return df.filter(all_non_na(cols, dict(df.dtypes)))
 
 
 def duplicate_value_counts(
@@ -232,6 +232,9 @@ def duplicate_group_stats(
     # ``extra_group_col`` scopes uniqueness to an extra grouping key (the
     # fused multi-sheet path groups by the sheet tag); keys of the result
     # become (extra_value, column) tuples.
+    from schema_validata_spark.functions.nulls import is_na_typed
+
+    dtypes = dict(df.dtypes)
     g = [F.col(extra_group_col).alias("_g")] if extra_group_col else []
     gk = ["_g"] if extra_group_col else []
     pairs = df.select(
@@ -241,9 +244,10 @@ def duplicate_group_stats(
                 *[
                     F.struct(
                         F.lit(c).alias("col"),
-                        F.when(~is_na(F.col(c)), F.col(c).cast("string")).alias(
-                            "val"
-                        ),
+                        F.when(
+                            ~is_na_typed(F.col(c), dtypes[c]),
+                            F.col(c).cast("string"),
+                        ).alias("val"),
                     )
                     for c in columns
                 ]

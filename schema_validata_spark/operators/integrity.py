@@ -77,7 +77,7 @@ def fk_violations(
         c = child[ck] == pk[pkc]
         cond = c if cond is None else (cond & c)
 
-    orphans = child.filter(all_non_na(child_keys)).join(
+    orphans = child.filter(all_non_na(child_keys, dict(child.dtypes))).join(
         pk, on=cond, how="left_anti"
     )
     observed = (

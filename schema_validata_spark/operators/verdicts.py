@@ -117,8 +117,11 @@ def rule_agg_columns(
     grouping-set Expand, so many unique-rule columns multiply the
     scanned rows; the gated path derives exact distincts from ONE
     melted salted-hash job (``duplicate_group_stats``) instead."""
+    from schema_validata_spark.functions.nulls import is_na_typed
+
     aggs = []
     present = set(df.columns)
+    dtypes = dict(df.dtypes)
     for cs in spec.columns:
         if cs.field_name not in present:
             continue
@@ -128,6 +131,7 @@ def rule_agg_columns(
         # rebuilding them costs py4j round trips on every validate call.
         key = (
             cs.field_name,
+            dtypes[cs.field_name],
             cs.regex_pattern,
             tuple(cs.allowed_value_list)
             if cs.allowed_value_list is not None
@@ -141,7 +145,10 @@ def rule_agg_columns(
             continue
         built: list = []
         c = F.col(cs.field_name)
-        ok = ~is_na(c)
+        # typed NA fast path: a bigint unique-key column can never match
+        # the literal/regex NA spellings — bit-identical semantics, no
+        # per-row regex in the rollup (same equivalence as stats prep)
+        ok = ~is_na_typed(c, dtypes[cs.field_name])
         if cs.regex_pattern:
             miss = regex_violation(cs.field_name, cs.regex_pattern)
             built.append(
