@@ -1,0 +1,151 @@
+"""Round-6 auxiliary benchmarks — stage isolation for the headline
+queries (guide §1.4: noop sink so the computation is timed, not the
+sink; §1.5: labelled jobs). ``bench.py`` is the FROZEN driver contract;
+this file holds the extra instrumentation whose numbers
+OPTIMIZATION_r06.md cites.
+
+Prints one JSON line: min-of-N seconds per (query, stage) plus the
+full-query times, at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Usage: python bench_extra.py [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("schema_validata_spark-bench-extra")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    from __spark_entry__ import ORDERS_SPEC
+    from schema_validata_spark.operators.dedup import (
+        _candidate_pairs,
+        jaccard_pairs,
+        minhash_bands,
+        minhash_near_duplicates,
+        near_dup_clusters,
+        shingle_jaccard_pairs,
+    )
+    from schema_validata_spark.operators.duplicates import (
+        duplicate_value_counts,
+    )
+    from schema_validata_spark.operators.profile import (
+        _slim_profile_agg,
+        profile_df,
+    )
+    from schema_validata_spark.operators.similarity import (
+        embedding_near_duplicates,
+        lsh_index,
+    )
+    from schema_validata_spark.operators.stats import stats_rollup_df
+    from schema_validata_spark.operators.verdicts import rule_agg_columns
+    from schema_validata_spark.plans.validate import validate_table
+
+    def read(name: str):
+        df = (
+            spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+            .repartition(CPUS)
+            .persist()
+        )
+        df.count()
+        return df
+
+    orders = read("orders")
+    lineitem = read("lineitem")
+    documents = read("documents")
+    embeddings = read("embeddings")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+
+    def t(label, fn):
+        sc.setJobDescription(label)
+        fn()  # warm once — steady-state stage cost, as bench.py times
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        sc.setJobDescription(None)
+        out[label] = round(best, 3)
+
+    # ---- validate_orders_full stages
+    spec_cols = [c for c in ORDERS_SPEC.column_names if c in orders.columns]
+    rule_cols = rule_agg_columns(orders, ORDERS_SPEC, include_distinct=True)
+    raw = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    t("validate: rollup collect", lambda: stats_rollup_df(
+        orders, "o_orderstatus", spec_cols, with_approx_distinct=False,
+        extra_aggs=rule_cols, keep_cols=raw).limit(100_002).collect())
+    t("validate: FULL", lambda: validate_table(
+        orders, ORDERS_SPEC, key_cols=["o_orderkey"],
+        partition_col="o_orderstatus", list_errors=True).violations.count())
+
+    # ---- profile stages
+    t("profile: slim agg", lambda: _slim_profile_agg(
+        lineitem, lineitem.columns).collect())
+    t("profile: FULL", lambda: profile_df(lineitem).collect())
+
+    # ---- dup counts
+    t("dup_counts: FULL", lambda: duplicate_value_counts(
+        orders, ["o_custkey"]).count())
+
+    # ---- minhash stages
+    bands = minhash_bands(documents, "text", "doc_id", 64, 16, 3)
+    t("minhash: bands noop", lambda: noop(bands))
+    t("minhash: candidates", lambda: _candidate_pairs(bands, 10_000).count())
+    t("minhash: FULL", lambda: minhash_near_duplicates(
+        documents, "text", "doc_id", threshold=0.5, num_perm=64,
+        bands=16, k=3).count())
+
+    # ---- near-dup clusters stages
+    t("clusters: shingle_jaccard", lambda: shingle_jaccard_pairs(
+        documents, "text", "doc_id", k=3, min_jaccard=0.6,
+        max_total_pairs=50_000_000).count())
+    t("clusters: FULL", lambda: near_dup_clusters(
+        documents, "doc_id",
+        shingle_jaccard_pairs(documents, "text", "doc_id", k=3,
+                              min_jaccard=0.6,
+                              max_total_pairs=50_000_000)).count())
+
+    # ---- embedding near-dup stages
+    idx = lsh_index(embeddings, "embedding", "vec_id", 64, 4, 4)
+    t("embedding: lsh_index noop", lambda: noop(idx))
+    t("embedding: FULL", lambda: embedding_near_duplicates(
+        embeddings, "embedding", "vec_id", dim=64, threshold=0.4,
+        n_planes=4, n_tables=4).count())
+
+    print(json.dumps({
+        "sf_dir": SF_DIR, "cpus": CPUS, "repeats": repeats,
+        "stages_min_sec": out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
